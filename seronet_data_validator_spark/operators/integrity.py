@@ -1,0 +1,235 @@
+"""Uniqueness, referential-integrity, cross-table presence, count
+reconciliation — the table-level check suite (C4, C15, C17, C18, C20, J1-J5).
+
+Scale notes (the part the reference, being pandas, never had to solve):
+
+* **Uniqueness (C4)** — ``groupBy(id).count()`` compiles to a partial
+  (map-side) + final hash aggregate, so even a pathologically hot id never
+  ships more than one partial row per input partition per key. That IS the
+  two-phase salted aggregation; no manual salt needed for counts. We filter
+  ``count > 1`` AFTER the partial agg, so shuffle volume is one row per
+  distinct key per upstream partition, not per input row.
+
+* **Referential (C15/J2)** — dimension registries (codecs, sites) are tiny:
+  ``broadcast`` left_anti join, zero shuffle of the fact table. For big-dim
+  referential checks, :func:`salted_left_anti` spreads a skewed fact key
+  across ``n_salts`` reducers by exploding the dimension — bounded memory per
+  task at any skew. AQE skew-join handles the residual cases.
+
+* **Presence matrix (C17)** — the reference chains full-outer merges per
+  sheet (File_Submission_Object.py:691-708): O(tables) shuffles. We union
+  key projections tagged by source and do ONE groupBy-presence aggregation:
+  a single shuffle regardless of table count.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from seronet_data_validator_spark.model import (
+    ROW_REF_CROSS_TABLE,
+    ROW_REF_TABLE_DUP,
+    SEVERITY_ERROR,
+    SEVERITY_WARNING,
+)
+
+
+def _v(severity: str, table: str, row_ref: Column, column: str, value: Column,
+       rule_id: str, message: Column) -> list[Column]:
+    return [
+        F.lit(severity).alias("severity"),
+        F.lit(table).alias("table_name"),
+        row_ref.cast("string").alias("row_ref"),
+        F.lit(column).alias("column_name"),
+        F.coalesce(value.cast("string"), F.lit("NULL")).alias("column_value"),
+        F.lit(rule_id).alias("rule_id"),
+        message.alias("message"),
+    ]
+
+
+def duplicate_id_violations(
+    df: DataFrame,
+    id_column: str,
+    table_name: str,
+    *,
+    exclude_values: Sequence[str] = ("N/A", ""),
+) -> DataFrame:
+    """C4 check_for_dup_ids (File_Submission_Object.py:345-354): one violation
+    per duplicated ID value, message carries the repeat count, row_ref '-3'
+    (the reference's table-level sentinel)."""
+    c = F.col(id_column)
+    return (
+        df.where(c.isNotNull() & ~c.isin(*exclude_values))
+        .groupBy(id_column)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > 1)
+        .select(
+            *_v(
+                SEVERITY_ERROR,
+                table_name,
+                F.lit(ROW_REF_TABLE_DUP),
+                id_column,
+                c,
+                "C4.dup_id",
+                F.concat(
+                    F.lit("ID "), c, F.lit(" appears "), F.col("_n").cast("string"),
+                    F.lit(" times; IDs must be unique"),
+                ),
+            )
+        )
+    )
+
+
+def referential_violations(
+    df: DataFrame,
+    dim: DataFrame,
+    key: str,
+    table_name: str,
+    *,
+    dim_key: str | None = None,
+    registry_name: str = "registry",
+    row_ref_column: str | None = None,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """C15 check_assay_special (File_Submission_Object.py:289-300): fact keys
+    absent from the registry dimension → one Error per offending row.
+    left_anti against a broadcast dim — the fact table never shuffles."""
+    d = dim.select(F.col(dim_key or key).alias(key)).dropDuplicates([key])
+    if broadcast_dim:
+        d = F.broadcast(d)
+    missing = df.where(F.col(key).isNotNull() & (F.col(key) != "")).join(d, key, "left_anti")
+    row_ref = F.col(row_ref_column) if row_ref_column else F.lit(ROW_REF_CROSS_TABLE)
+    return missing.select(
+        *_v(
+            SEVERITY_ERROR,
+            table_name,
+            row_ref,
+            key,
+            F.col(key),
+            "C15.referential",
+            F.concat(F.lit("Value "), F.col(key), F.lit(f" was not found in {registry_name}")),
+        )
+    )
+
+
+def salted_left_anti(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    *,
+    n_salts: int = 16,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Explicit skew handling for big-dim anti joins (north_rule): salt the
+    fact side deterministically (xxhash64 of ``salt_source`` or the key
+    itself), replicate the dim across all salts, anti-join on (key, salt).
+    Result rows == plain left_anti; per-reducer load for a hot key drops by
+    ``n_salts``. Deterministic — no rand(), safe under task retry."""
+    src = F.col(salt_source) if salt_source else F.col(key)
+    salted_fact = fact.withColumn("_salt", F.pmod(F.xxhash64(src), F.lit(n_salts)))
+    salts = fact.sparkSession.range(n_salts).select(F.col("id").cast("int").alias("_salt"))
+    salted_dim = dim.select(key).dropDuplicates([key]).crossJoin(F.broadcast(salts))
+    return salted_fact.join(salted_dim, [key, "_salt"], "left_anti").drop("_salt")
+
+
+def presence_matrix(tables: dict[str, DataFrame], id_column: str) -> DataFrame:
+    """C17 get_cross_sheet_ID (File_Submission_Object.py:624-708), Spark-first:
+    union tagged key projections → one groupBy(id) presence aggregation.
+    Output: (id, in_<table> boolean per table)."""
+    parts = []
+    for name, df in tables.items():
+        parts.append(
+            df.where(F.col(id_column).isNotNull() & (F.col(id_column) != ""))
+            .select(F.col(id_column).alias("_id"))
+            .dropDuplicates(["_id"])
+            .withColumn("_src", F.lit(name))
+        )
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    aggs = [
+        F.max(F.when(F.col("_src") == name, F.lit(True)).otherwise(F.lit(False))).alias(f"in_{name}")
+        for name in tables
+    ]
+    return unioned.groupBy(F.col("_id").alias(id_column)).agg(*aggs)
+
+
+def presence_violations(
+    matrix: DataFrame,
+    id_column: str,
+    *,
+    child: str,
+    parent: str,
+    parent_missing_severity: str = SEVERITY_ERROR,
+    child_missing_severity: str | None = None,
+) -> DataFrame:
+    """Rules over the presence matrix: ID in child but not parent → Error
+    ('id not found in parent'); optionally parent-without-child → Warning
+    (the reference conditions this on Biospecimen_Type == PBMC;
+    File_Submission_Object.py:722-757)."""
+    c_in = F.col(f"in_{child}")
+    p_in = F.col(f"in_{parent}")
+    orphan = matrix.where(c_in & ~p_in).select(
+        *_v(
+            parent_missing_severity,
+            child,
+            F.lit(ROW_REF_CROSS_TABLE),
+            id_column,
+            F.col(id_column),
+            "C17.orphan",
+            F.concat(F.lit("ID "), F.col(id_column), F.lit(f" in {child} not found in {parent}")),
+        )
+    )
+    if child_missing_severity is None:
+        return orphan
+    childless = matrix.where(p_in & ~c_in).select(
+        *_v(
+            child_missing_severity,
+            parent,
+            F.lit(ROW_REF_CROSS_TABLE),
+            id_column,
+            F.col(id_column),
+            "C17.childless",
+            F.concat(F.lit("ID "), F.col(id_column), F.lit(f" in {parent} has no rows in {child}")),
+        )
+    )
+    return orphan.unionByName(childless)
+
+
+def count_reconciliation_violations(
+    df: DataFrame,
+    manifest: DataFrame,
+    partition_column: str,
+    table_name: str,
+    *,
+    declared_column: str = "declared_clip_count",
+) -> DataFrame:
+    """C18 get_passing_part_ids (File_Submission_Object.py:654-666): declared
+    count (manifest metadata) vs observed count per partition. Full outer so
+    both phantom-partition directions surface."""
+    observed = df.groupBy(partition_column).agg(F.count(F.lit(1)).alias("_observed"))
+    joined = observed.join(F.broadcast(manifest), partition_column, "full_outer")
+    bad = joined.where(
+        F.coalesce(F.col("_observed"), F.lit(0)) != F.coalesce(F.col(declared_column), F.lit(-1))
+    )
+    return bad.select(
+        *_v(
+            SEVERITY_ERROR,
+            table_name,
+            F.lit(ROW_REF_CROSS_TABLE),
+            partition_column,
+            F.col(partition_column),
+            "C18.count_mismatch",
+            F.concat(
+                F.lit("Declared count "),
+                F.coalesce(F.col(declared_column).cast("string"), F.lit("NULL")),
+                F.lit(" != observed "),
+                F.coalesce(F.col("_observed").cast("string"), F.lit("0")),
+                F.lit(f" for partition "),
+                F.coalesce(F.col(partition_column), F.lit("NULL")),
+            ),
+        )
+    )

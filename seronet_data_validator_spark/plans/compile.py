@@ -1,0 +1,146 @@
+"""Rule-fusion compiler: RuleSet → one fused DataFrame pass.
+
+The reference re-scans the table once PER RULE with row-wise ``.apply``
+lambdas and appends error rows one at a time on the driver
+(/root/reference/File_Submission_Object.py:250-253,305,340,446). At 10^12
+rows that is O(rules × rows) Python. Here every rule's emissions compile to
+``when(cond, struct(...))`` expressions that fuse into a SINGLE projection:
+
+    select row_ref, array_compact(array(e1, e2, ..., eN)) as _v
+    where size(_v) > 0
+    → explode → violations
+
+One scan, whole-stage codegen end-to-end, violations produced distributed —
+never on the driver. Column pruning still applies: Catalyst prunes the scan
+to exactly the columns the rules reference.
+
+Driver-side structural checks (missing rule/dependency columns) mirror the
+reference's whole-column failures at Row_Index 0
+(File_Submission_Object.py:267-274) and are emitted as literal rows without
+touching the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from seronet_data_validator_spark.model import (
+    ROW_REF_WHOLE_COLUMN,
+    SEVERITY_ERROR,
+    VIOLATION_SCHEMA,
+)
+from seronet_data_validator_spark.plans.rules import Rule, RuleSet
+
+
+def _violation_struct(
+    table_name: str, row_ref: Column, column_name: str, value: Column,
+    severity: Column, rule_id: str, message: Column,
+) -> Column:
+    return F.struct(
+        severity.alias("severity"),
+        F.lit(table_name).alias("table_name"),
+        row_ref.cast("string").alias("row_ref"),
+        F.lit(column_name).alias("column_name"),
+        F.coalesce(value.cast("string"), F.lit("NULL")).alias("column_value"),
+        F.lit(rule_id).alias("rule_id"),
+        message.alias("message"),
+    )
+
+
+def _structural_violations(
+    spark: SparkSession, ruleset: RuleSet, present: set[str]
+) -> tuple[list[Rule], DataFrame | None]:
+    """Split rules into runnable vs structurally-broken (missing columns).
+
+    A rule whose target or dependency column is absent emits ONE whole-column
+    Error row (row_ref '0'), exactly the reference's behavior when a
+    dependency column is missing (File_Submission_Object.py:267-274)."""
+    runnable: list[Rule] = []
+    rows = []
+    for rule in ruleset.rules:
+        missing = [c for c in ({rule.column} | ({rule.precondition.column} if rule.precondition else set())) if c not in present]
+        if missing:
+            for col in missing:
+                rows.append(
+                    (
+                        SEVERITY_ERROR,
+                        ruleset.table_name,
+                        ROW_REF_WHOLE_COLUMN,
+                        col,
+                        "",
+                        rule.rule_id,
+                        f"Column {col} required by rule {rule.rule_id} is missing from the table",
+                    )
+                )
+        else:
+            runnable.append(rule)
+    struct_df = spark.createDataFrame(rows, VIOLATION_SCHEMA) if rows else None
+    return runnable, struct_df
+
+
+def compile_ruleset(
+    df: DataFrame,
+    ruleset: RuleSet,
+    *,
+    keep_columns: tuple[str, ...] = (),
+) -> DataFrame:
+    """Compile and apply a RuleSet; returns a violations DataFrame.
+
+    ``keep_columns`` are carried through (e.g. a partition key for
+    per-partition verdict aggregation) as extra leading columns.
+    """
+    spark = df.sparkSession
+    runnable, structural = _structural_violations(spark, ruleset, set(df.columns))
+
+    structs: list[Column] = []
+    for rule in runnable:
+        value_col = F.col(rule.column)
+        for em in rule.emissions():
+            structs.append(
+                F.when(
+                    F.coalesce(em.condition, F.lit(False)),
+                    _violation_struct(
+                        ruleset.table_name,
+                        F.col(ruleset.row_ref_column),
+                        rule.column,
+                        value_col,
+                        em.severity,
+                        rule.rule_id,
+                        em.message,
+                    ),
+                ).otherwise(F.lit(None))
+            )
+
+    if structs:
+        arr = F.array_compact(F.array(*structs))
+        fused = (
+            df.select(*[F.col(c) for c in keep_columns], arr.alias("_violations"))
+            .where(F.size("_violations") > 0)
+            .select(*keep_columns, F.explode("_violations").alias("_v"))
+            .select(*keep_columns, "_v.*")
+        )
+    else:
+        fused = None
+
+    if fused is not None and structural is not None:
+        pad = structural.select(
+            *[F.lit(None).cast("string").alias(c) for c in keep_columns], "*"
+        )
+        return fused.unionByName(pad)
+    if fused is not None:
+        return fused
+    if structural is not None:
+        return structural.select(
+            *[F.lit(None).cast("string").alias(c) for c in keep_columns], "*"
+        )
+    empty = spark.createDataFrame([], VIOLATION_SCHEMA)
+    return empty.select(*[F.lit(None).cast("string").alias(c) for c in keep_columns], "*")
+
+
+def dedup_violations(violations: DataFrame) -> DataFrame:
+    """Reference dedups Error_list on (sheet, row, column, value) keeping the
+    first writer (File_Submission_Object.py:255-256). Rule declaration order
+    is deterministic here, so min(rule_id-ordinal) reproduces it; we keep it
+    simple and deterministic with dropDuplicates on the same key."""
+    return violations.dropDuplicates(["table_name", "row_ref", "column_name", "column_value"])

@@ -1,0 +1,192 @@
+"""End-to-end validation run (SURVEY.md §3.4 lifecycle).
+
+validate_clips(): (1) schema contract (driver-side, C21) → (2) resume filter
+(skip checkpointed partitions) → (3) ONE fused row-level rule pass →
+(4) uniqueness + referential + count-reconciliation table passes →
+(5) decoded-PCM invariant pass (Arrow pandas UDF) → (6) union violations →
+(7) per-partition verdicts (pass = zero Error rows, the reference's verdict
+at /root/reference/Data_Validation_v1.py:191-199) → (8) write violations +
+verdicts, commit partitions to the run manifest.
+
+Plan shape at scale: pass (3) and (5) are narrow (no shuffle); (4) shuffles
+once per distinct aggregation key; the verdict aggregation reuses the
+partition column so AQE coalesces it. Total: one scan of the fact table for
+rules, one for audio (bytes pruned from the rules scan), small shuffles of
+key projections only.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from seronet_data_validator_spark.checkpoint import RunManifest
+from seronet_data_validator_spark.model import (
+    SEVERITY_ERROR,
+    SEVERITY_WARNING,
+    VIOLATION_SCHEMA,
+)
+from seronet_data_validator_spark.operators.audio import audio_violations
+from seronet_data_validator_spark.operators.integrity import (
+    count_reconciliation_violations,
+    duplicate_id_violations,
+    referential_violations,
+)
+from seronet_data_validator_spark.plans.compile import compile_ruleset
+from seronet_data_validator_spark.plans.rules import RuleSet
+from seronet_data_validator_spark.rulesets import clips_ruleset
+from seronet_data_validator_spark.schema import schema_contract_violations
+
+
+@dataclass
+class ValidationResult:
+    run_id: str
+    violations: DataFrame
+    verdicts: list[dict] = field(default_factory=list)
+    passed: bool = True
+    skipped_partitions: list[str] = field(default_factory=list)
+
+
+def _empty_violations(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], VIOLATION_SCHEMA)
+
+
+def validate_clips(
+    spark: SparkSession,
+    clips: DataFrame,
+    *,
+    codec_registry: DataFrame | None = None,
+    reference_clips: DataFrame | None = None,
+    manifest: DataFrame | None = None,
+    ruleset: RuleSet | None = None,
+    run_id: str = "run-0",
+    partition_column: str = "site",
+    output_root: str | None = None,
+    run_audio_pass: bool = True,
+) -> ValidationResult:
+    """Full validation lifecycle over a clips DataFrame."""
+    rs = ruleset or clips_ruleset()
+
+    # (1) schema contract — metadata-only, gates like the reference's
+    # column_validation (any column error skips data validation,
+    # Data_Validation_v1.py:160-170).
+    contract = schema_contract_violations(spark, clips, rs.table_name)
+    if contract is not None:
+        return ValidationResult(run_id, contract, [], False, [])
+
+    # (2) resume: prune committed partitions before any heavy work.
+    run_manifest = RunManifest(spark, output_root) if output_root else None
+    skipped: list[str] = []
+    if run_manifest is not None:
+        skipped = run_manifest.completed_partitions(run_id)
+        clips = run_manifest.resume_filter(clips, run_id, partition_column)
+
+    # Row counts per partition (needed for verdicts anyway); if resume left
+    # nothing to do, short-circuit WITHOUT touching prior results.
+    row_counts = {
+        r[partition_column]: r["n"]
+        for r in clips.groupBy(partition_column).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if skipped and not row_counts:
+        return ValidationResult(run_id, _empty_violations(spark), [], True, skipped)
+
+    parts: list[DataFrame] = []
+
+    # (3) fused row-level pass — one scan, bytes column pruned out.
+    row_viol = compile_ruleset(clips, rs, keep_columns=(partition_column,))
+    parts.append(row_viol)
+
+    # (4) table-level passes.
+    dup = duplicate_id_violations(clips, rs.row_ref_column, rs.table_name)
+    parts.append(_with_null_part(dup, partition_column))
+    if codec_registry is not None:
+        ref_v = referential_violations(
+            clips, codec_registry, "codec", rs.table_name,
+            registry_name="codec_registry", row_ref_column=rs.row_ref_column,
+        )
+        parts.append(_with_null_part(ref_v, partition_column))
+    if manifest is not None:
+        cnt = count_reconciliation_violations(clips, manifest, partition_column, rs.table_name)
+        parts.append(_with_null_part(cnt, partition_column))
+
+    # (5) audio invariant pass (Arrow pandas UDF) — narrow, partition-parallel.
+    if run_audio_pass and "bytes" in clips.columns:
+        av = audio_violations(clips, reference_clips, table_name=rs.table_name,
+                              id_column=rs.row_ref_column)
+        parts.append(_with_null_part(av, partition_column))
+
+    violations = parts[0]
+    for p in parts[1:]:
+        violations = violations.unionByName(p)
+
+    # (7) per-partition verdicts: one aggregation over row counts + one over
+    # violations, joined driver-side (both tiny).
+    t0 = time.perf_counter()
+    if output_root:
+        (
+            violations.write.mode("overwrite")
+            .partitionBy(partition_column)
+            .parquet(os.path.join(output_root, "violations", run_id))
+        )
+        # explicit schema: survives an all-clean (empty) write and keeps the
+        # partition-dir value a string instead of type-inferring "11" -> 11
+        stored_schema = T.StructType(
+            list(VIOLATION_SCHEMA.fields)
+            + [T.StructField(partition_column, T.StringType(), True)]
+        )
+        v_stored = spark.read.schema(stored_schema).parquet(
+            os.path.join(output_root, "violations", run_id)
+        )
+    else:
+        v_stored = violations
+    sev_counts = {
+        (r[partition_column], r["severity"]): r["n"]
+        for r in v_stored.groupBy(partition_column, "severity")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    wall_ms = int((time.perf_counter() - t0) * 1000)
+
+    verdicts = []
+    # verdicts only for partitions processed THIS run (resume keeps old ones)
+    all_parts = sorted(k for k in row_counts if k is not None)
+    global_errors = sum(n for (p, s), n in sev_counts.items() if p is None and s == SEVERITY_ERROR)
+    for pk in all_parts:
+        n_err = sev_counts.get((pk, SEVERITY_ERROR), 0)
+        n_warn = sev_counts.get((pk, SEVERITY_WARNING), 0)
+        verdicts.append(
+            {
+                "run_id": run_id,
+                "partition_key": pk,
+                "pass": n_err == 0 and global_errors == 0,
+                "n_rows": row_counts.get(pk, 0),
+                "n_errors": n_err,
+                "n_warnings": n_warn,
+                "wall_ms": wall_ms,
+            }
+        )
+
+    # (8) commit checkpoint after durable write.
+    if run_manifest is not None and verdicts:
+        run_manifest.commit(run_id, verdicts)
+    if output_root and verdicts:
+        spark.createDataFrame(
+            [tuple(v.values()) for v in verdicts],
+            "run_id string, partition_key string, pass boolean, n_rows long, "
+            "n_errors long, n_warnings long, wall_ms long",
+        ).coalesce(1).write.mode("append").parquet(os.path.join(output_root, "partition_verdicts"))
+
+    passed = all(v["pass"] for v in verdicts) if verdicts else global_errors == 0
+    return ValidationResult(run_id, violations.select(*[f.name for f in VIOLATION_SCHEMA.fields]),
+                            verdicts, passed, skipped)
+
+
+def _with_null_part(v: DataFrame, partition_column: str) -> DataFrame:
+    """Table-level violations aren't attributable to one input partition —
+    tag with NULL partition (the reference's sentinel-row analog)."""
+    return v.select(F.lit(None).cast("string").alias(partition_column), "*")

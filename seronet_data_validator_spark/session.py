@@ -1,0 +1,68 @@
+"""SparkSession factory tuned for the validation engine.
+
+Local-mode defaults mirror what we would set cluster-side via spark-submit:
+AQE on (runtime re-plan + skew-join mitigation), Arrow enabled for the pandas
+UDF pass, shuffle partitions sized to cores (local) — at cluster scale this
+would be ~2-3x total executor cores or left to AQE coalescing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "seronet_data_validator_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (32 in the sandbox).
+    On a real cluster this function is not used — spark-submit provides the
+    session — but the .config() block documents the required settings.
+    """
+    # Make the package importable inside Python workers regardless of the
+    # caller's cwd — the local-mode analog of `spark-submit --py-files
+    # engine.zip` (workers inherit PYTHONPATH in local mode).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        try:
+            n = int(master.split("[")[1].rstrip("]*")) if "[" in master else 32
+        except ValueError:
+            n = 32
+        shuffle_partitions = max(n, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # partial re-runs overwrite only the partitions they recompute
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

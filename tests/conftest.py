@@ -1,0 +1,11 @@
+import pytest
+
+from seronet_data_validator_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(master="local[4]", shuffle_partitions=8,
+                  extra_conf={"spark.driver.memory": "4g"})
+    yield s
+    s.stop()

@@ -1,0 +1,95 @@
+"""End-to-end Good/Bad fixture tests — the reference's golden-count contract
+(/root/reference/test_bad_submission.py:36-54,110-116 style): Good submission
+→ zero Error rows; Bad submission → exact per-(rule, column) Error counts,
+Warnings excluded from the contract."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from seronet_data_validator_spark.model import SEVERITY_ERROR
+from seronet_data_validator_spark.runner import validate_clips
+from seronet_data_validator_spark.sources.clips import (
+    codec_registry_df,
+    generate_clips,
+    reference_clips,
+)
+
+N = 400
+
+
+@pytest.fixture(scope="module")
+def good_result(spark):
+    clips = generate_clips(spark, N, seed=42, bad=False).cache()
+    res = validate_clips(
+        spark, clips,
+        codec_registry=codec_registry_df(spark),
+        reference_clips=reference_clips(spark, N, seed=42),
+        run_id="good-run",
+    )
+    res.violations.cache()
+    return res
+
+
+@pytest.fixture(scope="module")
+def bad_result(spark):
+    clips = generate_clips(spark, N, seed=43, bad=True).cache()
+    res = validate_clips(
+        spark, clips,
+        codec_registry=codec_registry_df(spark),
+        reference_clips=reference_clips(spark, N, seed=43),
+        run_id="bad-run",
+    )
+    res.violations.cache()
+    return res
+
+
+def error_counts(res):
+    rows = (
+        res.violations.where(F.col("severity") == SEVERITY_ERROR)
+        .groupBy("rule_id", "column_name")
+        .count()
+        .collect()
+    )
+    return {(r["rule_id"], r["column_name"]): r["count"] for r in rows}
+
+
+def test_good_fixture_zero_errors(good_result):
+    counts = error_counts(good_result)
+    assert counts == {}, f"good fixture must have zero Error rows, got {counts}"
+    assert good_result.passed
+    assert all(v["pass"] for v in good_result.verdicts)
+
+
+def test_bad_fixture_golden_counts(bad_result):
+    counts = error_counts(bad_result)
+    # seeded by sources.clips._corrupt: disjoint row-id ranges
+    assert counts[("C3.clip_id_format", "clip_id")] == 6
+    assert counts[("C4.dup_id", "clip_id")] == 1          # one duplicated value (x3)
+    assert counts[("C15.referential", "codec")] == 4
+    assert counts[("C9.dur_ms_range", "dur_ms")] == 2
+    assert counts[("C14.transcript_required", "transcript")] == 2
+    assert counts[("C10.transcript_text", "transcript")] == 1   # 'N/A'
+    assert counts[("C13a.snr", "bytes")] == 1
+    assert counts[("C6.sr_hz_allowed", "sr_hz")] == 1     # 12345
+    assert counts[("C13a.sr_mismatch", "sr_hz")] == 1     # same row: header != declared
+    assert counts[("C13a.dur_mismatch", "dur_ms")] == 2   # declared 1e7 != decoded
+    assert counts[("C13a.transcript", "transcript")] == 3  # '', '', 'N/A' vs reference
+    assert not bad_result.passed
+
+
+def test_bad_fixture_no_unexpected_rules(bad_result):
+    expected_rules = {
+        "C3.clip_id_format", "C4.dup_id", "C15.referential", "C9.dur_ms_range",
+        "C14.transcript_required", "C10.transcript_text", "C13a.snr",
+        "C6.sr_hz_allowed", "C13a.sr_mismatch", "C13a.dur_mismatch",
+        "C13a.transcript",
+    }
+    assert {k[0] for k in error_counts(bad_result)} == expected_rules
+
+
+def test_dup_message_carries_count(bad_result):
+    msg = (
+        bad_result.violations.where(F.col("rule_id") == "C4.dup_id")
+        .select("message").first()["message"]
+    )
+    assert "3 times" in msg

@@ -1,0 +1,180 @@
+"""Unit tests per check primitive (SURVEY.md §5 test plan level 1)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from seronet_data_validator_spark.model import (
+    SEVERITY_ERROR,
+    SEVERITY_NOT_VALIDATED,
+    SEVERITY_WARNING,
+)
+from seronet_data_validator_spark.plans.compile import compile_ruleset, dedup_violations
+from seronet_data_validator_spark.plans.rules import (
+    Precondition,
+    Rule,
+    RuleSet,
+    check_column_compare,
+    check_date,
+    check_duration_triplet,
+    check_id_format,
+    check_in_list,
+    check_interpretation,
+    check_number,
+    check_parent_substr,
+    check_percent_identity,
+    check_regex,
+    check_required,
+    check_string,
+)
+
+
+def run_rule(spark, rows, schema, rule, table="t", row_ref="id"):
+    df = spark.createDataFrame(rows, schema)
+    rs = RuleSet(table_name=table, row_ref_column=row_ref)
+    rs.add(rule)
+    return compile_ruleset(df, rs).collect()
+
+
+def test_check_id_format_and_prefix(spark):
+    rows = [("11_123456_001",), ("XX-bad",), ("",), ("99_123456_001",)]
+    out = run_rule(
+        spark, rows, "id string",
+        Rule("r", "id", check_id_format(r"^[0-9]{2}_[0-9]{6}_[0-9]{3}$",
+                                        registry_prefixes=["11", "22"])),
+    )
+    msgs = {(v["row_ref"], v["rule_id"]) for v in out}
+    assert len(out) == 2  # format error + prefix error; '' skipped
+    assert any("format" in v["message"] for v in out)
+    assert any("site code" in v["message"] for v in out)
+
+
+def test_check_in_list_case_insensitive_blank_passes(spark):
+    rows = [("1", "Positive"), ("2", "NEGATIVE"), ("3", "maybe"), ("4", "")]
+    out = run_rule(spark, rows, "id string, v string",
+                   Rule("r", "v", check_in_list(["Positive", "Negative"])))
+    assert [v["row_ref"] for v in out] == ["3"]
+
+
+def test_check_number_range_and_int_only(spark):
+    rows = [("1", "5"), ("2", "500"), ("3", "5.5"), ("4", "abc"), ("5", "N/A"), ("6", "")]
+    out = run_rule(spark, rows, "id string, v string",
+                   Rule("r", "v", check_number(lower=1, upper=100, int_only=True)))
+    got = {v["row_ref"]: v["message"] for v in out}
+    assert "out of range" in got["2"]
+    assert "decimals" in got["3"]
+    assert "not a number" in got["4"]
+    assert "not a number" in got["5"]  # N/A not allowed here
+    assert "6" not in got  # blank handled by required rule, not number rule
+    assert "1" not in got
+
+
+def test_check_number_na_allowed(spark):
+    rows = [("1", "N/A")]
+    out = run_rule(spark, rows, "id string, v string",
+                   Rule("r", "v", check_number(lower=0, upper=10, na_allowed=True)))
+    assert out == []
+
+
+def test_check_date_parse_and_range(spark):
+    rows = [("1", "2020-05-01"), ("2", "1850-01-01"), ("3", "notadate"), ("4", "6/15/2021")]
+    out = run_rule(spark, rows, "id string, v string",
+                   Rule("r", "v", check_date(lower="1900-01-01", upper="2030-01-01")))
+    got = {v["row_ref"]: v["message"] for v in out}
+    assert "outside the allowed range" in got["2"]
+    assert "not a parseable date" in got["3"]
+    assert "1" not in got and "4" not in got
+
+
+def test_check_string_whitespace_and_na(spark):
+    rows = [("1", "ok text"), ("2", "   "), ("3", "N/A"), ("4", "")]
+    out = run_rule(spark, rows, "id string, v string", Rule("r", "v", check_string()))
+    assert {v["row_ref"] for v in out} == {"2", "3"}
+
+
+def test_check_required_severity_split(spark):
+    rows = [("1", "", "Positive"), ("2", "", "Negative"), ("3", "x", "Positive")]
+    out = run_rule(
+        spark, rows, "id string, v string, pcr string",
+        Rule("r", "v", check_required(conditional_column="pcr",
+                                      error_when="Positive", warning_when="Negative")),
+    )
+    got = {v["row_ref"]: v["severity"] for v in out}
+    assert got == {"1": SEVERITY_ERROR, "2": SEVERITY_WARNING}
+
+
+def test_precondition_gates_and_not_validated(spark):
+    # rule applies only when dep == 'Yes'; dep='Maybe' -> Not Validated
+    rows = [("1", "bad", "Yes"), ("2", "bad", "No"), ("3", "bad", "Maybe")]
+    pre = Precondition(column="dep", values=("Yes",), exempt_values=("No",))
+    out = run_rule(spark, rows, "id string, v string, dep string",
+                   Rule("r", "v", check_in_list(["good"]), precondition=pre))
+    got = {v["row_ref"]: v["severity"] for v in out}
+    assert got == {"1": SEVERITY_ERROR, "3": SEVERITY_NOT_VALIDATED}
+
+
+def test_missing_dependency_column_whole_column_error(spark):
+    rows = [("1", "x")]
+    pre = Precondition(column="nonexistent", values=("Yes",))
+    out = run_rule(spark, rows, "id string, v string",
+                   Rule("r", "v", check_in_list(["x"]), precondition=pre))
+    assert len(out) == 1
+    assert out[0]["row_ref"] == "0" and out[0]["severity"] == SEVERITY_ERROR
+
+
+def test_check_parent_substr(spark):
+    rows = [("11_000001_001", "11_000001"), ("22_000002_001", "99_999999")]
+    out = run_rule(spark, rows, "child string, parent string",
+                   Rule("r", "child", check_parent_substr("parent")), row_ref="child")
+    assert [v["row_ref"] for v in out] == ["22_000002_001"]
+
+
+def test_check_column_compare_and_percent(spark):
+    rows = [("1", "10", "5", "50.0"), ("2", "5", "10", "200.0"), ("3", "10", "5", "49.0")]
+    df_schema = "id string, total string, live string, viability string"
+    out1 = run_rule(spark, rows, df_schema,
+                    Rule("r", "total", check_column_compare("live", op="ge")))
+    assert [v["row_ref"] for v in out1] == ["2"]
+    out2 = run_rule(spark, rows, df_schema,
+                    Rule("r", "viability", check_percent_identity("live", "total")))
+    assert {v["row_ref"] for v in out2} == {"3"}
+
+
+def test_check_duration_triplet(spark):
+    rows = [
+        ("1", "2", "Month", "2020"),      # ok
+        ("2", "N/A", "Month", "2020"),    # mixed N/A
+        ("3", "2", "Fortnight", "2020"),  # bad unit
+        ("4", "2", "Year", "1800"),       # year out of range
+        ("5", "500", "Year", "2020"),     # lands in the future
+        ("6", "N/A", "N/A", "N/A"),       # all N/A ok
+    ]
+    out = run_rule(spark, rows, "id string, dur string, unit string, yr string",
+                   Rule("r", "dur", check_duration_triplet("unit", "yr")))
+    got = {}
+    for v in out:
+        got.setdefault(v["row_ref"], []).append(v["message"])
+    assert set(got) == {"2", "3", "4", "5"}
+
+
+def test_check_interpretation(spark):
+    rows = [("1", "Reactive result"), ("2", "inconclusive finding")]
+    out = run_rule(spark, rows, "id string, v string",
+                   Rule("r", "v", check_interpretation(["reactive", "negative"])))
+    assert [v["row_ref"] for v in out] == ["2"]
+
+
+def test_check_regex_and_dedup(spark):
+    rows = [("1", "AAA"), ("1", "AAA")]
+    out_df_rows = run_rule(spark, rows, "id string, v string",
+                           Rule("r", "v", check_regex(r"^[0-9]+$")))
+    assert len(out_df_rows) == 2
+    df = spark.createDataFrame(out_df_rows)
+    assert dedup_violations(df).count() == 1
+
+
+def test_int_typed_column_rules_fire(spark):
+    # regression: rules must work on natively-typed (non-string) columns
+    rows = [(1, 12345), (2, 8000)]
+    out = run_rule(spark, rows, "id int, sr int",
+                   Rule("r", "sr", check_in_list(["8000", "16000"], case_insensitive=False)))
+    assert [v["row_ref"] for v in out] == ["1"]
