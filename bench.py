@@ -1,0 +1,92 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline: full-rule-suite clip validation throughput (clips validated/sec —
+the BASELINE.json metric) on a deterministic synthetic clips table scaled by
+sf, plus per-query wall times for every driver-contract query at
+$SPARK_GRAFT_SF_DIR.
+
+Scaling-efficiency evidence (local[N] vs local[4N]) lives in
+bench_scaling.py → BENCH/BASELINE.md; this file stays fast enough to run
+per-round.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.storagelevel import StorageLevel  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from seronet_data_validator_spark.runner import validate_clips  # noqa: E402
+from seronet_data_validator_spark.session import get_spark  # noqa: E402
+from seronet_data_validator_spark.sources.clips import (  # noqa: E402
+    codec_registry_df,
+    generate_clips,
+    reference_clips,
+)
+
+CLIPS_PER_SF = 1_000_000  # sf0.1 -> 100k clips
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_clips = max(2_000, int(sf * CLIPS_PER_SF))
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+
+    # -- headline: clips validated/sec, full rule suite ---------------------
+    clips = generate_clips(spark, n_clips, seed=42).persist(StorageLevel.MEMORY_AND_DISK)
+    clips.count()  # materialize generation outside the timed region
+    refs = reference_clips(spark, n_clips, seed=42).persist(StorageLevel.MEMORY_AND_DISK)
+    refs.count()
+    registry = codec_registry_df(spark)
+
+    t0 = time.perf_counter()
+    res = validate_clips(
+        spark, clips, codec_registry=registry, reference_clips=refs,
+        run_id="bench", output_root=None,
+    )
+    n_violations = res.violations.count()
+    validate_sec = time.perf_counter() - t0
+    clips_per_sec = n_clips / validate_sec
+    clips.unpersist()
+    refs.unpersist()
+
+    # -- per-query wall times over the driver parquet tables ----------------
+    per_query: dict[str, float] = {}
+    for name, fn in entry_mod.queries().items():
+        if name == "clips_validation":
+            continue  # covered by the headline above
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        per_query[name] = round(time.perf_counter() - t0, 4)
+    per_query["clips_validation_full_suite"] = round(validate_sec, 4)
+
+    total_sec = round(sum(per_query.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "clips validated/sec (full rule suite) + query suite wall time",
+                "value": total_sec,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+                "clips_per_sec": round(clips_per_sec, 1),
+                "n_clips": n_clips,
+                "n_violations": n_violations,
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

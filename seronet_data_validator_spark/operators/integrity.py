@@ -62,7 +62,7 @@ def duplicate_id_violations(
     (the reference's table-level sentinel)."""
     c = F.col(id_column)
     return (
-        df.where(c.isNotNull() & ~c.isin(*exclude_values))
+        df.where(c.isNotNull() & ~c.cast("string").isin(*exclude_values))
         .groupBy(id_column)
         .agg(F.count(F.lit(1)).alias("_n"))
         .where(F.col("_n") > 1)
@@ -100,7 +100,9 @@ def referential_violations(
     d = dim.select(F.col(dim_key or key).alias(key)).dropDuplicates([key])
     if broadcast_dim:
         d = F.broadcast(d)
-    missing = df.where(F.col(key).isNotNull() & (F.col(key) != "")).join(d, key, "left_anti")
+    missing = df.where(
+        F.col(key).isNotNull() & (F.col(key).cast("string") != "")
+    ).join(d, key, "left_anti")
     row_ref = F.col(row_ref_column) if row_ref_column else F.lit(ROW_REF_CROSS_TABLE)
     return missing.select(
         *_v(
@@ -142,7 +144,7 @@ def presence_matrix(tables: dict[str, DataFrame], id_column: str) -> DataFrame:
     parts = []
     for name, df in tables.items():
         parts.append(
-            df.where(F.col(id_column).isNotNull() & (F.col(id_column) != ""))
+            df.where(F.col(id_column).isNotNull() & (F.col(id_column).cast("string") != ""))
             .select(F.col(id_column).alias("_id"))
             .dropDuplicates(["_id"])
             .withColumn("_src", F.lit(name))

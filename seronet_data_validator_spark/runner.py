@@ -24,6 +24,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
 
 from seronet_data_validator_spark.checkpoint import RunManifest
 from seronet_data_validator_spark.model import (
@@ -123,6 +124,9 @@ def validate_clips(
     violations = parts[0]
     for p in parts[1:]:
         violations = violations.unionByName(p)
+    # Violations feed ≥2 actions (write/severity counts/caller inspection) —
+    # persist so the expensive passes (audio decode, joins) run ONCE.
+    violations = violations.persist(StorageLevel.MEMORY_AND_DISK)
 
     # (7) per-partition verdicts: one aggregation over row counts + one over
     # violations, joined driver-side (both tiny).
