@@ -240,6 +240,77 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-quality scoring (operators/text.quality_score) — C4/Gopher-style
+    heuristic filters, all JVM-side."""
+    from seronet_data_validator_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_score(docs).select(
+        "doc_id", "n_tokens", "distinct_token_ratio", "punct_ratio",
+        "mean_token_len", "quality_score",
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard similarity between document pairs (dedup
+    verification semantics, string-gram variant for oracle parity; the
+    at-scale path hashes grams — operators/dedup.ngram_jaccard_pairs)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0)))
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)))
+    )
+    g = docs.select("doc_id", grams.alias("grams"))
+    a = g.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
+    b = g.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    jac = F.size(F.array_intersect("ga", "gb")) / F.size(F.array_union("ga", "gb"))
+    return pairs.select("id_a", "id_b", F.round(jac, 4).alias("jaccard")).where(
+        F.col("jaccard") > 0
+    )
+
+
+def q_embedding_close_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup semantics, exact pair subset (the at-scale
+    path is LSH-bucketed — operators/dedup.embedding_near_duplicates)."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    sim = dot / (nrm(F.col("va")) * nrm(F.col("vb")))
+    return pairs.select("id_a", "id_b", F.round(sim, 3).alias("cos_sim")).where(
+        F.col("cos_sim") >= 0.3
+    )
+
+
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pipeline (hash-banded; non-SQL-expressible →
+    rows-only oracle)."""
+    from seronet_data_validator_spark.operators.dedup import minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup(docs, jaccard_threshold=0.3)
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column pass: decode + feature-extract on synthetic
+    clips (pandas UDF → rows-only oracle)."""
+    from seronet_data_validator_spark.operators.multimodal import audio_features
+    from seronet_data_validator_spark.sources.clips import generate_clips
+
+    clips = generate_clips(spark, 300, seed=42)
+    return audio_features(clips)
+
+
 def q_clips_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship engine pass on a deterministic synthetic clips table (audio
     pandas-UDF invariants are non-SQL-expressible → rows-only oracle)."""
@@ -287,6 +358,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "events_hourly": q_events_hourly,
         "similarity_topk": q_similarity_topk,
+        "quality_scores": q_quality_scores,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_close_pairs": q_embedding_close_pairs,
+        "minhash_neardup": q_minhash_neardup,
+        "audio_features": q_audio_features,
         "clips_validation": q_clips_validation,
     }
 
@@ -421,5 +497,61 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, cos_sim FROM sims WHERE cos_sim >= 0.15
         """,
-        # clips_validation: audio pandas-UDF invariants — rows-only check.
+        "quality_scores": """
+            WITH t AS (
+                SELECT doc_id, text,
+                       string_split(trim(lower(text)), ' ') AS toks,
+                       len(string_split(trim(text), ' ')) AS n_tok,
+                       length(text) AS n_chars
+                FROM documents
+            )
+            SELECT doc_id, n_tok AS n_tokens,
+                   round(len(list_distinct(toks)) * 1.0 / greatest(n_tok, 1), 4)
+                     AS distinct_token_ratio,
+                   round(length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) * 1.0
+                         / greatest(n_chars, 1), 4) AS punct_ratio,
+                   round((n_chars - (n_tok - 1)) * 1.0 / greatest(n_tok, 1), 4)
+                     AS mean_token_len,
+                   round((
+                     (CASE WHEN n_tok BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
+                     (CASE WHEN (n_chars - (n_tok - 1)) * 1.0 / greatest(n_tok, 1)
+                           BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+                     (CASE WHEN len(list_distinct(toks)) * 1.0 / greatest(n_tok, 1)
+                           >= 0.2 THEN 1.0 ELSE 0.0 END) +
+                     (CASE WHEN length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) * 1.0
+                           / greatest(n_chars, 1) <= 0.2 THEN 1.0 ELSE 0.0 END)
+                   ) / 4.0, 4) AS quality_score
+            FROM t
+        """,
+        "ngram_jaccard": """
+            WITH g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(toks) - 2, 0) + 1),
+                           i -> array_to_string(toks[i:i+2], ' ')
+                       )) AS grams
+                FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
+                      FROM documents WHERE doc_id < 40)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.grams, b.grams)) * 1.0
+                         / (len(a.grams) + len(b.grams)
+                            - len(list_intersect(a.grams, b.grams))), 4) AS jaccard
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.grams, b.grams)) > 0
+        """,
+        "embedding_close_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.embedding, b.embedding)
+                         / (sqrt(list_dot_product(a.embedding, a.embedding))
+                            * sqrt(list_dot_product(b.embedding, b.embedding))), 3)
+                     AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 200 AND b.vec_id < 200
+              AND round(list_dot_product(a.embedding, b.embedding)
+                        / (sqrt(list_dot_product(a.embedding, a.embedding))
+                           * sqrt(list_dot_product(b.embedding, b.embedding))), 3) >= 0.3
+        """,
+        # minhash_neardup, audio_features, clips_validation: hash-banded LSH /
+        # pandas-UDF audio passes — non-SQL-expressible, rows-only checks.
     }

@@ -1,0 +1,306 @@
+"""Deduplication operator family for large-scale training-data pipelines.
+
+Five strategies, all pure DataFrame ops (no Python in the hot path):
+
+* exact          — content-hash groupBy (one shuffle of (hash, id) pairs)
+* minhash LSH    — shingle → minhash signature → band buckets → bucket join
+* simhash        — weighted-bit fingerprint, hamming-band candidate pairs
+* ngram jaccard  — exact Jaccard on shingle sets for candidate verification
+* embedding cosine — near-dup by cosine over an embedding column
+
+Scale design: every strategy reduces to groupBy/join on compact keys
+(64-bit hashes), never on the raw text; candidate generation is strictly
+bucket-local (LSH bands / simhash bands), so the shuffle carries
+O(rows × bands) small rows, and only same-bucket pairs are compared —
+the standard web-dedup layout (MinHashLSH as in Broder '97, banding per
+Leskovec et al., Mining of Massive Datasets ch.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1 for the universal-hash family: with a,b,h < p the
+# product a*h < 2^62 stays inside a signed 64-bit long (ANSI overflow-safe).
+_MERSENNE = (1 << 31) - 1
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: md5 content hash → groups with >1 member.
+    Output: (content_hash, n, keep_id, dup_ids)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(id_col).alias("keep_id"),
+            F.sort_array(F.collect_list(id_col)).alias("dup_ids"),
+        )
+        .where(F.col("n") > 1)
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", *, n: int = 3) -> DataFrame:
+    """Word n-gram shingles as 64-bit hashes (xxhash64, JVM-side).
+    Adds `shingle_hashes: array<long>` (distinct)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # sliding window of n tokens via transform over index range
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+    return df.withColumn("shingle_hashes", F.array_distinct(grams))
+
+
+def minhash_signature(
+    df: DataFrame, *, num_hashes: int = 64, seed: int = 7
+) -> DataFrame:
+    """MinHash signature over `shingle_hashes`: sig[i] = min over shingles of
+    (a_i * h + b_i mod p). Expressed with array lambdas — whole-stage codegen,
+    no UDF. Adds `minhash_sig: array<long>`."""
+    import random
+
+    rnd = random.Random(seed)
+    coeffs = [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
+    sig_cols = []
+    for a, b in coeffs:
+        # (a*h + b) % p over positive-mapped hashes; min-reduce via aggregate
+        sig_cols.append(
+            F.aggregate(
+                F.col("shingle_hashes"),
+                F.lit(_MERSENNE).cast("long"),
+                lambda acc, h: F.least(
+                    acc, F.pmod(F.lit(a) * F.pmod(h, F.lit(_MERSENNE)) + F.lit(b), F.lit(_MERSENNE))
+                ),
+            )
+        )
+    return df.withColumn("minhash_sig", F.array(*sig_cols))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Band the signature (bands × rows_per_band = num_hashes), hash each
+    band → bucket key, self-join within buckets → candidate pairs (a < b).
+    The only shuffle is on (band, bucket_hash) — tiny keys."""
+    banded = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("minhash_sig")[b * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    shingled: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard verification of candidate pairs: join shingle sets back
+    onto (id_a, id_b) and compute |A∩B| / |A∪B| with array ops.
+    Output: (id_a, id_b, jaccard) for pairs ≥ threshold."""
+    sets_ = shingled.select(F.col(id_col), F.col("shingle_hashes"))
+    a = sets_.select(F.col(id_col).alias("id_a"), F.col("shingle_hashes").alias("sh_a"))
+    b = sets_.select(F.col(id_col).alias("id_b"), F.col("shingle_hashes").alias("sh_b"))
+    joined = candidates.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        joined.select(
+            "id_a", "id_b",
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """End-to-end MinHash+LSH near-dup: shingle → sign → band → candidates →
+    exact-Jaccard verify. Returns verified near-dup pairs."""
+    sh = shingles(df.select(id_col, text_col), text_col, n=shingle_n)
+    signed = minhash_signature(sh, num_hashes=num_hashes)
+    cands = minhash_lsh_candidates(signed, id_col, bands=bands,
+                                   rows_per_band=num_hashes // bands)
+    return ngram_jaccard_pairs(sh, cands, id_col, threshold=jaccard_threshold)
+
+
+def simhash(df: DataFrame, text_col: str = "text", *, bits: int = 64) -> DataFrame:
+    """SimHash fingerprint (Charikar '02): per token, its 64-bit hash votes
+    ±1 per bit position; fingerprint bit = sign of the vote sum. Pure array
+    math. Adds `simhash: long` (as bigint)."""
+    toks = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # for each bit position: sum(+1 if bit set else -1) > 0 => bit set
+    def vote_at(i: int):
+        # closure factory: pyspark higher-order lambdas must take exactly the
+        # declared arity (no default args)
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_exprs = []
+    for i in range(bits):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), vote_at(i))
+        bit_exprs.append(F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0)))
+    fp = bit_exprs[0]
+    for i in range(1, bits):
+        fp = fp + F.shiftleft(bit_exprs[i], i)
+    return df.withColumn("simhash", fp)
+
+
+def simhash_near_duplicates(
+    df_with_simhash: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Candidate pairs whose simhash differs in ≤ max_hamming bits.
+    Pigeonhole banding: split 64 bits into n_bands (> max_hamming) chunks —
+    any pair within distance shares ≥1 exact chunk → bucket-join on chunks,
+    verify hamming with bit_count(xor). Output (id_a, id_b, hamming)."""
+    width = 64 // n_bands
+    chunks = df_with_simhash.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select(id_col, "simhash", "bc.band", "bc.chunk")
+    l, r = chunks.alias("l"), chunks.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 11,
+) -> DataFrame:
+    """Embedding-cosine near-dup with random-hyperplane LSH bucketing:
+    sign-pattern of `n_planes` fixed random projections → bucket; cosine
+    verified exactly within buckets. Shuffle carries (bucket, id, vec) once —
+    no all-pairs join. Output (id_a, id_b, cos_sim ≥ threshold)."""
+    import random
+
+    first = df.select(F.size(vec_col).alias("d")).first()
+    dim = first["d"]
+    rnd = random.Random(seed)
+    planes = [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+
+    def proj_sign(plane: list[float]):
+        arr = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    bucket = F.concat(*[proj_sign(p) for p in planes])
+    norm = F.sqrt(
+        F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, v: a + v.cast("double") * v.cast("double"))
+    )
+    bucketed = df.select(
+        F.col(id_col), F.col(vec_col), bucket.alias("bucket"), norm.alias("nrm")
+    )
+    l, r = bucketed.alias("l"), bucketed.alias("r")
+    dot = F.aggregate(
+        F.zip_with(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"),
+                   lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.round(dot / (F.col("l.nrm") * F.col("r.nrm")), 4).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def dedup_keep_first(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Apply near-dup pairs: drop the higher id of each pair (connected
+    components approximated by one-hop — adequate for dedup where clusters
+    are small; full CC would iterate). left_anti on the drop set."""
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drops, id_col, "left_anti")

@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute_force_topk — exact cosine top-k: broadcast the query vectors, one
+  narrow pass + a k-row per-query aggregation. Baseline and verifier.
+* ivf_topk — IVF-style scale path: k-means-ish centroid assignment (fixed
+  seeded centroids sampled from the data), search only the nprobe nearest
+  cells. At 10^9+ vectors the scan prunes to nprobe/ncells of the data.
+
+All math is JVM-side (`zip_with`/`aggregate`); no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k per query. Queries broadcast (small side); corpus
+    scanned once; per-query k selected with a window — shuffle carries only
+    (query_id, vec_id, sim)."""
+    q = F.broadcast(queries.select(query_id_col, query_vec_col))
+    joined = corpus.crossJoin(q)
+    sim = _dot(F.col(vec_col), F.col(query_vec_col)) / (
+        _norm(F.col(vec_col)) * _norm(F.col(query_vec_col))
+    )
+    scored = joined.select(
+        F.col(query_id_col), F.col(id_col), F.round(sim, 4).alias("cos_sim")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def train_centroids(
+    corpus: DataFrame,
+    *,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 3,
+) -> list[list[float]]:
+    """Deterministic k-means (Lloyd) centroids: seed with the first n_cells
+    vectors by id (deterministic), refine with `iters` distributed
+    assignment/mean rounds. Driver holds only n_cells × dim floats."""
+    seeds = [
+        [float(x) for x in r[vec_col]]
+        for r in corpus.orderBy(id_col).limit(n_cells).collect()
+    ]
+    cents = seeds
+    for _ in range(iters):
+        assigned = assign_cells(corpus, cents, vec_col=vec_col)
+        means = (
+            assigned.groupBy("cell")
+            .agg(
+                *[
+                    F.avg(F.col(vec_col)[i].cast("double")).alias(f"c{i}")
+                    for i in range(len(cents[0]))
+                ]
+            )
+            .collect()
+        )
+        new = list(cents)
+        for row in means:
+            new[row["cell"]] = [row[f"c{i}"] for i in range(len(cents[0]))]
+        cents = new
+    return cents
+
+
+def assign_cells(
+    corpus: DataFrame, centroids: list[list[float]], *, vec_col: str = "embedding"
+) -> DataFrame:
+    """Add `cell` = argmin centroid by L2^2 (expanded as -2·dot + |c|^2;
+    |v|^2 constant per row). Literal centroid arrays — broadcast-free."""
+    scores = []
+    for ci, c in enumerate(centroids):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        c2 = float(sum(x * x for x in c))
+        d2 = F.lit(c2) - 2.0 * _dot(F.col(vec_col), arr)
+        scores.append(F.struct(d2.alias("d2"), F.lit(ci).alias("cell")))
+    best = F.array_min(F.array(*scores))
+    return corpus.withColumn("cell", best["cell"])
+
+
+def ivf_topk(
+    corpus_with_cells: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF search: per query, rank cells by centroid distance, probe the
+    nearest `nprobe` cells only. Join on cell → prunes the corpus scan to
+    nprobe/n_cells; exact cosine within probed cells."""
+    q_assigned_scores = []
+    for ci, c in enumerate(centroids):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        c2 = float(sum(x * x for x in c))
+        d2 = F.lit(c2) - 2.0 * _dot(F.col(query_vec_col), arr)
+        q_assigned_scores.append(F.struct(d2.alias("d2"), F.lit(ci).alias("cell")))
+    ranked_cells = F.slice(F.array_sort(F.array(*q_assigned_scores)), 1, nprobe)
+    q = queries.select(
+        query_id_col, query_vec_col,
+        F.explode(F.transform(ranked_cells, lambda s: s["cell"])).alias("cell"),
+    )
+    joined = corpus_with_cells.join(F.broadcast(q), "cell")
+    sim = _dot(F.col(vec_col), F.col(query_vec_col)) / (
+        _norm(F.col(vec_col)) * _norm(F.col(query_vec_col))
+    )
+    scored = joined.select(
+        F.col(query_id_col), F.col(id_col), F.round(sim, 4).alias("cos_sim")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

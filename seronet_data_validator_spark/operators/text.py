@@ -1,0 +1,100 @@
+"""Text-analysis operators for training-data pipelines: language ID
+(stopword-profile heuristic), quality scoring, token counting, and rolling
+document fingerprints. All JVM-side Column expressions — the hot path has no
+Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny stopword profiles (public common-word lists, heavily truncated — this
+# is a deterministic n-gram/stopword heuristic, not a trained model).
+STOPWORD_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una", "que", "por"],
+    "zh": [],  # no-space script: detected by CJK character ratio instead
+}
+
+
+def _tokens(text_col: str) -> Column:
+    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword estimate (chars/4 heuristic,
+    the common rule-of-thumb for byte-pair tokenizers)."""
+    toks = _tokens(text_col)
+    return df.withColumn("n_tokens_ws", F.size(toks)).withColumn(
+        "n_tokens_bpe_est", F.ceil(F.length(F.col(text_col)) / 4).cast("long")
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + composite score in [0,1]:
+    length band, mean token length band, punctuation ratio, stopword ratio,
+    repetition (distinct/total tokens). Mirrors common pretraining-data
+    quality filters (C4/Gopher-style rules, public)."""
+    toks = _tokens(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    distinct_ratio = F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1))
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[^\.,;:!\?]", "")) / F.greatest(
+        n_chars, F.lit(1)
+    )
+    stop_en = F.size(F.filter(toks, lambda t: t.isin(*STOPWORD_PROFILES["en"]))) / F.greatest(
+        n_tok, F.lit(1)
+    )
+    mean_tok_len = (n_chars - (n_tok - 1)) / F.greatest(n_tok, F.lit(1))
+    length_ok = n_tok.between(5, 100_000).cast("double")
+    tok_len_ok = mean_tok_len.between(2.0, 12.0).cast("double")
+    rep_ok = (distinct_ratio >= 0.2).cast("double")
+    punct_ok = (punct <= 0.2).cast("double")
+    score = (length_ok + tok_len_ok + rep_ok + punct_ok) / 4.0
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("distinct_token_ratio", F.round(distinct_ratio, 4))
+        .withColumn("punct_ratio", F.round(punct, 4))
+        .withColumn("stopword_ratio_en", F.round(stop_en, 4))
+        .withColumn("mean_token_len", F.round(mean_tok_len, 4))
+        .withColumn("quality_score", F.round(score, 4))
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic language ID: argmax of per-language stopword hit-ratio;
+    CJK-character ratio handles no-space scripts. Adds `lang_pred` and
+    `lang_score`."""
+    toks = _tokens(text_col)
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    def hit(words: list[str]):
+        return lambda t: t.isin(*words)
+
+    scores = []
+    for lang, words in STOPWORD_PROFILES.items():
+        if words:
+            ratio = F.size(F.filter(toks, hit(words))) / n_tok
+        else:  # zh: CJK codepoint ratio
+            cjk = F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", ""))
+            ratio = cjk / F.greatest(F.length(F.col(text_col)), F.lit(1))
+        scores.append(F.struct(ratio.alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return df.withColumn("lang_pred", best["lang"]).withColumn(
+        "lang_score", F.round(best["score"], 4)
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", *, window: int = 8) -> DataFrame:
+    """Rolling-hash document fingerprint (winnowing-style, public algorithm:
+    Schleimer et al. '03): hash every `window`-gram of tokens, keep the
+    minimum — a content-defined signature robust to local edits. Adds
+    `fingerprint: long` plus the full md5 for exact identity."""
+    toks = _tokens(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - window, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))))
+    return df.withColumn("fingerprint", F.array_min(grams)).withColumn(
+        "content_md5", F.md5(F.col(text_col))
+    )
