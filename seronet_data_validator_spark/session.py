@@ -35,6 +35,14 @@ def get_spark(
             f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
         )
 
+    # One task slot = one core: BLAS/OpenMP pools inside each Python worker
+    # oversubscribe the box (n_workers x n_blas_threads threads) and destroy
+    # scaling. Cluster-side this is spark.executorEnv.*; local-mode workers
+    # inherit the driver env, so set it before the JVM starts.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS",
+                "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:

@@ -1,0 +1,80 @@
+"""Bucketed staging of the synthetic clips corpus for benchmarks.
+
+Why bucketed tables: the audio-invariant pass joins the clips fact table to
+the reference table 1:1 on ``clip_id``. On plain parquet that is a shuffle of
+the full binary payload on BOTH sides — at 100 TB the shuffle IS the job. The
+production design is an Iceberg table bucket-partitioned by ``clip_id`` so
+the join is storage-partitioned (no shuffle); the local-mode analog Spark
+supports out of the box is a bucketed+sorted saved table, which planner-proves
+co-partitioning and yields a zero-Exchange sort-merge join
+(``audio_violations`` plan shows no Exchange operator over these tables).
+
+Staging is untimed in benchmarks — it models the pre-existing data lake, not
+the engine under test.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from seronet_data_validator_spark.sources.clips import (
+    generate_clips,
+    reference_clips,
+)
+
+DEFAULT_BUCKETS = 32
+
+
+def stage_conf(stage_dir: str) -> dict[str, str]:
+    """Session conf required to create/read the staged tables: a warehouse +
+    derby metastore pinned inside ``stage_dir`` so separate JVMs (the N- and
+    4N-core bench runs) see the same tables sequentially."""
+    return {
+        "spark.sql.warehouse.dir": os.path.join(stage_dir, "warehouse"),
+        "spark.driver.extraJavaOptions": f"-Dderby.system.home={stage_dir}",
+    }
+
+
+def stage_clip_tables(
+    spark: SparkSession,
+    n_rows: int,
+    *,
+    seed: int = 42,
+    buckets: int = DEFAULT_BUCKETS,
+    bad: bool = False,
+    table_prefix: str = "bench",
+) -> tuple[DataFrame, DataFrame]:
+    """Write (once) and return the clips + reference tables, both bucketed by
+    clip_id. Bucket count is a property of the data layout, not the compute
+    level — identical across parallelism levels so N- and 4N-core runs read
+    byte-identical inputs."""
+    clips_tbl = f"{table_prefix}_clips_{n_rows}_{seed}{'_bad' if bad else ''}"
+    refs_tbl = f"{table_prefix}_refs_{n_rows}_{seed}"
+    # a killed run can leave the table dir without a metastore entry —
+    # clear the orphaned location so saveAsTable succeeds
+    wh = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    for tbl in (clips_tbl, refs_tbl):
+        loc = os.path.join(wh, tbl)
+        if wh and os.path.exists(loc) and not spark.catalog.tableExists(tbl):
+            import shutil
+
+            shutil.rmtree(loc)
+    if not spark.catalog.tableExists(clips_tbl):
+        (
+            generate_clips(spark, n_rows, seed=seed, bad=bad)
+            .write.bucketBy(buckets, "clip_id")
+            .sortBy("clip_id")
+            .mode("overwrite")
+            .saveAsTable(clips_tbl)
+        )
+    if not spark.catalog.tableExists(refs_tbl):
+        (
+            reference_clips(spark, n_rows, seed=seed)
+            .write.bucketBy(buckets, "clip_id")
+            .sortBy("clip_id")
+            .mode("overwrite")
+            .saveAsTable(refs_tbl)
+        )
+    return spark.table(clips_tbl), spark.table(refs_tbl)
