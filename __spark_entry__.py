@@ -292,6 +292,131 @@ def q_embedding_close_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (operators/text.language_id): argmax of
+    per-language stopword hit-ratio, aggregated to a (true, predicted)
+    confusion matrix. All JVM-side array lambdas."""
+    from seronet_data_validator_spark.operators.text import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        language_id(docs)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_declared_length_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C13/F10 cross-column invariant (reference compare_total_to_live,
+    File_Submission_Object.py:519-529): declared n_chars vs actual
+    length(text), aggregated to flag counts."""
+    docs = _t(spark, sf_dir, "documents")
+    ok = (F.length("text") == F.col("n_chars")).alias("len_ok")
+    return docs.groupBy(ok).agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift check (north-rule PSI/KS): l_discount value
+    distribution before vs after 1996-01-01; PSI + KS in one pass
+    (groupBy + window cumsums, no Python)."""
+    li = _t(spark, sf_dir, "lineitem")
+    is_a = F.col("l_shipdate") < F.lit("1996-01-01")
+    # ONE scan: conditional counts per value, era proportions from window
+    # totals — at 10^12 rows this is one shuffle of ~11 tiny rows, vs the
+    # naive two-scan split-join shape.
+    counts = li.groupBy(F.round("l_discount", 2).alias("v")).agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).alias("nb"),
+    ).where((F.col("na") > 0) & (F.col("nb") > 0))
+    wall = Window.partitionBy()
+    j = counts.select(
+        "v",
+        (F.col("na") / F.sum("na").over(wall)).alias("pa"),
+        (F.col("nb") / F.sum("nb").over(wall)).alias("pb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    j = j.select(
+        "v", "pa", "pb",
+        F.sum("pa").over(w).alias("ca"), F.sum("pb").over(w).alias("cb"),
+    )
+    return j.agg(
+        F.round(F.sum((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))), 6).alias("psi"),
+        F.round(F.max(F.abs(F.col("ca") - F.col("cb"))), 6).alias("ks"),
+    )
+
+
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window family: per-user running sum + lag over event time."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id",
+        F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias("cum_value"),
+        F.round(F.lag("value").over(w), 2).alias("prev_value"),
+    )
+
+
+def q_hour_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 time→decimal-hours coercion (reference
+    File_Submission_Object.py:442-445) aggregated per event_type."""
+    ev = _t(spark, sf_dir, "events")
+    dec_hour = F.hour("ts") + F.minute("ts") / 60.0
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(dec_hour), 4).alias("avg_hour"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_date_range_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 date-range rule: o_orderdate within [1992-01-01, 1998-08-02]."""
+    o = _t(spark, sf_dir, "orders")
+    in_range = F.col("o_orderdate").between(
+        F.lit("1992-01-01").cast("timestamp"), F.lit("1998-08-02").cast("timestamp")
+    ).alias("in_range")
+    return o.groupBy(in_range).agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprint (operators/text.fingerprint);
+    xxhash64 has no DuckDB equivalent → rows-only oracle."""
+    from seronet_data_validator_spark.operators.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return fingerprint(docs).select("doc_id", "fingerprint", "content_md5")
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs (hamming-banded; xxhash64-based →
+    rows-only oracle)."""
+    from seronet_data_validator_spark.operators.dedup import (
+        simhash,
+        simhash_near_duplicates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(simhash(docs), max_hamming=3)
+
+
+def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbours: deterministic
+    k-means cells, probe top cells only — the at-scale ANN path (brute-force
+    cosine is the exact baseline, q similarity_topk). Rows-only oracle
+    (approximate by construction)."""
+    from seronet_data_validator_spark.operators.similarity import (
+        assign_cells,
+        ivf_topk,
+        train_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_centroids(emb, n_cells=8, iters=2)
+    corpus = assign_cells(emb, cents)
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(corpus, q, cents, k=10, nprobe=3)
+
+
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pipeline (hash-banded; non-SQL-expressible →
     rows-only oracle)."""
@@ -361,6 +486,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_close_pairs": q_embedding_close_pairs,
+        "lang_id_confusion": q_lang_id_confusion,
+        "declared_length_check": q_declared_length_check,
+        "psi_drift": q_psi_drift,
+        "running_total": q_running_total,
+        "hour_decimal": q_hour_decimal,
+        "date_range_check": q_date_range_check,
+        "fingerprints": q_fingerprints,
+        "simhash_neardup": q_simhash_neardup,
+        "ivf_search": q_ivf_search,
         "minhash_neardup": q_minhash_neardup,
         "audio_features": q_audio_features,
         "clips_validation": q_clips_validation,
@@ -552,6 +686,89 @@ def oracle_sql() -> dict[str, str]:
                         / (sqrt(list_dot_product(a.embedding, a.embedding))
                            * sqrt(list_dot_product(b.embedding, b.embedding))), 3) >= 0.3
         """,
-        # minhash_neardup, audio_features, clips_validation: hash-banded LSH /
-        # pandas-UDF audio passes — non-SQL-expressible, rows-only checks.
+        "lang_id_confusion": """
+            WITH s AS (
+                SELECT doc_id, lang, text,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                FROM documents
+            ), r AS (
+                SELECT lang,
+                    list_sort([
+                        {'score': len(list_filter(toks, x -> x IN
+                            ('the','a','of','and','to','in','is','that','it','for'))) * 1.0
+                            / greatest(len(toks), 1), 'lang': 'en'},
+                        {'score': len(list_filter(toks, x -> x IN
+                            ('der','die','das','und','ist','nicht','ein','zu','mit','den'))) * 1.0
+                            / greatest(len(toks), 1), 'lang': 'de'},
+                        {'score': len(list_filter(toks, x -> x IN
+                            ('le','la','les','et','est','un','une','des','que','pour'))) * 1.0
+                            / greatest(len(toks), 1), 'lang': 'fr'},
+                        {'score': len(list_filter(toks, x -> x IN
+                            ('el','la','los','las','y','es','un','una','que','por'))) * 1.0
+                            / greatest(len(toks), 1), 'lang': 'es'},
+                        {'score': length(regexp_replace(text, '[^一-鿿]', '', 'g')) * 1.0
+                            / greatest(length(text), 1), 'lang': 'zh'}
+                    ])[-1] AS best
+                FROM s
+            )
+            SELECT lang, best.lang AS lang_pred, count(*) AS n
+            FROM r GROUP BY lang, best.lang
+        """,
+        "declared_length_check": """
+            SELECT length(text) = n_chars AS len_ok, count(*) AS n
+            FROM documents GROUP BY 1
+        """,
+        "psi_drift": """
+            WITH counts AS (
+                SELECT round(l_discount, 2) AS v,
+                       sum(CASE WHEN l_shipdate < TIMESTAMP '1996-01-01'
+                                THEN 1 ELSE 0 END) AS na,
+                       sum(CASE WHEN l_shipdate < TIMESTAMP '1996-01-01'
+                                THEN 0 ELSE 1 END) AS nb
+                FROM lineitem GROUP BY 1
+                HAVING sum(CASE WHEN l_shipdate < TIMESTAMP '1996-01-01'
+                                THEN 1 ELSE 0 END) > 0
+                   AND sum(CASE WHEN l_shipdate < TIMESTAMP '1996-01-01'
+                                THEN 0 ELSE 1 END) > 0
+            ), p AS (
+                SELECT v, na * 1.0 / sum(na) OVER () AS pa,
+                       nb * 1.0 / sum(nb) OVER () AS pb
+                FROM counts
+            ), j AS (
+                SELECT v, pa, pb,
+                       sum(pa) OVER (ORDER BY v) AS ca,
+                       sum(pb) OVER (ORDER BY v) AS cb
+                FROM p
+            )
+            SELECT round(sum((pa - pb) * ln(pa / pb)), 6) AS psi,
+                   round(max(abs(ca - cb)), 6) AS ks
+            FROM j
+        """,
+        "running_total": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                     AS cum_value,
+                   round(lag(value) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id), 2) AS prev_value
+            FROM events WHERE user_id < 50
+        """,
+        "hour_decimal": """
+            SELECT event_type,
+                   round(avg(date_part('hour', ts) + date_part('minute', ts) / 60.0), 4)
+                     AS avg_hour,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "date_range_check": """
+            SELECT o_orderdate BETWEEN TIMESTAMP '1992-01-01'
+                                   AND TIMESTAMP '1998-08-02' AS in_range,
+                   count(*) AS n
+            FROM orders GROUP BY 1
+        """,
+        # fingerprints, simhash_neardup, ivf_search, minhash_neardup,
+        # audio_features, clips_validation: xxhash64-based signatures /
+        # approximate ANN / pandas-UDF audio passes — non-SQL-expressible,
+        # rows-only checks.
     }

@@ -37,8 +37,7 @@ import json, sys, time
 sys.path.insert(0, {repo!r})
 from seronet_data_validator_spark.session import get_spark
 from seronet_data_validator_spark.runner import validate_clips
-from seronet_data_validator_spark.sources.clips import (
-    generate_clips, reference_clips, codec_registry_df)
+from seronet_data_validator_spark.sources.clips import codec_registry_df
 from seronet_data_validator_spark.sources.staging import (
     stage_clip_tables, stage_conf)
 
@@ -50,11 +49,17 @@ spark = get_spark(app_name=f"scaling-{{cores}}", master=f"local[{{cores}}]",
 clips, refs = stage_clip_tables(spark, n, seed=42)
 reg = codec_registry_df(spark)
 
-# warm-up (untimed): start Python workers, JIT the codegen paths
-warm = generate_clips(spark, 2000, seed=1)
-warm_ref = reference_clips(spark, 2000, seed=1)
-validate_clips(spark, warm, codec_registry=reg, reference_clips=warm_ref,
+# warm-up (untimed): one full pass over the real tables — starts Python
+# workers, JITs codegen, and faults the staged files into the page cache.
+# A cluster reads from distributed storage whose aggregate bandwidth scales
+# with executors; this sandbox's single local disk does not, so cold-file
+# I/O would measure the disk, not the engine. Steady-state (warm) runs are
+# the like-for-like unit across parallelism levels.
+validate_clips(spark, clips, codec_registry=reg, reference_clips=refs,
                run_id="warm", output_root=None).violations.count()
+# the warm run's persisted violations plan would otherwise be served back
+# to the (plan-identical) timed run by Spark's CacheManager
+spark.catalog.clearCache()
 
 t0 = time.perf_counter()
 res = validate_clips(spark, clips, codec_registry=reg, reference_clips=refs,
@@ -119,10 +124,13 @@ Protocol (sandbox proxy for N vs 4N executors — no real cluster available):
 the identical full-rule-suite validation job (fused row rules + uniqueness +
 referential + decoded-PCM/transcript audio invariants) runs on the SAME
 staged input ({n_clips:,} clips, seed 42; bucketed+sorted by clip_id — the
-local analog of an Iceberg bucket-partitioned table, so the reference join is
-storage-partitioned with zero Exchange) at `local[{levels[0]}]` and
-`local[{levels[1]}]` in separate JVMs, after an untimed warm-up (long-lived
-executors = steady-state throughput).
+local analog of an Iceberg bucket-partitioned table — one file per bucket, so
+the reference join is a zero-Exchange merge join) at `local[{levels[0]}]` and
+`local[{levels[1]}]` in separate JVMs. Each level first runs one untimed full
+pass (long-lived executors = steady-state: Python workers up, codegen JITed,
+staged files page-cached — a cluster's storage bandwidth scales with
+executors; the sandbox's single local disk does not, so cold-file I/O would
+measure the disk, not the engine), then the timed pass.
 
 | parallelism | wall (s) | clips/sec |
 |---|---|---|

@@ -34,19 +34,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from seronet_data_validator_spark.model import SEVERITY_ERROR, VIOLATION_SCHEMA
-from seronet_data_validator_spark.sources.clips import decode_wav
+from seronet_data_validator_spark.sources.clips import decode_wav_i16
 
 _SNR_DB_MIN = 30.0
 
 
 def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
-    """SNR of ``test`` against ``ref`` in dB: 10·log10(P_ref / P_noise)."""
+    """SNR of ``test`` against ``ref`` in dB: 10·log10(P_ref / P_noise).
+
+    Power terms as float32 dot products (BLAS) rather than elementwise
+    square+mean — ~2x fewer temporaries in the hot path; scale factors
+    cancel in the ratio so int16-scaled inputs work unchanged."""
     n = min(len(ref), len(test))
     if n == 0:
         return -np.inf
-    noise = ref[:n] - test[:n]
-    p_ref = float(np.mean(ref[:n] ** 2))
-    p_noise = float(np.mean(noise**2))
+    r = np.asarray(ref[:n], dtype=np.float32)
+    t = np.asarray(test[:n], dtype=np.float32)
+    noise = r - t
+    p_ref = float(np.dot(r, r))
+    p_noise = float(np.dot(noise, noise))
     if p_noise == 0.0:
         return np.inf
     if p_ref == 0.0:
@@ -96,7 +102,7 @@ def audio_violations(
             for row in pdf.itertuples(index=False):
                 cid = getattr(row, id_column)
                 try:
-                    pcm, sr = decode_wav(row.bytes)
+                    pcm, sr = decode_wav_i16(row.bytes)
                 except (ValueError, TypeError) as e:
                     emit(cid, "bytes", f"<{0 if row.bytes is None else len(row.bytes)}B>",
                          "C13a.decode", f"audio buffer failed to decode: {e}")
@@ -111,7 +117,7 @@ def audio_violations(
                              f"declared dur_ms {row.dur_ms} != decoded {decoded_ms}")
                 if has_ref and row.ref_bytes is not None:
                     try:
-                        ref_pcm, _ = decode_wav(row.ref_bytes)
+                        ref_pcm, _ = decode_wav_i16(row.ref_bytes)
                     except (ValueError, TypeError):
                         ref_pcm = None
                     if ref_pcm is not None:

@@ -64,11 +64,19 @@ def wav_bytes(samples_i16: np.ndarray, sr_hz: int) -> bytes:
 
 def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
     """Parse the RIFF/WAVE PCM16 mono layout produced above → (float32, sr)."""
+    pcm, sr = decode_wav_i16(b)
+    return pcm.astype(np.float32) / 32768.0, sr
+
+
+def decode_wav_i16(b: bytes) -> tuple[np.ndarray, int]:
+    """Zero-copy variant: int16 view of the sample data (no scale, no copy).
+    Hot-path decode for the SNR invariant — scale factors cancel in the
+    power ratio, so full-scale float conversion is wasted work there."""
     if b is None or len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE buffer")
     sr = struct.unpack("<I", b[24:28])[0]
     n = struct.unpack("<I", b[40:44])[0]
-    pcm = np.frombuffer(b[44 : 44 + n], dtype="<i2").astype(np.float32) / 32768.0
+    pcm = np.frombuffer(b, dtype="<i2", offset=44, count=n // 2)
     return pcm, sr
 
 

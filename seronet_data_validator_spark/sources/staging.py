@@ -61,9 +61,15 @@ def stage_clip_tables(
             import shutil
 
             shutil.rmtree(loc)
+    # repartition by the bucket key BEFORE the bucketed write: Spark's
+    # repartition hash == its bucketing hash, so every bucket lands in
+    # EXACTLY ONE file — single-file buckets let the scan report sortedness
+    # and the reference join becomes a zero-Exchange, zero-Sort merge join
+    # (multi-file buckets would re-Sort both sides per task).
     if not spark.catalog.tableExists(clips_tbl):
         (
             generate_clips(spark, n_rows, seed=seed, bad=bad)
+            .repartition(buckets, "clip_id")
             .write.bucketBy(buckets, "clip_id")
             .sortBy("clip_id")
             .mode("overwrite")
@@ -72,6 +78,7 @@ def stage_clip_tables(
     if not spark.catalog.tableExists(refs_tbl):
         (
             reference_clips(spark, n_rows, seed=seed)
+            .repartition(buckets, "clip_id")
             .write.bucketBy(buckets, "clip_id")
             .sortBy("clip_id")
             .mode("overwrite")
