@@ -45,11 +45,19 @@ def stage_clip_tables(
     buckets: int = DEFAULT_BUCKETS,
     bad: bool = False,
     table_prefix: str = "bench",
+    refs_from_clips: bool | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Write (once) and return the clips + reference tables, both bucketed by
     clip_id. Bucket count is a property of the data layout, not the compute
     level — identical across parallelism levels so N- and 4N-core runs read
-    byte-identical inputs."""
+    byte-identical inputs.
+
+    ``refs_from_clips`` (default: true when ``bad`` is false): for a clean
+    fixture the reference table's content is byte-identical to the clips
+    table, so the reference side is a projection of the SAME staged table —
+    halves staging disk/time; the join is still a real two-scan
+    storage-partitioned merge join. A ``bad`` fixture needs the separate
+    uncorrupted table."""
     clips_tbl = f"{table_prefix}_clips_{n_rows}_{seed}{'_bad' if bad else ''}"
     refs_tbl = f"{table_prefix}_refs_{n_rows}_{seed}"
     # a killed run can leave the table dir without a metastore entry —
@@ -75,6 +83,18 @@ def stage_clip_tables(
             .mode("overwrite")
             .saveAsTable(clips_tbl)
         )
+    if refs_from_clips is None:
+        refs_from_clips = not bad
+    if refs_from_clips:
+        from pyspark.sql import functions as F
+
+        clips = spark.table(clips_tbl)
+        refs = clips.select(
+            "clip_id",
+            F.col("bytes").alias("ref_bytes"),
+            F.col("transcript").alias("ref_transcript"),
+        )
+        return clips, refs
     if not spark.catalog.tableExists(refs_tbl):
         (
             reference_clips(spark, n_rows, seed=seed)

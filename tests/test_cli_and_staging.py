@@ -1,0 +1,67 @@
+"""spark-submit CLI entry + bucketed staging layout tests."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import run_validation
+from seronet_data_validator_spark.operators.audio import audio_violations
+from seronet_data_validator_spark.sources.clips import generate_clips, reference_clips
+from seronet_data_validator_spark.sources.staging import stage_clip_tables
+
+
+def test_run_validation_cli_good_and_bad(spark, tmp_path):
+    good = str(tmp_path / "good.parquet")
+    bad = str(tmp_path / "bad.parquet")
+    ref = str(tmp_path / "ref.parquet")
+    generate_clips(spark, 300, seed=7).write.parquet(good)
+    generate_clips(spark, 300, seed=7, bad=True).write.parquet(bad)
+    reference_clips(spark, 300, seed=7).write.parquet(ref)
+
+    rc_good = run_validation.main(
+        ["--input", good, "--reference", ref,
+         "--output-root", str(tmp_path / "out_good"), "--run-id", "g1"]
+    )
+    assert rc_good == 0
+    rc_bad = run_validation.main(
+        ["--input", bad, "--reference", ref,
+         "--output-root", str(tmp_path / "out_bad"), "--run-id", "b1"]
+    )
+    assert rc_bad == 1
+    # durable outputs exist
+    assert os.path.exists(str(tmp_path / "out_bad" / "violations" / "b1"))
+    assert os.path.exists(str(tmp_path / "out_bad" / "run_manifest"))
+
+    # re-run the bad set: resume prunes everything, exit stays honest (0 —
+    # nothing re-validated, no new errors)
+    rc_again = run_validation.main(
+        ["--input", bad, "--reference", ref,
+         "--output-root", str(tmp_path / "out_bad"), "--run-id", "b1"]
+    )
+    assert rc_again == 0
+
+
+@pytest.mark.usefixtures("spark")
+def test_staged_tables_join_without_exchange(spark, tmp_path):
+    clips, refs = stage_clip_tables(
+        spark, 400, seed=11, buckets=4, table_prefix=f"t{os.getpid()}"
+    )
+    assert clips.count() == 400
+    # at this tiny scale AQE would (rightly) broadcast; force the merge-join
+    # path to assert the bucketed layout joins with zero shuffle
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        av = audio_violations(clips, refs)
+        plan = av._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    av = audio_violations(clips, refs)
+    # derived reference side carries the renamed columns
+    assert set(refs.columns) == {"clip_id", "ref_bytes", "ref_transcript"}
+    # clean fixture + identical reference content -> no audio violations
+    assert av.where(F.col("rule_id").startswith("C13a")).count() == 0
