@@ -62,19 +62,20 @@ def minhash_signature(
 
     rnd = random.Random(seed)
     coeffs = [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
-    sig_cols = []
-    for a, b in coeffs:
-        # (a*h + b) % p over positive-mapped hashes; min-reduce via aggregate
-        sig_cols.append(
-            F.aggregate(
-                F.col("shingle_hashes"),
-                F.lit(_MERSENNE).cast("long"),
-                lambda acc, h: F.least(
-                    acc, F.pmod(F.lit(a) * F.pmod(h, F.lit(_MERSENNE)) + F.lit(b), F.lit(_MERSENNE))
-                ),
-            )
-        )
-    return df.withColumn("minhash_sig", F.array(*sig_cols))
+    a_arr = F.array(*[F.lit(a).cast("long") for a, _ in coeffs])
+    b_arr = F.array(*[F.lit(b).cast("long") for _, b in coeffs])
+    init = F.array_repeat(F.lit(_MERSENNE).cast("long"), num_hashes)
+
+    # ONE traversal of the shingle array: the accumulator is the whole
+    # signature vector, min-merged per element via zip_with. (The naive
+    # num_hashes-separate-aggregates form re-walks — and re-hashes — the
+    # array once per coefficient: 64x the work in codegen.)
+    def step(acc, h):
+        hm = F.pmod(h, F.lit(_MERSENNE))
+        cand = F.zip_with(a_arr, b_arr, lambda a, b: F.pmod(a * hm + b, F.lit(_MERSENNE)))
+        return F.zip_with(acc, cand, lambda x, y: F.least(x, y))
+
+    return df.withColumn("minhash_sig", F.aggregate(F.col("shingle_hashes"), init, step))
 
 
 def minhash_lsh_candidates(
@@ -162,34 +163,48 @@ def minhash_dedup(
     """End-to-end MinHash+LSH near-dup: shingle → sign → band → candidates →
     exact-Jaccard verify. Returns verified near-dup pairs."""
     sh = shingles(df.select(id_col, text_col), text_col, n=shingle_n)
-    signed = minhash_signature(sh, num_hashes=num_hashes)
+    # one materialization point: the signed frame feeds the banded SELF-join
+    # (two subtree copies) AND the Jaccard verify join — without it the
+    # shingling+signing computes four times. At cluster scale this is the
+    # natural stage boundary one would checkpoint to a table.
+    signed = minhash_signature(sh, num_hashes=num_hashes).select(
+        id_col, "shingle_hashes", "minhash_sig"
+    ).persist()
     cands = minhash_lsh_candidates(signed, id_col, bands=bands,
                                    rows_per_band=num_hashes // bands)
-    return ngram_jaccard_pairs(sh, cands, id_col, threshold=jaccard_threshold)
+    return ngram_jaccard_pairs(signed, cands, id_col, threshold=jaccard_threshold)
 
 
-def simhash(df: DataFrame, text_col: str = "text", *, bits: int = 64) -> DataFrame:
+def simhash(
+    df: DataFrame, text_col: str = "text", *, bits: int = 64, id_col: str = "doc_id"
+) -> DataFrame:
     """SimHash fingerprint (Charikar '02): per token, its 64-bit hash votes
-    ±1 per bit position; fingerprint bit = sign of the vote sum. Pure array
-    math. Adds `simhash: long` (as bigint)."""
-    toks = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    # for each bit position: sum(+1 if bit set else -1) > 0 => bit set
-    def vote_at(i: int):
-        # closure factory: pyspark higher-order lambdas must take exactly the
-        # declared arity (no default args)
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
+    ±1 per bit position; fingerprint bit = sign of the vote sum. Adds
+    `simhash: long` (as bigint).
 
-    bit_exprs = []
+    Shape: explode tokens → ONE hash aggregation of `bits` conditional sums
+    per document → join the fingerprint back on ``id_col``. Partial (map-
+    side) aggregation means the shuffle carries `bits` longs per document;
+    this beats a per-row array fold ~10x (the fold allocates two `bits`-long
+    arrays per token) and is the layout that scales — token rows distribute
+    evenly regardless of document length skew."""
+    toks = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    tok_df = df.select(F.col(id_col), F.explode(toks).alias("_tok"))
+    h = F.xxhash64(F.col("_tok"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_v{i}")
+        for i in range(bits)
+    ]
+    votes = tok_df.groupBy(id_col).agg(*aggs)
+    fp = F.lit(0).cast("long")
     for i in range(bits):
-        vote = F.aggregate(hashes, F.lit(0).cast("long"), vote_at(i))
-        bit_exprs.append(F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0)))
-    fp = bit_exprs[0]
-    for i in range(1, bits):
-        fp = fp + F.shiftleft(bit_exprs[i], i)
-    return df.withColumn("simhash", fp)
+        fp = fp + F.when(
+            F.col(f"_v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    sig = votes.select(F.col(id_col), fp.alias("simhash"))
+    return df.join(sig, id_col, "left")
 
 
 def simhash_near_duplicates(
@@ -204,7 +219,10 @@ def simhash_near_duplicates(
     any pair within distance shares ≥1 exact chunk → bucket-join on chunks,
     verify hamming with bit_count(xor). Output (id_a, id_b, hamming)."""
     width = 64 // n_bands
-    chunks = df_with_simhash.select(
+    # materialize (id, simhash) once: the banded self-join would otherwise
+    # recompute the fingerprint fold on both sides
+    slim = df_with_simhash.select(id_col, "simhash").persist()
+    chunks = slim.select(
         F.col(id_col),
         F.col("simhash"),
         F.explode(
