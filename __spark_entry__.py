@@ -393,7 +393,9 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_near_duplicates,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    # cap the doc subset: the synthetic corpus has a tiny vocabulary, so
+    # near-dup pairs at hamming<=3 grow quadratically with doc count
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1500)
     return simhash_near_duplicates(simhash(docs), max_hamming=3)
 
 
