@@ -32,6 +32,7 @@ MANIFEST_SCHEMA = T.StructType(
         T.StructField("run_id", T.StringType(), False),
         T.StructField("partition_key", T.StringType(), False),
         T.StructField("status", T.StringType(), False),  # done
+        T.StructField("passed", T.BooleanType(), True),  # verdict at commit time
         T.StructField("n_rows", T.LongType(), True),
         T.StructField("n_errors", T.LongType(), True),
         T.StructField("n_warnings", T.LongType(), True),
@@ -62,6 +63,32 @@ class RunManifest:
             .collect()
         ]
 
+    def prior_verdicts(self, run_id: str, partitions: list[str]) -> dict[str, bool]:
+        """Stored pass/fail for already-committed partitions — a resumed run
+        derives its exit status from these instead of reporting a failed
+        dataset as clean just because nothing re-validated (the reference's
+        triage verdict is durable in its summary workbook the same way,
+        Data_Validation_v1.py:204-228). Conservative fold: any failing commit
+        for a partition marks it failed; a pre-upgrade manifest row with no
+        ``passed`` column falls back to n_errors == 0."""
+        if not partitions:
+            return {}
+        try:
+            df = self.spark.read.schema(MANIFEST_SCHEMA).parquet(self.path)
+        except Exception:
+            return {}
+        rows = (
+            df.where((F.col("run_id") == run_id) & F.col("partition_key").isin(partitions))
+            .groupBy("partition_key")
+            .agg(
+                F.min(
+                    F.coalesce(F.col("passed"), F.col("n_errors") == 0).cast("int")
+                ).alias("ok")
+            )
+            .collect()
+        )
+        return {r["partition_key"]: bool(r["ok"]) for r in rows}
+
     def resume_filter(self, df: DataFrame, run_id: str, partition_column: str) -> DataFrame:
         """Prune partitions already committed for this run. The isin predicate
         on the partition column pushes down to the scan → whole-file pruning."""
@@ -85,6 +112,7 @@ class RunManifest:
                 run_id,
                 v["partition_key"],
                 "done",
+                bool(v.get("pass", True)),
                 v.get("n_rows"),
                 v.get("n_errors"),
                 v.get("n_warnings"),

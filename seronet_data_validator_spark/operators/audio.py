@@ -91,15 +91,25 @@ _WAVE = np.frombuffer(b"WAVE", dtype=np.uint8)
 
 def _decode_view(seg: np.ndarray | None) -> tuple[np.ndarray, int]:
     """Parse the RIFF/WAVE PCM16 mono layout from a uint8 view → (int16 view,
-    sr). Same layout contract as sources/clips.decode_wav."""
+    sr). Same layout contract as sources/clips.decode_wav.
+
+    A buffer whose declared data-chunk size exceeds the actual payload (a
+    truncated upload) or whose payload has an odd byte length is a decode
+    ERROR, not something to silently clamp — truncation must surface as a
+    violation even when dur_ms is NULL."""
     if seg is None or len(seg) < 44 or not (
         np.array_equal(seg[:4], _RIFF) and np.array_equal(seg[8:12], _WAVE)
     ):
         raise ValueError("not a RIFF/WAVE buffer")
     sr = int.from_bytes(seg[24:28].tobytes(), "little")
     n = int.from_bytes(seg[40:44].tobytes(), "little")
-    n = min(n, len(seg) - 44)
-    return seg[44 : 44 + (n // 2) * 2].view("<i2"), sr
+    if n > len(seg) - 44:
+        raise ValueError(
+            f"truncated: declared data chunk {n} B exceeds payload {len(seg) - 44} B"
+        )
+    if n % 2:
+        raise ValueError(f"odd PCM16 data length {n}")
+    return seg[44 : 44 + n].view("<i2"), sr
 
 
 def audio_violations(
@@ -134,9 +144,19 @@ def audio_violations(
             col = {n: batch.column(i) for i, n in enumerate(batch.schema.names)}
             n_rows = batch.num_rows
             ids = col[id_column].to_pylist()
-            # int columns: -1 marks NULL (generator never emits negatives)
-            sr_decl = pa.compute.fill_null(col["sr_hz"], -1).to_numpy(zero_copy_only=False)
-            dur_decl = pa.compute.fill_null(col["dur_ms"], -1).to_numpy(zero_copy_only=False)
+            # NULL detection uses the Arrow validity bitmap — a sentinel value
+            # would conflate NULL with a (user-supplied) negative declaration,
+            # silently skipping the mismatch check for adversarial inputs.
+            sr_decl = pa.compute.fill_null(col["sr_hz"], 0).to_numpy(zero_copy_only=False)
+            dur_decl = pa.compute.fill_null(col["dur_ms"], 0).to_numpy(zero_copy_only=False)
+            sr_valid = (
+                col["sr_hz"].is_valid().to_numpy(zero_copy_only=False)
+                if col["sr_hz"].null_count else np.ones(n_rows, dtype=bool)
+            )
+            dur_valid = (
+                col["dur_ms"].is_valid().to_numpy(zero_copy_only=False)
+                if col["dur_ms"].null_count else np.ones(n_rows, dtype=bool)
+            )
             get_bytes, _ = _binary_views(col["bytes"])
             if has_ref:
                 get_ref, _ = _binary_views(col["ref_bytes"])
@@ -168,11 +188,11 @@ def audio_violations(
                     emit(i, "bytes", f"<{0 if seg is None else len(seg)}B>",
                          "C13a.decode", f"audio buffer failed to decode: {e}")
                     continue
-                if sr_decl[i] >= 0 and sr != int(sr_decl[i]):
+                if sr_valid[i] and sr != int(sr_decl[i]):
                     emit(i, "sr_hz", str(int(sr_decl[i])), "C13a.sr_mismatch",
                          f"declared sr_hz {int(sr_decl[i])} != decoded {sr}")
-                if dur_decl[i] >= 0:
-                    decoded_ms = round(len(pcm) / sr * 1000.0)
+                if dur_valid[i]:
+                    decoded_ms = round(len(pcm) / sr * 1000.0) if sr else -1
                     if abs(decoded_ms - int(dur_decl[i])) > dur_tolerance_ms:
                         emit(i, "dur_ms", str(int(dur_decl[i])), "C13a.dur_mismatch",
                              f"declared dur_ms {int(dur_decl[i])} != decoded {decoded_ms}")

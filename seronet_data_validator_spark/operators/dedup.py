@@ -26,17 +26,31 @@ from pyspark.sql import functions as F
 _MERSENNE = (1 << 31) - 1
 
 
-def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    *, max_dup_ids: int = 100,
+) -> DataFrame:
     """Exact dedup: md5 content hash → groups with >1 member.
-    Output: (content_hash, n, keep_id, dup_ids)."""
-    return (
-        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min(id_col).alias("keep_id"),
-            F.sort_array(F.collect_list(id_col)).alias("dup_ids"),
-        )
-        .where(F.col("n") > 1)
+    Output: (content_hash, n, keep_id, dup_ids).
+
+    ``dup_ids`` is a bounded SAMPLE (first ``max_dup_ids`` by id): an
+    unbounded collect_list OOMs one task when a viral doc is duplicated 10^8
+    times at web scale. The window pass computes the full group count and the
+    per-group rank in one shuffle; only ranked-within-bound rows reach the
+    collect, so the agg buffer is capped regardless of skew."""
+    h = F.md5(F.col(text_col)).alias("content_hash")
+    slim = df.select(h, F.col(id_col))
+    w = Window.partitionBy("content_hash")
+    ranked = slim.select(
+        "content_hash",
+        id_col,
+        F.count(F.lit(1)).over(w).alias("_n"),
+        F.row_number().over(w.orderBy(id_col)).alias("_rn"),
+    ).where((F.col("_n") > 1) & (F.col("_rn") <= max_dup_ids))
+    return ranked.groupBy("content_hash").agg(
+        F.max("_n").alias("n"),
+        F.min(id_col).alias("keep_id"),
+        F.sort_array(F.collect_list(id_col)).alias("dup_ids"),
     )
 
 
@@ -159,9 +173,15 @@ def minhash_dedup(
     num_hashes: int = 64,
     bands: int = 16,
     jaccard_threshold: float = 0.8,
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """End-to-end MinHash+LSH near-dup: shingle → sign → band → candidates →
-    exact-Jaccard verify. Returns verified near-dup pairs."""
+    exact-Jaccard verify. Returns verified near-dup pairs.
+
+    Cache lifecycle: the intermediate signed frame is persisted (see below);
+    pass ``cache_handles`` to receive it and ``unpersist()`` once the result
+    is materialized — in a long-lived session the blocks otherwise live until
+    eviction pressure."""
     sh = shingles(df.select(id_col, text_col), text_col, n=shingle_n)
     # one materialization point: the signed frame feeds the banded SELF-join
     # (two subtree copies) AND the Jaccard verify join — without it the
@@ -170,6 +190,8 @@ def minhash_dedup(
     signed = minhash_signature(sh, num_hashes=num_hashes).select(
         id_col, "shingle_hashes", "minhash_sig"
     ).persist()
+    if cache_handles is not None:
+        cache_handles.append(signed)
     cands = minhash_lsh_candidates(signed, id_col, bands=bands,
                                    rows_per_band=num_hashes // bands)
     return ngram_jaccard_pairs(signed, cands, id_col, threshold=jaccard_threshold)
@@ -213,15 +235,20 @@ def simhash_near_duplicates(
     *,
     max_hamming: int = 3,
     n_bands: int = 4,
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """Candidate pairs whose simhash differs in ≤ max_hamming bits.
     Pigeonhole banding: split 64 bits into n_bands (> max_hamming) chunks —
     any pair within distance shares ≥1 exact chunk → bucket-join on chunks,
-    verify hamming with bit_count(xor). Output (id_a, id_b, hamming)."""
+    verify hamming with bit_count(xor). Output (id_a, id_b, hamming).
+    ``cache_handles`` receives the persisted intermediate for caller-side
+    ``unpersist()`` (see minhash_dedup)."""
     width = 64 // n_bands
     # materialize (id, simhash) once: the banded self-join would otherwise
     # recompute the fingerprint fold on both sides
     slim = df_with_simhash.select(id_col, "simhash").persist()
+    if cache_handles is not None:
+        cache_handles.append(slim)
     chunks = slim.select(
         F.col(id_col),
         F.col("simhash"),

@@ -201,6 +201,136 @@ def presence_violations(
     return orphan.unionByName(childless)
 
 
+def consistency_violations(
+    df: DataFrame,
+    *,
+    group_col: str,
+    declared_col: str,
+    observed_class: Column,
+    table_name: str,
+    all_must_match_value: str,
+    any_must_match_value: str,
+    scope: Column | None = None,
+) -> DataFrame:
+    """C19 compare_tests (Validation_Rules.py:64-119): per-group semantic
+    consistency between a declared status and observed per-row classes.
+
+    The reference loops over participants on the driver
+    (Validation_Rules.py:78-97), classifying each confirmatory test's
+    interpretation by substring and comparing against the declared prior
+    result. Here the whole check is ONE conditional groupBy aggregation —
+    a partial+final hash agg, no per-group Python:
+
+    * rows where ``scope`` is false are out of consideration (the reference's
+      target-organism filter); a group with ZERO in-scope rows → Error
+      ("missing test", Validation_Rules.py:80-84);
+    * groups with rows declared ``all_must_match_value`` where NOT ALL such
+      rows' observed class equals it → Error (prior Negative with
+      non-negative confirms, Validation_Rules.py:86-91);
+    * groups with rows declared ``any_must_match_value`` where NO such row's
+      observed class equals it → Error (prior Positive with zero positive
+      confirms, Validation_Rules.py:92-97).
+
+    ``observed_class`` must evaluate to the same value domain as
+    ``declared_col``. Violations carry the cross-table row_ref sentinel '-5'
+    (the reference's submission-level Row_Index)."""
+    in_scope = scope if scope is not None else F.lit(True)
+    decl = F.col(declared_col)
+    cls = observed_class
+    one = F.lit(1)
+    agg = df.groupBy(group_col).agg(
+        F.sum(F.when(in_scope, one).otherwise(0)).alias("_n_scope"),
+        F.sum(F.when(in_scope & (decl == all_must_match_value), one).otherwise(0)).alias("_n_all"),
+        F.sum(
+            F.when(in_scope & (decl == all_must_match_value) & (cls == all_must_match_value), one).otherwise(0)
+        ).alias("_n_all_ok"),
+        F.sum(F.when(in_scope & (decl == any_must_match_value), one).otherwise(0)).alias("_n_any"),
+        F.sum(
+            F.when(in_scope & (decl == any_must_match_value) & (cls == any_must_match_value), one).otherwise(0)
+        ).alias("_n_any_ok"),
+    )
+    key = F.col(group_col)
+
+    def viol(cond: Column, rule_id: str, message: Column) -> DataFrame:
+        return agg.where(cond).select(
+            *_v(SEVERITY_ERROR, table_name, F.lit(ROW_REF_CROSS_TABLE), group_col,
+                key, rule_id, message)
+        )
+
+    missing = viol(
+        F.col("_n_scope") == 0,
+        "C19.missing",
+        F.concat(F.lit("Group "), key.cast("string"),
+                 F.lit(" has no in-scope rows to confirm its declared status")),
+    )
+    all_mismatch = viol(
+        (F.col("_n_all") > 0) & (F.col("_n_all_ok") != F.col("_n_all")),
+        "C19.all_mismatch",
+        F.concat(
+            F.lit(f"Group declared {all_must_match_value} but "),
+            (F.col("_n_all") - F.col("_n_all_ok")).cast("string"),
+            F.lit(f" of its rows observe a class other than {all_must_match_value}"),
+        ),
+    )
+    none_match = viol(
+        (F.col("_n_any") > 0) & (F.col("_n_any_ok") == 0),
+        "C19.none_match",
+        F.lit(
+            f"Group declared {any_must_match_value} but no row observes class "
+            f"{any_must_match_value}"
+        ),
+    )
+    return missing.unionByName(all_mismatch).unionByName(none_match)
+
+
+def suppressed_referential_violations(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    table_name: str,
+    prior_violations: DataFrame,
+    *,
+    dim_key: str | None = None,
+    registry_name: str = "registry",
+    row_ref_column: str | None = None,
+) -> DataFrame:
+    """C20 check_map_ids (File_Submission_Object.py:758-784): referential
+    check whose candidate violations are anti-joined against keys ALREADY
+    reported in the violation table — the violations-table-as-join-input
+    pattern (the reference reads its own Error_list as a filter before
+    reporting, File_Submission_Object.py:779-781).
+
+    Two left_anti joins: fact vs dim (the C15 referential core), then
+    candidates vs prior violation values for this column. Both anti sides are
+    key projections; the prior-violations side is typically small enough to
+    broadcast."""
+    candidates = fact.where(
+        F.col(key).isNotNull() & (F.col(key).cast("string") != "")
+    ).join(
+        F.broadcast(dim.select(F.col(dim_key or key).alias(key)).dropDuplicates([key])),
+        key, "left_anti",
+    )
+    already = (
+        prior_violations.where(F.col("column_name") == key)
+        .select(F.col("column_value").alias(key))
+        .dropDuplicates([key])
+    )
+    fresh = candidates.join(F.broadcast(already), key, "left_anti")
+    row_ref = F.col(row_ref_column) if row_ref_column else F.lit(ROW_REF_CROSS_TABLE)
+    return fresh.select(
+        *_v(
+            SEVERITY_ERROR,
+            table_name,
+            row_ref,
+            key,
+            F.col(key),
+            "C20.map_id",
+            F.concat(F.lit("Value "), F.col(key),
+                     F.lit(f" was not found in {registry_name} (not previously reported)")),
+        )
+    )
+
+
 def count_reconciliation_violations(
     df: DataFrame,
     manifest: DataFrame,

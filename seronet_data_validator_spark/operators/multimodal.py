@@ -2,11 +2,13 @@
 
 Media payloads are opaque `binary` columns with typed metadata columns
 beside them (the clips table's (bytes, sr_hz, dur_ms, codec) is the audio
-instance). Each operator is an Arrow-batched `mapInPandas` with a declared
-output schema — the Spark-side plumbing (schema, partitioning, batch shape)
-is real and tested; decoders for formats whose libraries are not in this
-container are STUBBED behind clearly-marked NotImplementedError / a
-deterministic fake, as permitted by the build brief.
+instance). The audio operators run as Arrow-batched ``mapInArrow`` passes
+over zero-copy buffer views (the same ``_binary_views`` accessor as the
+audio-invariant pass — a pandas conversion would materialize a Python
+``bytes`` object per row, one extra full copy of the corpus): schema,
+partitioning and batch shape are the real 100 TB plumbing. Decoders for
+formats whose libraries are not in this container are STUBBED behind a
+clearly-marked NotImplementedError, as permitted by the build brief.
 
 Audio is fully real (RIFF/WAV PCM16 parse in numpy — public spec).
 """
@@ -17,11 +19,12 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from seronet_data_validator_spark.sources.clips import decode_wav, wav_bytes
+from seronet_data_validator_spark.operators.audio import _binary_views, _decode_view
+from seronet_data_validator_spark.sources.clips import wav_bytes
 
 AUDIO_FEATURES_SCHEMA = T.StructType(
     [
@@ -36,30 +39,55 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def _decoded_rows(batch: pa.RecordBatch, id_col: str):
+    """Iterate (row_idx, id, float32_pcm, sr) over a batch, skipping rows
+    that fail decode by yielding (i, id, None, None). PCM is scaled to
+    [-1, 1] like sources/clips.decode_wav."""
+    names = batch.schema.names
+    col = {n: batch.column(i) for i, n in enumerate(names)}
+    ids = col[id_col].to_pylist()
+    get, _ = _binary_views(col["bytes"])
+    for i in range(batch.num_rows):
+        try:
+            pcm_i16, sr = _decode_view(get(i))
+        except ValueError:
+            yield i, ids[i], None, None
+            continue
+        yield i, ids[i], pcm_i16.astype(np.float32) / 32768.0, sr
+
+
 def audio_features(clips: DataFrame, *, id_col: str = "clip_id") -> DataFrame:
     """Feature-extract over the binary audio column: RMS, peak, ZCR,
     clipping ratio — the audio analog of image feature extraction.
-    Narrow (no shuffle); Arrow batches; numpy-vectorized per clip."""
+    Narrow (no shuffle); Arrow record batches; zero-copy byte views."""
     src = clips.select(id_col, "bytes")
+    out_fields = [
+        ("clip_id", pa.string()), ("n_samples", pa.int64()), ("sr_hz", pa.int32()),
+        ("rms", pa.float64()), ("peak", pa.float64()),
+        ("zero_crossing_rate", pa.float64()), ("clipping_ratio", pa.float64()),
+    ]
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for cid, b in zip(pdf[id_col], pdf["bytes"]):
-                try:
-                    pcm, sr = decode_wav(b)
-                except (ValueError, TypeError):
-                    rows.append((cid, 0, 0, None, None, None, None))
-                    continue
-                n = len(pcm)
-                rms = float(np.sqrt(np.mean(pcm**2))) if n else 0.0
-                peak = float(np.max(np.abs(pcm))) if n else 0.0
-                zcr = float(np.mean(np.abs(np.diff(np.sign(pcm))) > 0)) if n > 1 else 0.0
-                clip_ratio = float(np.mean(np.abs(pcm) >= 0.999)) if n else 0.0
-                rows.append((cid, n, sr, rms, peak, zcr, clip_ratio))
-            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields])
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols: dict[str, list] = {n: [] for n, _ in out_fields}
+            for _, cid, pcm, sr in _decoded_rows(batch, id_col):
+                if pcm is None:
+                    row = (cid, 0, 0, None, None, None, None)
+                else:
+                    n = len(pcm)
+                    rms = float(np.sqrt(np.mean(pcm**2))) if n else 0.0
+                    peak = float(np.max(np.abs(pcm))) if n else 0.0
+                    zcr = float(np.mean(np.abs(np.diff(np.sign(pcm))) > 0)) if n > 1 else 0.0
+                    clip_ratio = float(np.mean(np.abs(pcm) >= 0.999)) if n else 0.0
+                    row = (cid, n, sr, rms, peak, zcr, clip_ratio)
+                for (name, _), v in zip(out_fields, row):
+                    cols[name].append(v)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[n], type=t) for n, t in out_fields],
+                [n for n, _ in out_fields],
+            )
 
-    return src.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+    return src.mapInArrow(run, schema=AUDIO_FEATURES_SCHEMA)
 
 
 RESAMPLED_SCHEMA = T.StructType(
@@ -76,14 +104,14 @@ def audio_resample(clips: DataFrame, target_sr: int, *, id_col: str = "clip_id")
     'resize' analog for audio). Returns re-encoded WAV bytes."""
     src = clips.select(id_col, "bytes")
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for cid, b in zip(pdf[id_col], pdf["bytes"]):
-                try:
-                    pcm, sr = decode_wav(b)
-                except (ValueError, TypeError):
-                    rows.append((cid, None, None))
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids, blobs, srs = [], [], []
+            for _, cid, pcm, sr in _decoded_rows(batch, id_col):
+                ids.append(cid)
+                if pcm is None:
+                    blobs.append(None)
+                    srs.append(None)
                     continue
                 if sr == target_sr or len(pcm) == 0:
                     out = pcm
@@ -92,10 +120,15 @@ def audio_resample(clips: DataFrame, target_sr: int, *, id_col: str = "clip_id")
                     x_old = np.linspace(0.0, 1.0, num=len(pcm), endpoint=False)
                     x_new = np.linspace(0.0, 1.0, num=n_out, endpoint=False)
                     out = np.interp(x_new, x_old, pcm).astype(np.float32)
-                rows.append((cid, wav_bytes((out * 32767).astype(np.int16), target_sr), target_sr))
-            yield pd.DataFrame(rows, columns=["clip_id", "bytes", "sr_hz"])
+                blobs.append(wav_bytes((out * 32767).astype(np.int16), target_sr))
+                srs.append(target_sr)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.string()), pa.array(blobs, pa.binary()),
+                 pa.array(srs, pa.int32())],
+                ["clip_id", "bytes", "sr_hz"],
+            )
 
-    return src.mapInPandas(run, schema=RESAMPLED_SCHEMA)
+    return src.mapInArrow(run, schema=RESAMPLED_SCHEMA)
 
 
 FRAME_SAMPLE_SCHEMA = T.StructType(
@@ -115,13 +148,11 @@ def audio_frame_sample(
     clip as float arrays — the batch shape a downstream feature model wants."""
     src = clips.select(id_col, "bytes")
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
             ids, idxs, frames = [], [], []
-            for cid, b in zip(pdf[id_col], pdf["bytes"]):
-                try:
-                    pcm, sr = decode_wav(b)
-                except (ValueError, TypeError):
+            for _, cid, pcm, sr in _decoded_rows(batch, id_col):
+                if pcm is None:
                     continue
                 flen = max(1, int(sr * frame_ms / 1000))
                 n_frames = max(1, len(pcm) // flen)
@@ -129,10 +160,14 @@ def audio_frame_sample(
                 for fi in np.unique(take):
                     ids.append(cid)
                     idxs.append(int(fi))
-                    frames.append(pcm[fi * flen : (fi + 1) * flen].tolist())
-            yield pd.DataFrame({"clip_id": ids, "frame_idx": idxs, "frame": frames})
+                    frames.append(pcm[fi * flen : (fi + 1) * flen])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.string()), pa.array(idxs, pa.int32()),
+                 pa.array(frames, pa.list_(pa.float32()))],
+                ["clip_id", "frame_idx", "frame"],
+            )
 
-    return src.mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)
+    return src.mapInArrow(run, schema=FRAME_SAMPLE_SCHEMA)
 
 
 IMAGE_FEATURES_SCHEMA = T.StructType(

@@ -59,31 +59,56 @@ def train_centroids(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     iters: int = 3,
+    train_fraction: float | None = None,
+    max_train_rows: int = 100_000,
+    seed: int = 17,
 ) -> list[list[float]]:
-    """Deterministic k-means (Lloyd) centroids: seed with the first n_cells
-    vectors by id (deterministic), refine with `iters` distributed
-    assignment/mean rounds. Driver holds only n_cells × dim floats."""
+    """Deterministic k-means (Lloyd) centroids, trained on a SAMPLE.
+
+    At 10^9+ vectors running Lloyd over the full corpus per iteration is the
+    scale-killer; centroid quality converges on a small uniform sample (IVF
+    training is always sample-based — Jégou et al., PQ/IVFADC). So:
+
+    * seeding: the n_cells lowest ``xxhash64(id, seed)`` rows — a one-pass
+      top-k (TakeOrdered heap per partition, no global sort of the corpus);
+    * refinement: ``iters`` assignment/mean rounds over
+      ``corpus.sample(train_fraction)`` (deterministic seed), capped at
+      ``max_train_rows``. The sampled frame is persisted across iterations.
+
+    Driver holds only n_cells × dim floats. The SEARCH path (assign_cells +
+    ivf_topk) still covers the full corpus exactly."""
     seeds = [
         [float(x) for x in r[vec_col]]
-        for r in corpus.orderBy(id_col).limit(n_cells).collect()
+        for r in corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(n_cells)
+        .collect()
     ]
     cents = seeds
-    for _ in range(iters):
-        assigned = assign_cells(corpus, cents, vec_col=vec_col)
-        means = (
-            assigned.groupBy("cell")
-            .agg(
-                *[
-                    F.avg(F.col(vec_col)[i].cast("double")).alias(f"c{i}")
-                    for i in range(len(cents[0]))
-                ]
+    if train_fraction is None:
+        train = corpus.select(vec_col).limit(max_train_rows)
+    else:
+        train = corpus.select(vec_col).sample(fraction=train_fraction, seed=seed).limit(max_train_rows)
+    train = train.persist()
+    try:
+        for _ in range(iters):
+            assigned = assign_cells(train, cents, vec_col=vec_col)
+            means = (
+                assigned.groupBy("cell")
+                .agg(
+                    *[
+                        F.avg(F.col(vec_col)[i].cast("double")).alias(f"c{i}")
+                        for i in range(len(cents[0]))
+                    ]
+                )
+                .collect()
             )
-            .collect()
-        )
-        new = list(cents)
-        for row in means:
-            new[row["cell"]] = [row[f"c{i}"] for i in range(len(cents[0]))]
-        cents = new
+            new = list(cents)
+            for row in means:
+                new[row["cell"]] = [row[f"c{i}"] for i in range(len(cents[0]))]
+            cents = new
+    finally:
+        train.unpersist()
     return cents
 
 

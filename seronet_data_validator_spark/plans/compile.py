@@ -22,8 +22,9 @@ touching the data.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from seronet_data_validator_spark.model import (
     ROW_REF_WHOLE_COLUMN,
@@ -93,6 +94,20 @@ def compile_ruleset(
     spark = df.sparkSession
     runnable, structural = _structural_violations(spark, ruleset, set(df.columns))
 
+    # P7 char normalization (reference File_Submission_Object.py:134,
+    # Validation_Rules.py:10): unicode en-dash '–' → '-' in every string cell
+    # the rules read, applied INSIDE the same fused projection (translate is
+    # a per-char map — no regex engine in the hot path). Violations report
+    # the normalized value, matching the reference (it normalizes the table
+    # before rule evaluation).
+    str_cols = {f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)}
+    rule_cols = {r.column for r in runnable} | {
+        r.precondition.column for r in runnable if r.precondition
+    }
+    norm = {c: F.translate(F.col(c), "–", "-") for c in rule_cols & str_cols}
+    if norm:
+        df = df.withColumns(norm)
+
     structs: list[Column] = []
     for rule in runnable:
         value_col = F.col(rule.column)
@@ -138,9 +153,25 @@ def compile_ruleset(
     return empty.select(*[F.lit(None).cast("string").alias(c) for c in keep_columns], "*")
 
 
-def dedup_violations(violations: DataFrame) -> DataFrame:
+DEDUP_KEY = ["table_name", "row_ref", "column_name", "column_value"]
+
+
+def dedup_violations(violations: DataFrame, *, order_col: str | None = None) -> DataFrame:
     """Reference dedups Error_list on (sheet, row, column, value) keeping the
-    first writer (File_Submission_Object.py:255-256). Rule declaration order
-    is deterministic here, so min(rule_id-ordinal) reproduces it; we keep it
-    simple and deterministic with dropDuplicates on the same key."""
-    return violations.dropDuplicates(["table_name", "row_ref", "column_name", "column_value"])
+    FIRST writer (File_Submission_Object.py:255-256), where "first" is rule
+    execution order — an ordering the distributed union does not preserve.
+
+    With ``order_col`` (an explicit pass/rule ordinal the runner tags each
+    violation source with), first-writer-wins is reproduced deterministically
+    via a min-ordinal window; (rule_id, message) break residual ties so the
+    result is stable under any partitioning. Without it, plain
+    dropDuplicates on the reference's key (arbitrary but sufficient when all
+    producers of a key are equivalent)."""
+    if order_col is None:
+        return violations.dropDuplicates(DEDUP_KEY)
+    w = Window.partitionBy(*DEDUP_KEY).orderBy(order_col, "rule_id", "message")
+    return (
+        violations.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", order_col)
+    )

@@ -38,7 +38,7 @@ from seronet_data_validator_spark.operators.integrity import (
     duplicate_id_violations,
     referential_violations,
 )
-from seronet_data_validator_spark.plans.compile import compile_ruleset
+from seronet_data_validator_spark.plans.compile import compile_ruleset, dedup_violations
 from seronet_data_validator_spark.plans.rules import RuleSet
 from seronet_data_validator_spark.rulesets import clips_ruleset
 from seronet_data_validator_spark.schema import schema_contract_violations
@@ -83,9 +83,14 @@ def validate_clips(
     # (2) resume: prune committed partitions before any heavy work.
     run_manifest = RunManifest(spark, output_root) if output_root else None
     skipped: list[str] = []
+    prior_ok: dict[str, bool] = {}
     if run_manifest is not None:
         skipped = run_manifest.completed_partitions(run_id)
         clips = run_manifest.resume_filter(clips, run_id, partition_column)
+        # exit-status contract on resume: skipped partitions keep their STORED
+        # verdict — a failed dataset must not report clean on re-run just
+        # because its partitions are already committed.
+        prior_ok = run_manifest.prior_verdicts(run_id, skipped)
 
     # Row counts per partition (needed for verdicts anyway); if resume left
     # nothing to do, short-circuit WITHOUT touching prior results.
@@ -94,7 +99,10 @@ def validate_clips(
         for r in clips.groupBy(partition_column).agg(F.count(F.lit(1)).alias("n")).collect()
     }
     if skipped and not row_counts:
-        return ValidationResult(run_id, _empty_violations(spark), [], True, skipped)
+        return ValidationResult(
+            run_id, _empty_violations(spark), [],
+            all(prior_ok.get(p, True) for p in skipped), skipped,
+        )
 
     parts: list[DataFrame] = []
 
@@ -121,9 +129,16 @@ def validate_clips(
                               id_column=rs.row_ref_column)
         parts.append(_with_null_part(av, partition_column))
 
-    violations = parts[0]
-    for p in parts[1:]:
-        violations = violations.unionByName(p)
+    # (6) union + C22 dedup (reference File_Submission_Object.py:255-256):
+    # first-writer-wins on (table, row, column, value), "first" = pass order
+    # (row rules, then table passes, then audio) — the explicit _ord tag makes
+    # it deterministic under any partitioning; rule_id breaks ties within a
+    # pass. Violations are tiny relative to the input, so the dedup shuffle is
+    # negligible at scale.
+    violations = parts[0].withColumn("_ord", F.lit(0))
+    for i, p in enumerate(parts[1:], start=1):
+        violations = violations.unionByName(p.withColumn("_ord", F.lit(i)))
+    violations = dedup_violations(violations, order_col="_ord")
     # Violations feed ≥2 actions (write/severity counts/caller inspection) —
     # persist so the expensive passes (audio decode, joins) run ONCE.
     violations = violations.persist(StorageLevel.MEMORY_AND_DISK)
@@ -133,7 +148,11 @@ def validate_clips(
     t0 = time.perf_counter()
     if output_root:
         (
-            violations.write.mode("overwrite")
+            # W1/S5: the reference writes error files sorted by Row_Index
+            # (File_Submission_Object.py:796-799); sortWithinPartitions keeps
+            # the sort shuffle-free (per output file, not global).
+            violations.sortWithinPartitions("row_ref")
+            .write.mode("overwrite")
             .partitionBy(partition_column)
             .parquet(os.path.join(output_root, "violations", run_id))
         )
@@ -186,6 +205,7 @@ def validate_clips(
         ).coalesce(1).write.mode("append").parquet(os.path.join(output_root, "partition_verdicts"))
 
     passed = all(v["pass"] for v in verdicts) if verdicts else global_errors == 0
+    passed = passed and all(prior_ok.get(p, True) for p in skipped)
     return ValidationResult(run_id, violations.select(*[f.name for f in VIOLATION_SCHEMA.fields]),
                             verdicts, passed, skipped)
 

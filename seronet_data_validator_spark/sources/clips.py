@@ -113,8 +113,14 @@ def _corrupt(row: dict, rid: int, n_rows: int) -> dict:
 
     Row ids are dense [0, n), so counts are exact: 6 malformed clip_id,
     3 duplicated clip_id, 4 unregistered codec, 2 out-of-range dur_ms,
-    2 blank transcript, 1 N/A transcript, 1 low-SNR clip, 1 bad sr_hz.
-    Disjoint id ranges keep the per-(rule,column) golden counts independent.
+    2 blank transcript, 1 N/A transcript, 1 low-SNR clip, 1 invalid sr_hz,
+    plus "valid-but-wrong" rows that ONLY the decoded-PCM invariant pass can
+    catch (metadata passes every row rule; reality disagrees): 1 wrong-but-
+    allowed sr_hz, 1 wrong-but-in-range dur_ms, 1 silently swapped
+    transcript, 1 truncated byte buffer.
+    Disjoint id ranges keep the per-(rule,column) golden counts independent
+    under the C22 first-writer-wins dedup (reference
+    test_bad_submission.py:36-54 contract style).
     """
     if rid < 6:
         row["clip_id"] = f"BAD-ID-{rid}"
@@ -134,6 +140,15 @@ def _corrupt(row: dict, rid: int, n_rows: int) -> dict:
         row["bytes"] = wav_bytes((noisy * 32767).astype(np.int16), sr)
     elif rid < 20:
         row["sr_hz"] = 12345
+    elif rid < 21:
+        # allowed rate, but not the one the WAV header carries
+        row["sr_hz"] = 8000 if row["sr_hz"] != 8000 else 16000
+    elif rid < 22:
+        row["dur_ms"] = min(row["dur_ms"] + 5_000, 600_000)  # in range, wrong
+    elif rid < 23:
+        row["transcript"] = "silently swapped transcript words"
+    elif rid < 24:
+        row["bytes"] = row["bytes"][:-7]  # truncated payload, odd tail
     return row
 
 

@@ -35,13 +35,22 @@ def test_run_validation_cli_good_and_bad(spark, tmp_path):
     assert os.path.exists(str(tmp_path / "out_bad" / "violations" / "b1"))
     assert os.path.exists(str(tmp_path / "out_bad" / "run_manifest"))
 
-    # re-run the bad set: resume prunes everything, exit stays honest (0 —
-    # nothing re-validated, no new errors)
+    # re-run the bad set with the same run-id: resume prunes everything, but
+    # the exit code must still reflect the STORED verdicts — an orchestrator
+    # polling exit codes must never see a failed dataset report success on
+    # retry (the reference's triage verdict is durable the same way).
     rc_again = run_validation.main(
         ["--input", bad, "--reference", ref,
          "--output-root", str(tmp_path / "out_bad"), "--run-id", "b1"]
     )
-    assert rc_again == 0
+    assert rc_again == 1
+
+    # ...while a clean dataset's re-run keeps exiting 0
+    rc_good_again = run_validation.main(
+        ["--input", good, "--reference", ref,
+         "--output-root", str(tmp_path / "out_good"), "--run-id", "g1"]
+    )
+    assert rc_good_again == 0
 
 
 @pytest.mark.usefixtures("spark")

@@ -62,7 +62,11 @@ def test_good_fixture_zero_errors(good_result):
 
 def test_bad_fixture_golden_counts(bad_result):
     counts = error_counts(bad_result)
-    # seeded by sources.clips._corrupt: disjoint row-id ranges
+    # seeded by sources.clips._corrupt: disjoint row-id ranges. The C22
+    # first-writer-wins dedup (reference File_Submission_Object.py:255-256)
+    # means a row whose metadata rule already reported the same
+    # (row, column, value) does NOT re-report via the audio pass — the
+    # surviving C13a counts come from the "valid-but-wrong" rows only.
     assert counts[("C3.clip_id_format", "clip_id")] == 6
     assert counts[("C4.dup_id", "clip_id")] == 1          # one duplicated value (x3)
     assert counts[("C15.referential", "codec")] == 4
@@ -71,9 +75,10 @@ def test_bad_fixture_golden_counts(bad_result):
     assert counts[("C10.transcript_text", "transcript")] == 1   # 'N/A'
     assert counts[("C13a.snr", "bytes")] == 1
     assert counts[("C6.sr_hz_allowed", "sr_hz")] == 1     # 12345
-    assert counts[("C13a.sr_mismatch", "sr_hz")] == 1     # same row: header != declared
-    assert counts[("C13a.dur_mismatch", "dur_ms")] == 2   # declared 1e7 != decoded
-    assert counts[("C13a.transcript", "transcript")] == 3  # '', '', 'N/A' vs reference
+    assert counts[("C13a.sr_mismatch", "sr_hz")] == 1     # allowed rate, wrong header
+    assert counts[("C13a.dur_mismatch", "dur_ms")] == 1   # in-range, wrong duration
+    assert counts[("C13a.transcript", "transcript")] == 1  # silently swapped text
+    assert counts[("C13a.decode", "bytes")] == 1           # truncated payload
     assert not bad_result.passed
 
 
@@ -82,9 +87,21 @@ def test_bad_fixture_no_unexpected_rules(bad_result):
         "C3.clip_id_format", "C4.dup_id", "C15.referential", "C9.dur_ms_range",
         "C14.transcript_required", "C10.transcript_text", "C13a.snr",
         "C6.sr_hz_allowed", "C13a.sr_mismatch", "C13a.dur_mismatch",
-        "C13a.transcript",
+        "C13a.transcript", "C13a.decode",
     }
     assert {k[0] for k in error_counts(bad_result)} == expected_rules
+
+
+def test_violations_deduped_first_writer_wins(bad_result):
+    """C22: no two surviving violations share the reference's dedup key
+    (File_Submission_Object.py:255-256) — e.g. the out-of-range dur_ms rows
+    are reported by C9 (row rules, first writer), not again by C13a."""
+    dup_keys = (
+        bad_result.violations
+        .groupBy("table_name", "row_ref", "column_name", "column_value")
+        .count().where(F.col("count") > 1).collect()
+    )
+    assert dup_keys == []
 
 
 def test_dup_message_carries_count(bad_result):
