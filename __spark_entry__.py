@@ -376,6 +376,71 @@ def q_date_range_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy(in_range).agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_consistency_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C19 compare_tests (reference Validation_Rules.py:64-119): per-group
+    declared-vs-observed class consistency as ONE conditional groupBy agg —
+    here each order's declared o_orderstatus vs its lineitems' l_linestatus
+    ('F' must hold for ALL lines, 'O' must hold for AT LEAST ONE)."""
+    from seronet_data_validator_spark.operators.integrity import consistency_violations
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linestatus")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    v = consistency_violations(
+        j,
+        group_col="l_orderkey",
+        declared_col="o_orderstatus",
+        observed_class=F.col("l_linestatus"),
+        table_name="orders",
+        all_must_match_value="F",
+        any_must_match_value="O",
+    )
+    return v.select(
+        F.col("column_value").alias("order_key"), "rule_id", "message"
+    )
+
+
+def q_suppressed_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C20 check_map_ids (reference File_Submission_Object.py:758-784):
+    referential orphans (customers with no events) suppressed by keys already
+    reported in a prior violation table (negative-balance customers) — the
+    violations-table-as-join-input pattern."""
+    from seronet_data_validator_spark.operators.integrity import (
+        suppressed_referential_violations,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    ev = _t(spark, sf_dir, "events").select(F.col("user_id").alias("c_custkey"))
+    prior = cust.where(F.col("c_acctbal") < 0).select(
+        F.lit("c_custkey").alias("column_name"),
+        F.col("c_custkey").cast("string").alias("column_value"),
+    )
+    v = suppressed_referential_violations(
+        cust, ev, "c_custkey", "customer", prior, registry_name="events"
+    )
+    return v.select(F.col("column_value").cast("long").alias("c_custkey"), "rule_id")
+
+
+def q_presence_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C17 orphan/childless rules over the presence matrix (reference
+    File_Submission_Object.py:722-757): customers with no events → Error,
+    event users with no customer row → Warning."""
+    from seronet_data_validator_spark.operators.integrity import (
+        presence_matrix,
+        presence_violations,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    ev = _t(spark, sf_dir, "events").select(F.col("user_id").alias("k"))
+    m = presence_matrix({"customer": cust, "events": ev}, "k")
+    v = presence_violations(
+        m, "k", child="customer", parent="events", child_missing_severity="Warning"
+    )
+    return v.select(
+        "rule_id", F.col("column_value").cast("long").alias("k"), "severity"
+    )
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style rolling-hash fingerprint (operators/text.fingerprint);
     xxhash64 has no DuckDB equivalent → rows-only oracle."""
@@ -494,6 +559,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_total": q_running_total,
         "hour_decimal": q_hour_decimal,
         "date_range_check": q_date_range_check,
+        "consistency_check": q_consistency_check,
+        "suppressed_orphans": q_suppressed_orphans,
+        "presence_violations": q_presence_violations,
         "fingerprints": q_fingerprints,
         "simhash_neardup": q_simhash_neardup,
         "ivf_search": q_ivf_search,
@@ -768,6 +836,43 @@ def oracle_sql() -> dict[str, str]:
                                    AND TIMESTAMP '1998-08-02' AS in_range,
                    count(*) AS n
             FROM orders GROUP BY 1
+        """,
+        "consistency_check": """
+            WITH a AS (
+                SELECT l_orderkey,
+                       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_all,
+                       sum(CASE WHEN o_orderstatus = 'F' AND l_linestatus = 'F'
+                                THEN 1 ELSE 0 END) AS n_all_ok,
+                       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_any,
+                       sum(CASE WHEN o_orderstatus = 'O' AND l_linestatus = 'O'
+                                THEN 1 ELSE 0 END) AS n_any_ok
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY l_orderkey
+            )
+            SELECT cast(l_orderkey AS varchar) AS order_key,
+                   'C19.all_mismatch' AS rule_id,
+                   concat('Group declared F but ', cast(n_all - n_all_ok AS varchar),
+                          ' of its rows observe a class other than F') AS message
+            FROM a WHERE n_all > 0 AND n_all_ok != n_all
+            UNION ALL
+            SELECT cast(l_orderkey AS varchar), 'C19.none_match',
+                   'Group declared O but no row observes class O'
+            FROM a WHERE n_any > 0 AND n_any_ok = 0
+        """,
+        "suppressed_orphans": """
+            SELECT c_custkey, 'C20.map_id' AS rule_id
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+              AND NOT (c_acctbal < 0)
+        """,
+        "presence_violations": """
+            SELECT 'C17.orphan' AS rule_id, c_custkey AS k, 'Error' AS severity
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+            UNION ALL
+            SELECT 'C17.childless', user_id, 'Warning'
+            FROM (SELECT DISTINCT user_id FROM events) e
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
         """,
         # fingerprints, simhash_neardup, ivf_search, minhash_neardup,
         # audio_features, clips_validation: xxhash64-based signatures /

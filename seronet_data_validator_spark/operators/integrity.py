@@ -310,9 +310,12 @@ def suppressed_referential_violations(
         F.broadcast(dim.select(F.col(dim_key or key).alias(key)).dropDuplicates([key])),
         key, "left_anti",
     )
+    # violation values are stored as strings — cast back to the fact key's
+    # type so the anti-join compares natively (no implicit double coercion)
+    key_type = fact.schema[key].dataType
     already = (
         prior_violations.where(F.col("column_name") == key)
-        .select(F.col("column_value").alias(key))
+        .select(F.col("column_value").cast(key_type).alias(key))
         .dropDuplicates([key])
     )
     fresh = candidates.join(F.broadcast(already), key, "left_anti")

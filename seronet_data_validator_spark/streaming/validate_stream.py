@@ -4,8 +4,11 @@ Row-level rules are narrow, so the SAME compiled plan from
 plans/compile.compile_ruleset applies unchanged to a streaming DataFrame —
 one definition of the rules, two execution modes (the Spark-idiomatic way to
 keep batch and streaming semantics identical). Table-level checks that need
-a batch view (uniqueness within the batch, referential against a static dim)
-run inside foreachBatch on each micro-batch.
+a batch view (referential against a static dim) run inside foreachBatch on
+each micro-batch; uniqueness is GLOBAL across batches via a durable compact
+key log (id, batch_id) — a key seen in any earlier micro-batch flags
+C4.cross_batch_dup, the foreachBatch analog of
+dropDuplicatesWithinWatermark state that also survives restarts.
 
 At scale this is the continuous-ingestion path: new Iceberg/parquet files
 land, availableNow/continuous triggers pick them up, violations append to
@@ -53,12 +56,49 @@ def stream_validate_clips(
     stream = reader.parquet(input_path)
 
     viol_path = os.path.join(output_root, "violations_stream")
+    seen_path = os.path.join(output_root, "seen_keys")
+    seen_schema = f"{rs.row_ref_column} string, batch_id long"
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        sp = batch_df.sparkSession
         v = compile_ruleset(batch_df, rs)
         v = v.unionByName(duplicate_id_violations(batch_df, rs.row_ref_column, rs.table_name))
+        # cross-batch uniqueness: duplicate_id_violations above only sees THIS
+        # micro-batch; a key that arrived in an earlier batch would silently
+        # pass. The compact key log (id, batch_id) makes uniqueness global:
+        # anti-state lookups join on the key only — at scale this is the
+        # foreachBatch analog of dropDuplicatesWithinWatermark state, but
+        # durable across restarts. The batch_id < current filter keeps batch
+        # replays (at-least-once foreachBatch) from flagging a batch against
+        # its own earlier append.
+        try:
+            prior_keys = (
+                sp.read.schema(seen_schema).parquet(seen_path)
+                .where(F.col("batch_id") < batch_id)
+                .select(rs.row_ref_column).dropDuplicates([rs.row_ref_column])
+            )
+        except Exception:
+            prior_keys = None
+        if prior_keys is not None:
+            key = F.col(rs.row_ref_column)
+            cross = (
+                batch_df.join(prior_keys, rs.row_ref_column, "left_semi")
+                .select(
+                    F.lit("Error").alias("severity"),
+                    F.lit(rs.table_name).alias("table_name"),
+                    F.lit("-3").alias("row_ref"),
+                    F.lit(rs.row_ref_column).alias("column_name"),
+                    key.cast("string").alias("column_value"),
+                    F.lit("C4.cross_batch_dup").alias("rule_id"),
+                    F.concat(
+                        F.lit("ID "), key,
+                        F.lit(" already arrived in an earlier micro-batch; IDs must be unique"),
+                    ).alias("message"),
+                )
+            )
+            v = v.unionByName(cross)
         if codec_registry is not None:
             v = v.unionByName(
                 referential_violations(
@@ -70,6 +110,16 @@ def stream_validate_clips(
             v.withColumn("batch_id", F.lit(batch_id))
             .write.mode("append")
             .parquet(viol_path)
+        )
+        # append this batch's keys to the log AFTER the violation write so a
+        # mid-batch crash never records keys whose violations were lost
+        (
+            batch_df.select(
+                F.col(rs.row_ref_column).cast("string").alias(rs.row_ref_column),
+                F.lit(batch_id).cast("long").alias("batch_id"),
+            )
+            .write.mode("append")
+            .parquet(seen_path)
         )
 
     writer = (

@@ -177,3 +177,17 @@ def test_exact_duplicates_bounded_sample(spark):
     assert out[0]["keep_id"] == 0
     assert len(out[0]["dup_ids"]) == 10
     assert out[0]["dup_ids"] == sorted(out[0]["dup_ids"])
+
+
+def test_jdbc_gap_fill_pushes_key_filter(spark):
+    """S4 (File_Submission_Object.py:812-867): the key IN-filter is folded
+    into the dbtable subquery (database-side), and the read is partitioned."""
+    from seronet_data_validator_spark.sources.jdbc import jdbc_gap_fill
+
+    opts = jdbc_gap_fill(
+        spark, "jdbc:postgresql://db/x", "equipment", "biospecimen_id",
+        ["a'b", "c"], partition_column="id", num_partitions=4, dry_run=True,
+    )
+    assert "WHERE biospecimen_id IN ('a''b', 'c')" in opts["dbtable"]
+    assert opts["numPartitions"] == "4"
+    assert opts["url"].startswith("jdbc:")

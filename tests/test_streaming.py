@@ -42,6 +42,27 @@ def test_stream_validate_clips(spark, tmp_path):
     assert viols2.count() == viols.count()
 
 
+def test_cross_batch_duplicate_detected(spark, tmp_path):
+    """A clip_id that arrived in an earlier micro-batch must flag
+    C4.cross_batch_dup when it reappears in a later batch — batch-local
+    uniqueness alone would silently pass it."""
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    generate_clips(spark, 50, seed=1).write.parquet(inp)
+    q = stream_validate_clips(spark, inp, out)
+    q.awaitTermination(120)
+
+    # land 5 clips with the SAME ids (same seed, same row ids) as a new file
+    generate_clips(spark, 5, seed=1).coalesce(1).write.mode("append").parquet(inp)
+    q2 = stream_validate_clips(spark, inp, out)
+    q2.awaitTermination(120)
+
+    viols = spark.read.parquet(os.path.join(out, "violations_stream"))
+    cross = viols.where(F.col("rule_id") == "C4.cross_batch_dup")
+    assert cross.count() == 5
+    assert "earlier micro-batch" in cross.first()["message"]
+
+
 def test_windowed_event_counts_matches_batch(spark):
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     out = windowed_event_counts(ev, window="1 hour", watermark="2 hours")
