@@ -328,12 +328,16 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(is_a, 1).otherwise(0)).alias("na"),
         F.sum(F.when(~is_a, 1).otherwise(0)).alias("nb"),
     ).where((F.col("na") > 0) & (F.col("nb") > 0))
-    wall = Window.partitionBy()
-    j = counts.select(
+    # era totals via a broadcast 1-row cross join, not an unpartitioned
+    # window — no all-rows-to-one-partition WindowExec on the proportions.
+    totals = counts.agg(F.sum("na").alias("_ta"), F.sum("nb").alias("_tb"))
+    j = counts.crossJoin(F.broadcast(totals)).select(
         "v",
-        (F.col("na") / F.sum("na").over(wall)).alias("pa"),
-        (F.col("nb") / F.sum("nb").over(wall)).alias("pb"),
+        (F.col("na") / F.col("_ta")).alias("pa"),
+        (F.col("nb") / F.col("_tb")).alias("pb"),
     )
+    # the KS cumulative does need a global order; it runs over the ~11
+    # post-aggregation rows only, so the single-partition window is benign.
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     j = j.select(
         "v", "pa", "pb",

@@ -47,7 +47,9 @@ def main() -> None:
     # Iceberg clip table; the reference join is then storage-partitioned
     # (zero Exchange). Warm-up amortizes Python-worker/JIT startup, matching
     # long-lived cluster executors.
-    clips, refs = stage_clip_tables(spark, n_clips, seed=42)
+    # reference side staged as its own table (distinct files, same content) —
+    # the join reads two real tables rather than one page-cached copy
+    clips, refs = stage_clip_tables(spark, n_clips, seed=42, refs_from_clips=False)
     registry = codec_registry_df(spark)
     # untimed full pass: starts Python workers, JITs codegen, faults the
     # staged files into page cache — steady-state throughput is the unit
@@ -77,6 +79,9 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         per_query[name] = round(time.perf_counter() - t0, 4)
+        # release any blocks a query persisted (minhash/simhash stage
+        # boundaries) so caches never accumulate across the suite
+        spark.catalog.clearCache()
     per_query["clips_validation_full_suite"] = round(validate_sec, 4)
 
     total_sec = round(sum(per_query.values()), 4)

@@ -6,27 +6,36 @@ the reference's cross-column arithmetic invariants C13
 (/root/reference/File_Submission_Object.py:519-552): instead of
 total-vs-live cell counts, the invariants are
 
-  * the WAV header must decode, and its sample rate must equal ``sr_hz``;
+  * the WAV header must decode, its declared data chunk must fit the payload
+    (truncation), and its sample rate must equal ``sr_hz``;
   * ``dur_ms`` must equal round(n_samples / sr * 1000) (±2 ms);
   * against a reference row (analog of prior-vs-confirm consistency,
     /root/reference/Validation_Rules.py:64-97): decoded PCM must match the
     reference PCM with SNR ≥ 30 dB (allclose in dB terms), and the
     transcript must equal the reference transcript exactly.
 
-Why ``mapInArrow`` rather than ``mapInPandas``: the binary column dominates
-this job's memory traffic (≥95% of bytes). pandas conversion materializes a
-Python ``bytes`` object per row — one extra full copy of the corpus plus an
-allocation per row. Operating on the Arrow record batch directly instead
-reads each row's WAV as a zero-copy ``numpy`` view over the batch's shared
-data buffer (offsets + one contiguous buffer — the Arrow binary layout), so
-the only per-row copies are the float32 casts the SNR dot products need.
-On a memory-bandwidth-bound box this is the difference between scaling with
-cores and saturating the bus.
+Plan shape — the 100 TB design point is BYTES MOVED PER CLIP, because the
+binary column is ≥95% of the corpus and every byte shipped to a Python
+worker is copied ≥3× (socket write, socket read, Arrow assembly):
 
-At 100 TB the binary column dominates I/O: this pass projects ONLY
-(row-id, bytes, sr_hz, dur_ms, transcripts) so Parquet/Iceberg column
-pruning keeps every other byte on disk; the reference join is
-storage-partitioned (bucketed by clip_id) → no shuffle, no sort.
+  * **Identity fast path.** Bit-identical payloads trivially satisfy
+    SNR ≥ 30 dB (noise ≡ 0 ⇒ SNR = ∞), and every self-consistency check
+    (magic, truncation, sr, duration) is derivable from the 44-byte WAV
+    header plus the payload LENGTH. So the JVM-side projection compares
+    ``bytes == ref_bytes`` (a streaming memcmp inside the join stage) and
+    ships Python only ``substring(bytes, 1, 44)`` + ``length(bytes)`` unless
+    a real SNR comparison is required. Clean corpora — the overwhelmingly
+    common case — move ~44 B/clip through Arrow instead of the full clip.
+  * **No-reference mode ships headers only** (SNR needs no payload at all).
+  * **Transcript equality is evaluated JVM-side** (a Column comparison);
+    only mismatching transcripts cross into Python, as the violation value.
+  * The reference join is storage-partitioned (bucketed by clip_id) → no
+    shuffle, no sort; only (id, header, lengths, flags) leave the JVM for
+    clean rows.
+  * The slow path (payloads differ) decodes zero-copy int16 views over the
+    Arrow buffer and accumulates SNR dot products in fixed CACHE-RESIDENT
+    float32 chunks — no full-clip float temporaries, so Python-side DRAM
+    traffic stays ~the int16 inputs even for pathological clip lengths.
 """
 
 from __future__ import annotations
@@ -41,22 +50,40 @@ from pyspark.sql import functions as F
 from seronet_data_validator_spark.model import SEVERITY_ERROR, VIOLATION_SCHEMA
 
 _SNR_DB_MIN = 30.0
+_SNR_CHUNK = 16384  # samples per dot-product chunk (128 KB of float32 scratch)
 
 
-def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
+def snr_db(ref: np.ndarray, test: np.ndarray, scratch: tuple[np.ndarray, np.ndarray] | None = None) -> float:
     """SNR of ``test`` against ``ref`` in dB: 10·log10(P_ref / P_noise).
 
-    Power terms as float32 dot products (BLAS) rather than elementwise
-    square+mean — fewer temporaries in the hot path; scale factors cancel in
-    the ratio so int16-scaled inputs work unchanged."""
+    Chunked accumulation: int16→float32 conversion and the noise difference
+    live in two fixed scratch buffers (L2-resident), so DRAM traffic is the
+    int16 inputs only — the naive full-size float32 temporaries triple the
+    bytes moved per clip. int16 values and their differences are exactly
+    representable in float32; per-chunk dots are BLAS, cross-chunk sums
+    accumulate in float64. Scale factors cancel in the ratio, so raw int16
+    samples work unchanged."""
     n = min(len(ref), len(test))
     if n == 0:
         return -np.inf
-    r = np.asarray(ref[:n], dtype=np.float32)
-    t = np.asarray(test[:n], dtype=np.float32)
-    noise = r - t
-    p_ref = float(np.dot(r, r))
-    p_noise = float(np.dot(noise, noise))
+    if scratch is None:
+        scratch = (
+            np.empty(_SNR_CHUNK, dtype=np.float32),
+            np.empty(_SNR_CHUNK, dtype=np.float32),
+        )
+    buf_r, buf_t = scratch
+    p_ref = 0.0
+    p_noise = 0.0
+    for a in range(0, n, _SNR_CHUNK):
+        b = min(a + _SNR_CHUNK, n)
+        m = b - a
+        r = buf_r[:m]
+        t = buf_t[:m]
+        np.copyto(r, ref[a:b], casting="unsafe")
+        np.copyto(t, test[a:b], casting="unsafe")
+        p_ref += float(np.dot(r, r))
+        np.subtract(r, t, out=t)  # t becomes the noise chunk
+        p_noise += float(np.dot(t, t))
     if p_noise == 0.0:
         return np.inf
     if p_ref == 0.0:
@@ -89,27 +116,33 @@ _RIFF = np.frombuffer(b"RIFF", dtype=np.uint8)
 _WAVE = np.frombuffer(b"WAVE", dtype=np.uint8)
 
 
-def _decode_view(seg: np.ndarray | None) -> tuple[np.ndarray, int]:
-    """Parse the RIFF/WAVE PCM16 mono layout from a uint8 view → (int16 view,
-    sr). Same layout contract as sources/clips.decode_wav.
+def _parse_header(seg: np.ndarray | None, payload_len: int) -> tuple[int, int]:
+    """Validate the RIFF/WAVE PCM16 header of a uint8 view → (n_samples, sr).
 
-    A buffer whose declared data-chunk size exceeds the actual payload (a
-    truncated upload) or whose payload has an odd byte length is a decode
-    ERROR, not something to silently clamp — truncation must surface as a
-    violation even when dur_ms is NULL."""
+    ``payload_len`` is the FULL blob length (the view may be just the
+    header). A declared data-chunk size exceeding the actual payload (a
+    truncated upload) or an odd payload is a decode ERROR, not something to
+    silently clamp — truncation must surface even when dur_ms is NULL."""
     if seg is None or len(seg) < 44 or not (
         np.array_equal(seg[:4], _RIFF) and np.array_equal(seg[8:12], _WAVE)
     ):
         raise ValueError("not a RIFF/WAVE buffer")
     sr = int.from_bytes(seg[24:28].tobytes(), "little")
     n = int.from_bytes(seg[40:44].tobytes(), "little")
-    if n > len(seg) - 44:
+    if n > payload_len - 44:
         raise ValueError(
-            f"truncated: declared data chunk {n} B exceeds payload {len(seg) - 44} B"
+            f"truncated: declared data chunk {n} B exceeds payload {payload_len - 44} B"
         )
     if n % 2:
         raise ValueError(f"odd PCM16 data length {n}")
-    return seg[44 : 44 + n].view("<i2"), sr
+    return n // 2, sr
+
+
+def _decode_view(seg: np.ndarray | None) -> tuple[np.ndarray, int]:
+    """Parse a FULL RIFF/WAVE PCM16 mono blob from a uint8 view → (int16
+    view, sr). Same layout contract as sources/clips.decode_wav."""
+    n_samples, sr = _parse_header(seg, len(seg) if seg is not None else 0)
+    return seg[44 : 44 + n_samples * 2].view("<i2"), sr
 
 
 def audio_violations(
@@ -120,30 +153,79 @@ def audio_violations(
     id_column: str = "clip_id",
     snr_db_min: float = _SNR_DB_MIN,
     dur_tolerance_ms: int = 2,
+    force_full_decode: bool = False,
 ) -> DataFrame:
     """Run the decoded-PCM invariant suite; returns a violations DataFrame.
 
     ``reference_clips`` (clip_id, ref_bytes, ref_transcript) joins 1:1 on the
-    id; when absent only the self-consistency checks run. The join key is the
-    (unique) clip id — over bucketed/Iceberg-bucket-partitioned tables this is
-    a storage-partitioned merge join with no shuffle.
+    id; when absent only the self-consistency checks run (header-only — no
+    payload ever leaves the JVM). The join key is the (unique) clip id —
+    over bucketed/Iceberg-bucket-partitioned tables this is a
+    storage-partitioned merge join with no shuffle.
+
+    ``force_full_decode=True`` disables the identity fast path (every row
+    ships full payloads and runs the Python SNR) — semantically identical,
+    used to benchmark the worst-case full-decode throughput.
     """
-    cols = [F.col(id_column), F.col("bytes"), F.col("sr_hz"), F.col("dur_ms")]
-    df = clips.select(*cols, F.col("transcript"))
     has_ref = reference_clips is not None
+    header = F.substring(F.col("bytes"), 1, 44)
     if has_ref:
         ref = reference_clips.select(
             F.col(id_column), F.col("ref_bytes"), F.col("ref_transcript")
         )
-        df = df.join(ref, id_column, "left")
+        df = clips.select(
+            id_column, "bytes", "sr_hz", "dur_ms", "transcript"
+        ).join(ref, id_column, "left")
+        # full payloads cross to Python ONLY when an SNR comparison is real:
+        # both sides present and NOT bit-identical (identical ⇒ SNR = ∞).
+        needs_snr = (
+            F.col("bytes").isNotNull()
+            & F.col("ref_bytes").isNotNull()
+            & ~(F.col("bytes") == F.col("ref_bytes"))
+        )
+        if force_full_decode:
+            needs_snr = F.col("bytes").isNotNull() & F.col("ref_bytes").isNotNull()
+        t_bad = F.col("ref_transcript").isNotNull() & ~F.col("transcript").eqNullSafe(
+            F.col("ref_transcript")
+        )
+        proj = df.select(
+            F.col(id_column),
+            F.col("sr_hz"),
+            F.col("dur_ms"),
+            needs_snr.alias("_full"),
+            F.length("bytes").alias("_blen"),
+            F.when(needs_snr, F.col("bytes")).otherwise(header).alias("_payload"),
+            F.when(needs_snr, F.col("ref_bytes")).alias("_ref_payload"),
+            # only mismatching transcripts cross the Arrow boundary, as the
+            # violation's column_value ('None' mirrors the str(None) the old
+            # pandas path reported for a NULL transcript)
+            F.when(t_bad, F.coalesce(F.col("transcript"), F.lit("None"))).alias("_bad_transcript"),
+        )
+    else:
+        proj = clips.select(
+            F.col(id_column),
+            F.col("sr_hz"),
+            F.col("dur_ms"),
+            F.lit(False).alias("_full"),
+            F.length("bytes").alias("_blen"),
+            header.alias("_payload"),
+            F.lit(None).cast("binary").alias("_ref_payload"),
+            F.lit(None).cast("string").alias("_bad_transcript"),
+        )
 
     out_names = [f.name for f in VIOLATION_SCHEMA.fields]
 
     def check_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        scratch = (
+            np.empty(_SNR_CHUNK, dtype=np.float32),
+            np.empty(_SNR_CHUNK, dtype=np.float32),
+        )
         for batch in batches:
             col = {n: batch.column(i) for i, n in enumerate(batch.schema.names)}
             n_rows = batch.num_rows
-            ids = col[id_column].to_pylist()
+            ids = col[id_column]  # ids materialize lazily, per violation only
+            full = col["_full"].to_numpy(zero_copy_only=False)
+            blen = pa.compute.fill_null(col["_blen"], 0).to_numpy(zero_copy_only=False)
             # NULL detection uses the Arrow validity bitmap — a sentinel value
             # would conflate NULL with a (user-supplied) negative declaration,
             # silently skipping the mismatch check for adversarial inputs.
@@ -157,63 +239,62 @@ def audio_violations(
                 col["dur_ms"].is_valid().to_numpy(zero_copy_only=False)
                 if col["dur_ms"].null_count else np.ones(n_rows, dtype=bool)
             )
-            get_bytes, _ = _binary_views(col["bytes"])
-            if has_ref:
-                get_ref, _ = _binary_views(col["ref_bytes"])
-                # vectorized transcript equality; only mismatches materialize
-                t_eq = pa.compute.equal(col["transcript"], col["ref_transcript"])
-                t_eq = pa.compute.fill_null(t_eq, False).to_numpy(zero_copy_only=False)
-                ref_t_valid = (
-                    col["ref_transcript"].is_valid().to_numpy(zero_copy_only=False)
-                    if col["ref_transcript"].null_count
-                    else np.ones(n_rows, dtype=bool)
-                )
+            get_payload, payload_valid = _binary_views(col["_payload"])
+            get_ref, _ = _binary_views(col["_ref_payload"])
+            bad_t = col["_bad_transcript"]
+            bad_t_valid = (
+                bad_t.is_valid().to_numpy(zero_copy_only=False)
+                if bad_t.null_count else np.ones(n_rows, dtype=bool)
+            ) if len(bad_t) else np.zeros(0, dtype=bool)
 
             out: dict[str, list] = {k: [] for k in out_names}
 
             def emit(i: int, column: str, value: str, rule: str, msg: str) -> None:
                 out["severity"].append(SEVERITY_ERROR)
                 out["table_name"].append(table_name)
-                out["row_ref"].append(ids[i])
+                out["row_ref"].append(ids[i].as_py())
                 out["column_name"].append(column)
                 out["column_value"].append(value)
                 out["rule_id"].append(rule)
                 out["message"].append(msg)
 
             for i in range(n_rows):
-                seg = get_bytes(i)
+                seg = get_payload(i)
                 try:
-                    pcm, sr = _decode_view(seg)
+                    if full[i]:
+                        pcm, sr = _decode_view(seg)
+                        n_samples = len(pcm)
+                    else:
+                        n_samples, sr = _parse_header(seg, int(blen[i]))
                 except ValueError as e:
-                    emit(i, "bytes", f"<{0 if seg is None else len(seg)}B>",
+                    emit(i, "bytes", f"<{int(blen[i])}B>",
                          "C13a.decode", f"audio buffer failed to decode: {e}")
                     continue
                 if sr_valid[i] and sr != int(sr_decl[i]):
                     emit(i, "sr_hz", str(int(sr_decl[i])), "C13a.sr_mismatch",
                          f"declared sr_hz {int(sr_decl[i])} != decoded {sr}")
                 if dur_valid[i]:
-                    decoded_ms = round(len(pcm) / sr * 1000.0) if sr else -1
+                    decoded_ms = round(n_samples / sr * 1000.0) if sr else -1
                     if abs(decoded_ms - int(dur_decl[i])) > dur_tolerance_ms:
                         emit(i, "dur_ms", str(int(dur_decl[i])), "C13a.dur_mismatch",
                              f"declared dur_ms {int(dur_decl[i])} != decoded {decoded_ms}")
-                if has_ref:
+                if full[i]:
                     rseg = get_ref(i)
                     if rseg is not None:
                         try:
-                            ref_pcm, _ = _decode_view(rseg)
+                            ref_pcm, _sr = _decode_view(rseg)
                         except ValueError:
                             ref_pcm = None
                         if ref_pcm is not None:
-                            s = snr_db(ref_pcm, pcm)
+                            s = snr_db(ref_pcm, pcm, scratch)
                             if s < snr_db_min:
                                 emit(i, "bytes", f"snr={s:.1f}dB", "C13a.snr",
                                      f"decoded PCM SNR {s:.1f} dB below required {snr_db_min} dB")
-                    if ref_t_valid[i] and not t_eq[i]:
-                        tval = col["transcript"][i].as_py()
-                        emit(i, "transcript", str(tval), "C13a.transcript",
-                             "transcript does not equal reference transcript")
+            for i in np.nonzero(bad_t_valid)[0] if len(bad_t_valid) else ():
+                emit(int(i), "transcript", bad_t[int(i)].as_py(), "C13a.transcript",
+                     "transcript does not equal reference transcript")
             yield pa.RecordBatch.from_pydict(
                 {k: pa.array(out[k], type=pa.string()) for k in out_names}
             )
 
-    return df.mapInArrow(check_batches, schema=VIOLATION_SCHEMA)
+    return proj.mapInArrow(check_batches, schema=VIOLATION_SCHEMA)

@@ -234,6 +234,29 @@ def check_in_list(
     return build
 
 
+def check_registry_membership(keys: Sequence[str], registry_name: str) -> CheckFn:
+    """C15 check_assay_special (File_Submission_Object.py:289-300) compiled
+    INLINE: when the registry dimension is small enough to collect (a few
+    thousand keys), the anti-join collapses to a literal isin inside the
+    fused rule pass — the fact table is scanned ZERO extra times and there is
+    no join stage at all. integrity.referential_violations remains the
+    big-dim path. Violation text matches the anti-join operator exactly, so
+    the two paths are interchangeable."""
+
+    def build(c: Column) -> list[Emission]:
+        cs = c.cast("string")
+        return [
+            Emission.of(
+                c.isNotNull() & (cs != "") & ~cs.isin(*[str(k) for k in keys]),
+                SEVERITY_ERROR,
+                F.concat(F.lit("Value "), cs,
+                         F.lit(f" was not found in {registry_name}")),
+            )
+        ]
+
+    return build
+
+
 def check_interpretation(substrings: Sequence[str]) -> CheckFn:
     """C7 check_interpertation (File_Submission_Object.py:387-397): the cell
     must CONTAIN at least one allowed word, case-insensitively."""

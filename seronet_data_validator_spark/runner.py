@@ -39,7 +39,11 @@ from seronet_data_validator_spark.operators.integrity import (
     referential_violations,
 )
 from seronet_data_validator_spark.plans.compile import compile_ruleset, dedup_violations
-from seronet_data_validator_spark.plans.rules import RuleSet
+from seronet_data_validator_spark.plans.rules import (
+    Rule,
+    RuleSet,
+    check_registry_membership,
+)
 from seronet_data_validator_spark.rulesets import clips_ruleset
 from seronet_data_validator_spark.schema import schema_contract_violations
 
@@ -69,6 +73,7 @@ def validate_clips(
     partition_column: str = "site",
     output_root: str | None = None,
     run_audio_pass: bool = True,
+    audio_force_full_decode: bool = False,
 ) -> ValidationResult:
     """Full validation lifecycle over a clips DataFrame."""
     rs = ruleset or clips_ruleset()
@@ -92,19 +97,45 @@ def validate_clips(
         # because its partitions are already committed.
         prior_ok = run_manifest.prior_verdicts(run_id, skipped)
 
-    # Row counts per partition (needed for verdicts anyway); if resume left
-    # nothing to do, short-circuit WITHOUT touching prior results.
-    row_counts = {
-        r[partition_column]: r["n"]
-        for r in clips.groupBy(partition_column).agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    if skipped and not row_counts:
-        return ValidationResult(
-            run_id, _empty_violations(spark), [],
-            all(prior_ok.get(p, True) for p in skipped), skipped,
-        )
+    # Per-partition row counts are needed for verdicts. In the hot path they
+    # are FOLDED into the single heavy job as pseudo-rows (each Spark job
+    # carries ~0.5 s of fixed driver/stage latency that the 4N-core side pays
+    # proportionally more for); a separate up-front count job runs only when
+    # resume needs it to short-circuit, or when a durable write will split
+    # the aggregation anyway.
+    fold_counts = output_root is None and not skipped
+    row_counts: dict | None = None
+    if not fold_counts:
+        row_counts = {
+            r[partition_column]: r["n"]
+            for r in clips.groupBy(partition_column).agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        if skipped and not row_counts:
+            return ValidationResult(
+                run_id, _empty_violations(spark), [],
+                all(prior_ok.get(p, True) for p in skipped), skipped,
+            )
 
     parts: list[DataFrame] = []
+
+    # C15: a registry small enough to collect compiles to a literal isin
+    # INSIDE the fused rule pass — zero extra scans of the fact table, no
+    # join stage. Big registries keep the broadcast anti-join operator.
+    registry_inlined = False
+    if codec_registry is not None:
+        keys = codec_registry.select("codec").limit(10_001).collect()
+        if len(keys) <= 10_000:
+            inlined = RuleSet(table_name=rs.table_name, row_ref_column=rs.row_ref_column)
+            for r in rs.rules:
+                inlined.add(r)
+            inlined.add(
+                Rule(
+                    "C15.referential", "codec",
+                    check_registry_membership([k["codec"] for k in keys], "codec_registry"),
+                )
+            )
+            rs = inlined
+            registry_inlined = True
 
     # (3) fused row-level pass — one scan, bytes column pruned out.
     row_viol = compile_ruleset(clips, rs, keep_columns=(partition_column,))
@@ -113,7 +144,7 @@ def validate_clips(
     # (4) table-level passes.
     dup = duplicate_id_violations(clips, rs.row_ref_column, rs.table_name)
     parts.append(_with_null_part(dup, partition_column))
-    if codec_registry is not None:
+    if codec_registry is not None and not registry_inlined:
         ref_v = referential_violations(
             clips, codec_registry, "codec", rs.table_name,
             registry_name="codec_registry", row_ref_column=rs.row_ref_column,
@@ -126,7 +157,8 @@ def validate_clips(
     # (5) audio invariant pass (Arrow pandas UDF) — narrow, partition-parallel.
     if run_audio_pass and "bytes" in clips.columns:
         av = audio_violations(clips, reference_clips, table_name=rs.table_name,
-                              id_column=rs.row_ref_column)
+                              id_column=rs.row_ref_column,
+                              force_full_decode=audio_force_full_decode)
         parts.append(_with_null_part(av, partition_column))
 
     # (6) union + C22 dedup (reference File_Submission_Object.py:255-256):
@@ -135,6 +167,26 @@ def validate_clips(
     # it deterministic under any partitioning; rule_id breaks ties within a
     # pass. Violations are tiny relative to the input, so the dedup shuffle is
     # negligible at scale.
+    if fold_counts:
+        # pseudo-rows carrying per-partition input counts: table_name
+        # '__rows__' (never written, never returned), row_ref = the partition
+        # key so the dedup window keys stay unique.
+        counts_rows = (
+            clips.groupBy(partition_column)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .select(
+                F.col(partition_column),
+                F.lit("__rows__").alias("severity"),
+                F.lit("__rows__").alias("table_name"),
+                F.col(partition_column).cast("string").alias("row_ref"),
+                F.lit("").alias("column_name"),
+                F.lit("").alias("column_value"),
+                F.lit("").alias("rule_id"),
+                F.col("_n").cast("string").alias("message"),
+            )
+        )
+        parts.append(counts_rows)
+
     violations = parts[0].withColumn("_ord", F.lit(0))
     for i, p in enumerate(parts[1:], start=1):
         violations = violations.unionByName(p.withColumn("_ord", F.lit(i)))
@@ -142,6 +194,9 @@ def validate_clips(
     # Violations feed ≥2 actions (write/severity counts/caller inspection) —
     # persist so the expensive passes (audio decode, joins) run ONCE.
     violations = violations.persist(StorageLevel.MEMORY_AND_DISK)
+    real_violations = (
+        violations.where(F.col("table_name") != "__rows__") if fold_counts else violations
+    )
 
     # (7) per-partition verdicts: one aggregation over row counts + one over
     # violations, joined driver-side (both tiny).
@@ -151,7 +206,7 @@ def validate_clips(
             # W1/S5: the reference writes error files sorted by Row_Index
             # (File_Submission_Object.py:796-799); sortWithinPartitions keeps
             # the sort shuffle-free (per output file, not global).
-            violations.sortWithinPartitions("row_ref")
+            real_violations.sortWithinPartitions("row_ref")
             .write.mode("overwrite")
             .partitionBy(partition_column)
             .parquet(os.path.join(output_root, "violations", run_id))
@@ -167,12 +222,23 @@ def validate_clips(
         )
     else:
         v_stored = violations
+    # ONE aggregation drives both severity counts and (hot path) row counts.
+    agg_rows = (
+        v_stored.groupBy(partition_column, "severity")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("message").alias("_msg"))
+        .collect()
+    )
     sev_counts = {
         (r[partition_column], r["severity"]): r["n"]
-        for r in v_stored.groupBy(partition_column, "severity")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+        for r in agg_rows
+        if r["severity"] != "__rows__"
     }
+    if row_counts is None:
+        row_counts = {
+            r[partition_column]: int(r["_msg"])
+            for r in agg_rows
+            if r["severity"] == "__rows__"
+        }
     wall_ms = int((time.perf_counter() - t0) * 1000)
 
     verdicts = []
@@ -206,8 +272,11 @@ def validate_clips(
 
     passed = all(v["pass"] for v in verdicts) if verdicts else global_errors == 0
     passed = passed and all(prior_ok.get(p, True) for p in skipped)
-    return ValidationResult(run_id, violations.select(*[f.name for f in VIOLATION_SCHEMA.fields]),
-                            verdicts, passed, skipped)
+    return ValidationResult(
+        run_id,
+        real_violations.select(*[f.name for f in VIOLATION_SCHEMA.fields]),
+        verdicts, passed, skipped,
+    )
 
 
 def _with_null_part(v: DataFrame, partition_column: str) -> DataFrame:

@@ -191,3 +191,24 @@ def test_jdbc_gap_fill_pushes_key_filter(spark):
     assert "WHERE biospecimen_id IN ('a''b', 'c')" in opts["dbtable"]
     assert opts["numPartitions"] == "4"
     assert opts["url"].startswith("jdbc:")
+
+
+def test_audio_fast_path_equals_full_decode(spark):
+    """The identity fast path (headers-only IPC for bit-identical payloads)
+    must produce EXACTLY the violations of the forced full-decode path on a
+    corrupted fixture — it is an execution strategy, not a semantics change."""
+    from seronet_data_validator_spark.sources.clips import (
+        generate_clips,
+        reference_clips,
+    )
+
+    clips = generate_clips(spark, 300, seed=43, bad=True)
+    refs = reference_clips(spark, 300, seed=43)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    fast = rows(audio_violations(clips, refs))
+    full = rows(audio_violations(clips, refs, force_full_decode=True))
+    assert fast == full
+    assert len(fast) > 0
