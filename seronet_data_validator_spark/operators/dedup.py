@@ -346,6 +346,83 @@ def embedding_near_duplicates(
 def dedup_keep_first(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Apply near-dup pairs: drop the higher id of each pair (connected
     components approximated by one-hop — adequate for dedup where clusters
-    are small; full CC would iterate). left_anti on the drop set."""
+    are small; for transitive chains use connected_components +
+    dedup_by_components). left_anti on the drop set."""
     drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drops, id_col, "left_anti")
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs (id_a, id_b) by iterative
+    min-label propagation: every node repeatedly adopts the smallest label in
+    its closed neighborhood until a fixed point. Each round is one
+    groupBy(min) over the (undirected) edge list plus a self-update join —
+    shuffles carry (node, label) longs only, never documents. Converges in
+    O(diameter) rounds; web-dedup clusters are shallow (near-dup graphs are
+    dense blobs, diameter 2-4), so the loop exits in a handful of rounds via
+    the convergence count. Output: (node, component) where component = the
+    minimum node id reachable — the canonical representative.
+
+    This closes the transitive-chain gap of one-hop dedup_keep_first: a~b,
+    b~c (but not a~c) still lands a, b, c in ONE component."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iter):
+            # smallest label among neighbors, then min with own label
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.node)
+                .groupBy("src")
+                .agg(F.min("component").alias("_nbr"))
+            )
+            updated = (
+                labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"), F.coalesce(F.col("_nbr"), F.col("component"))
+                    ).alias("component"),
+                    (F.coalesce(F.col("_nbr"), F.col("component")) < F.col("component")).alias("_chg"),
+                )
+                .persist()
+            )
+            n_changed = updated.where(F.col("_chg")).count()
+            old = labels
+            labels = updated.drop("_chg").persist()
+            old.unpersist()
+            updated.unpersist()
+            if n_changed == 0:
+                break
+        return labels
+    finally:
+        edges.unpersist()
+
+
+def dedup_by_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Keep exactly one document per connected component (the minimum id),
+    transitively: a~b~c keeps only a even without an a~c pair."""
+    comp = connected_components(pairs, max_iter=max_iter)
+    drops = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
     return df.join(drops, id_col, "left_anti")

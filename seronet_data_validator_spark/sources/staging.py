@@ -29,10 +29,14 @@ DEFAULT_BUCKETS = 32
 
 def stage_conf(stage_dir: str) -> dict[str, str]:
     """Session conf required to create/read the staged tables: a warehouse +
-    derby metastore pinned inside ``stage_dir`` so separate JVMs (the N- and
-    4N-core bench runs) see the same tables sequentially."""
+    derby-backed HIVE metastore pinned inside ``stage_dir`` so separate JVMs
+    (the N- and 4N-core bench runs) see the same tables sequentially. The
+    default in-memory catalog would lose the table entries (and their bucket
+    metadata) at JVM exit, silently forcing every subsequent session to
+    re-stage the corpus."""
     return {
         "spark.sql.warehouse.dir": os.path.join(stage_dir, "warehouse"),
+        "spark.sql.catalogImplementation": "hive",
         "spark.driver.extraJavaOptions": f"-Dderby.system.home={stage_dir}",
     }
 
@@ -75,6 +79,7 @@ def stage_clip_tables(
     # and the reference join becomes a zero-Exchange, zero-Sort merge join
     # (multi-file buckets would re-Sort both sides per task).
     if not spark.catalog.tableExists(clips_tbl):
+        print(f"[staging] creating table {clips_tbl} ({n_rows} rows)", flush=True)
         (
             generate_clips(spark, n_rows, seed=seed, bad=bad)
             .repartition(buckets, "clip_id")
@@ -85,9 +90,9 @@ def stage_clip_tables(
         )
     if refs_from_clips is None:
         refs_from_clips = not bad
-    if refs_from_clips:
-        from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
 
+    if refs_from_clips:
         clips = spark.table(clips_tbl)
         refs = clips.select(
             "clip_id",
@@ -96,10 +101,24 @@ def stage_clip_tables(
         )
         return clips, refs
     if not spark.catalog.tableExists(refs_tbl):
+        print(f"[staging] creating table {refs_tbl}", flush=True)
+        if bad:
+            # bad fixture: reference content differs — generate it afresh
+            src = reference_clips(spark, n_rows, seed=seed).repartition(buckets, "clip_id")
+        else:
+            # clean fixture: the reference CONTENT equals the staged clips
+            # table, so derive it by projecting the staged (already
+            # bucket-partitioned) table — each scan task holds exactly one
+            # bucket's keys, so the bucketed write needs NO repartition
+            # shuffle (no 2nd copy of the corpus on disk mid-write); the
+            # result is still a physically separate table with its own files
+            src = spark.table(clips_tbl).select(
+                "clip_id",
+                F.col("bytes").alias("ref_bytes"),
+                F.col("transcript").alias("ref_transcript"),
+            )
         (
-            reference_clips(spark, n_rows, seed=seed)
-            .repartition(buckets, "clip_id")
-            .write.bucketBy(buckets, "clip_id")
+            src.write.bucketBy(buckets, "clip_id")
             .sortBy("clip_id")
             .mode("overwrite")
             .saveAsTable(refs_tbl)

@@ -176,3 +176,20 @@ def test_profile_and_drift(spark):
     shifted = df.select((F.col("x") + 500).alias("x"), "y", "s")
     rep = drift_report(profile(shifted, ["x"]), p.where(F.col("column_name") == "x"))
     assert rep[0]["drifted"] is True
+
+
+def test_connected_components_transitive_chain(spark):
+    """a~b, b~c, (d~e) with no a~c pair: components must be {a,b,c} and
+    {d,e}; dedup_by_components keeps only the min id per component, unlike
+    one-hop dedup_keep_first which would keep c's absence ambiguous."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r["node"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    docs_df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 10, 11, 99)], "doc_id long, text string"
+    )
+    kept = sorted(r["doc_id"] for r in dedup.dedup_by_components(docs_df, pairs).collect())
+    assert kept == [1, 10, 99]
