@@ -25,6 +25,50 @@ from seronet_data_validator_spark.sources.clips import CLIPS_SCHEMA
 CONTRACTS: dict[str, T.StructType] = {"clips": CLIPS_SCHEMA}
 
 
+_UNIT_SUFFIXES = (" (cells/mL)", " (mL)", " (Years)", " (Days)", " (min)", " (hrs)", "°C")
+
+
+def normalize_header(name: str) -> str:
+    """F4/header normalization (reference clean_up_column_names,
+    File_Submission_Object.py:9-19): strip unit suffixes, keep numeric '-80'
+    freezer names intact, then map '-' → '_' so headers are valid
+    identifiers."""
+    for suf in _UNIT_SUFFIXES:
+        name = name.replace(suf, "")
+    return name.replace("-80", "80").replace("-", "_")
+
+
+def normalize_headers(df: DataFrame) -> DataFrame:
+    """Apply normalize_header to every column (driver-side metadata op —
+    `withColumnsRenamed` touches no data). Collisions keep the FIRST column
+    (matching pandas rename semantics in the reference)."""
+    seen: set[str] = set()
+    mapping: dict[str, str] = {}
+    for c in df.columns:
+        n = normalize_header(c)
+        if n != c and n not in seen and n not in df.columns:
+            mapping[c] = n
+        seen.add(n)
+    return df.withColumnsRenamed(mapping) if mapping else df
+
+
+def drop_blank_rows(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """P6 blank-row cleanup (reference cleanup_table,
+    File_Submission_Object.py:125-138): drop rows where EVERY checked column
+    is NULL or '' (the reference's dropna(all) + all-cells-equal-first junk
+    filter, in tri-state semantics). Pure filter — fuses into the scan."""
+    from pyspark.sql import functions as F
+
+    cols = columns or [f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)]
+    if not cols:
+        return df
+    any_content = None
+    for c in cols:
+        has = F.col(c).isNotNull() & (F.col(c).cast("string") != "")
+        any_content = has if any_content is None else (any_content | has)
+    return df.where(any_content)
+
+
 def schema_contract_violations(
     spark: SparkSession,
     df: DataFrame,

@@ -212,3 +212,29 @@ def test_audio_fast_path_equals_full_decode(spark):
     full = rows(audio_violations(clips, refs, force_full_decode=True))
     assert fast == full
     assert len(fast) > 0
+
+
+def test_normalize_headers_and_blank_rows(spark):
+    """F4 header normalization (clean_up_column_names,
+    File_Submission_Object.py:9-19) + P6 blank-row cleanup (cleanup_table,
+    File_Submission_Object.py:125-138)."""
+    from seronet_data_validator_spark.schema import (
+        drop_blank_rows,
+        normalize_header,
+        normalize_headers,
+    )
+
+    assert normalize_header("Volume (mL)") == "Volume"
+    assert normalize_header("Storage Temp°C") == "Storage Temp"
+    assert normalize_header("-80 Freezer-ID") == "80 Freezer_ID"
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("", None), (None, ""), ("b", "")],
+        ["Dur (min)", "Lot-Number"],
+    )
+    out = normalize_headers(df)
+    assert out.columns == ["Dur", "Lot_Number"]
+    # rows 2 and 3 are all-blank ('' / NULL in every cell) -> dropped;
+    # row 4 keeps: one non-blank cell is content
+    kept = drop_blank_rows(out).collect()
+    assert sorted(r["Dur"] for r in kept) == ["a", "b"]
