@@ -186,13 +186,26 @@ def main() -> None:
     membw = membw_calibration(levels)
 
     # run the highest level first: the first worker stages the tables
-    # (untimed), and generation parallelism follows its core count
-    results = {c: run_level(repo, c, n_clips, stage_dir, "0")
-               for c in sorted(levels, reverse=True)}
+    # (untimed), and generation parallelism follows its core count.
+    # TWO full sweeps per level (each already best-of-3 internally), keeping
+    # the per-level minimum: the host VM's background contention varies on
+    # multi-minute timescales, and a single sweep can land one level in a
+    # noisy window and silently distort the ratio.
+    results: dict[int, dict] = {}
+    for sweep in range(2):
+        for c in sorted(levels, reverse=True):
+            r = run_level(repo, c, n_clips, stage_dir, "0")
+            if c not in results or r["sec"] < results[c]["sec"]:
+                results[c] = r
     # the irreducible input-scan floor at every level: ANY validator of this
     # input must read every payload byte of both tables — the engine's
     # scaling can be read against what the pure scan itself achieves
-    results_scan = {c: run_level(repo, c, n_clips, stage_dir, "scan") for c in levels}
+    results_scan: dict[int, dict] = {}
+    for sweep in range(2):
+        for c in levels:
+            r = run_level(repo, c, n_clips, stage_dir, "scan")
+            if c not in results_scan or r["sec"] < results_scan[c]["sec"]:
+                results_scan[c] = r
     # secondary: worst-case full-decode (fast path disabled) at the 4→16 pair
     full_levels = [lo_hi for pair in pairs[-1:] for lo_hi in pair]
     results_full = {c: run_level(repo, c, n_clips, stage_dir, "1") for c in full_levels}
