@@ -293,17 +293,37 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     n_planes: int = 12,
     seed: int = 11,
+    max_bucket_size: int | None = None,
+    n_refine_planes: int = 8,
+    star: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup with random-hyperplane LSH bucketing:
     sign-pattern of `n_planes` fixed random projections → bucket; cosine
     verified exactly within buckets. Shuffle carries (bucket, id, vec) once —
-    no all-pairs join. Output (id_a, id_b, cos_sim ≥ threshold)."""
+    no all-pairs join. Output (id_a, id_b, cos_sim ≥ threshold).
+
+    Hot-bucket handling at scale: a bucket can blow up two ways.
+    (a) Coarse collision — dissimilar vectors sharing one short sign pattern.
+    ``max_bucket_size`` fixes this: one count agg finds oversized buckets and
+    a broadcast semi-join extends ONLY their keys with ``n_refine_planes``
+    extra sign bits, splitting them into up to 2**n_refine_planes sub-buckets
+    (pairs whose refined bits differ are lost — same recall trade as simply
+    using more planes, but paid only where needed).
+    (b) A genuinely all-similar cluster — extra planes cannot split it and
+    its all-pairs OUTPUT is inherently quadratic. For dedup that output is
+    wasted: ``star=True`` emits only hub pairs (bucket-min id, other id) —
+    linear in bucket size — which is exactly what
+    :func:`connected_components` / :func:`dedup_keep_first` need, since the
+    hub connects the whole bucket transitively."""
     import random
 
     first = df.select(F.size(vec_col).alias("d")).first()
     dim = first["d"]
     rnd = random.Random(seed)
-    planes = [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+    planes = [
+        [rnd.gauss(0, 1) for _ in range(dim)]
+        for _ in range(n_planes + (n_refine_planes if max_bucket_size else 0))
+    ]
 
     def proj_sign(plane: list[float]):
         arr = F.array(*[F.lit(x) for x in plane])
@@ -314,14 +334,45 @@ def embedding_near_duplicates(
         )
         return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
 
-    bucket = F.concat(*[proj_sign(p) for p in planes])
+    bucket = (
+        F.concat(*[proj_sign(p) for p in planes[:n_planes]])
+        if n_planes
+        else F.lit("")
+    )
     norm = F.sqrt(
         F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, v: a + v.cast("double") * v.cast("double"))
     )
     bucketed = df.select(
         F.col(id_col), F.col(vec_col), bucket.alias("bucket"), norm.alias("nrm")
     )
-    l, r = bucketed.alias("l"), bucketed.alias("r")
+    if max_bucket_size:
+        refine = F.concat(*[proj_sign(p) for p in planes[n_planes:]])
+        hot = (
+            bucketed.groupBy("bucket")
+            .count()
+            .where(F.col("count") > max_bucket_size)
+            .select(F.col("bucket").alias("hot_bucket"))
+        )
+        bucketed = (
+            bucketed.join(
+                F.broadcast(hot), F.col("bucket") == F.col("hot_bucket"), "left"
+            )
+            .withColumn(
+                "bucket",
+                F.when(F.col("hot_bucket").isNotNull(), F.concat("bucket", refine))
+                .otherwise(F.col("bucket")),
+            )
+            .drop("hot_bucket")
+        )
+    if star:
+        # hub = min id per bucket; emit (hub, spoke) only — linear output
+        bucketed = bucketed.withColumn(
+            "hub", F.min(id_col).over(Window.partitionBy("bucket"))
+        )
+        l = bucketed.where(F.col(id_col) == F.col("hub")).drop("hub").alias("l")
+        r = bucketed.where(F.col(id_col) != F.col("hub")).drop("hub").alias("r")
+    else:
+        l, r = bucketed.alias("l"), bucketed.alias("r")
     dot = F.aggregate(
         F.zip_with(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"),
                    lambda a, b: a.cast("double") * b.cast("double")),

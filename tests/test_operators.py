@@ -79,6 +79,40 @@ def test_embedding_near_duplicates(spark):
     assert got == {(1, 2)}
 
 
+def test_embedding_near_dup_hot_bucket_refinement(spark):
+    # two dissimilar groups engineered into coarse collision: with n_planes=0
+    # everything shares the empty base bucket; max_bucket_size forces the
+    # refinement planes to split the groups while keeping within-group pairs.
+    rng = np.random.default_rng(7)
+    a = rng.normal(0, 1, 16)
+    b = -a  # opposite direction: every refinement plane separates a from b
+    rows = [(i, [float(x) for x in (a if i < 3 else b) + rng.normal(0, 0.005, 16)])
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = dedup.embedding_near_duplicates(
+        df, threshold=0.95, n_planes=0, max_bucket_size=4, n_refine_planes=8
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    assert got == {(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5)}
+
+
+def test_embedding_near_dup_star_mode_linear_pairs(spark):
+    # an all-similar cluster: star mode emits only hub pairs (min id → rest),
+    # enough for connected-components dedup, linear instead of quadratic.
+    rng = np.random.default_rng(9)
+    base = rng.normal(0, 1, 16)
+    rows = [(i, [float(x) for x in base + rng.normal(0, 0.003, 16)]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = dedup.embedding_near_duplicates(df, threshold=0.98, star=True).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    assert got == {(0, 1), (0, 2), (0, 3), (0, 4)}
+    kept = dedup.dedup_keep_first(
+        df, dedup.embedding_near_duplicates(df, threshold=0.98, star=True),
+        id_col="vec_id",
+    )
+    assert {r["vec_id"] for r in kept.collect()} == {0}
+
+
 def test_token_count_and_quality(spark, docs):
     tc = text.token_count(docs).collect()
     assert {r["doc_id"]: r["n_tokens_ws"] for r in tc}[1] == 13
