@@ -445,6 +445,26 @@ def q_presence_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dictionary_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11 check_icd10 (reference File_Submission_Object.py:576-583):
+    membership against an external dictionary TABLE, staged by the rule
+    compiler as ONE broadcast left-join whose boolean flag feeds the fused
+    rule projection — the fact table is never shuffled. Here: documents.lang
+    against an allowed-language dictionary (zh is absent → violations)."""
+    from seronet_data_validator_spark.plans.compile import compile_ruleset
+    from seronet_data_validator_spark.plans.rules import RuleSet, dictionary_rule
+
+    docs = _t(spark, sf_dir, "documents")
+    lang_dict = spark.createDataFrame(
+        [("en",), ("es",), ("de",), ("fr",)], "code string"
+    )
+    rs = RuleSet(table_name="documents", row_ref_column="doc_id")
+    rs.add(dictionary_rule("C11.lang_dict", "lang", lang_dict, "code",
+                           dict_name="language"))
+    v = compile_ruleset(docs, rs)
+    return v.select("row_ref", "column_value", "rule_id")
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style rolling-hash fingerprint (operators/text.fingerprint);
     xxhash64 has no DuckDB equivalent → rows-only oracle."""
@@ -566,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consistency_check": q_consistency_check,
         "suppressed_orphans": q_suppressed_orphans,
         "presence_violations": q_presence_violations,
+        "dictionary_check": q_dictionary_check,
         "fingerprints": q_fingerprints,
         "simhash_neardup": q_simhash_neardup,
         "ivf_search": q_ivf_search,
@@ -877,6 +898,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'C17.childless', user_id, 'Warning'
             FROM (SELECT DISTINCT user_id FROM events) e
             WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+        """,
+        "dictionary_check": """
+            SELECT CAST(doc_id AS VARCHAR) AS row_ref,
+                   lang AS column_value,
+                   'C11.lang_dict' AS rule_id
+            FROM documents
+            WHERE lang IS NOT NULL AND lang <> '' AND lang <> 'N/A'
+              AND lang NOT IN ('en', 'es', 'de', 'fr')
         """,
         # fingerprints, simhash_neardup, ivf_search, minhash_neardup,
         # audio_features, clips_validation: xxhash64-based signatures /

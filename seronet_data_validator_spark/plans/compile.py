@@ -31,7 +31,7 @@ from seronet_data_validator_spark.model import (
     SEVERITY_ERROR,
     VIOLATION_SCHEMA,
 )
-from seronet_data_validator_spark.plans.rules import Rule, RuleSet
+from seronet_data_validator_spark.plans.rules import Rule, RuleSet, dict_flag_col
 
 
 def _violation_struct(
@@ -107,6 +107,29 @@ def compile_ruleset(
     norm = {c: F.translate(F.col(c), "–", "-") for c in rule_cols & str_cols}
     if norm:
         df = df.withColumns(norm)
+
+    # C11 dictionary rules: stage ONE broadcast left-join per dictionary that
+    # defines the rule's membership flag (rules.dict_flag_col). The dim side
+    # is distinct-projected (a code dictionary is small by construction:
+    # ICD-10 ≈ 70k codes); the fact table gains a boolean column and is never
+    # shuffled — the fused projection below consumes the flag like any other
+    # Column. Runs AFTER char normalization so lookups see normalized values.
+    for rule in runnable:
+        if rule.dictionary is not None:
+            flag = dict_flag_col(rule.rule_id)
+            key = flag + "__key"
+            dim = rule.dictionary.df.select(
+                F.col(rule.dictionary.value_col).cast("string").alias(key)
+            ).distinct()
+            df = (
+                df.join(
+                    F.broadcast(dim),
+                    F.col(rule.column).cast("string") == F.col(key),
+                    "left",
+                )
+                .withColumn(flag, F.col(key).isNotNull())
+                .drop(key)
+            )
 
     structs: list[Column] = []
     for rule in runnable:

@@ -111,11 +111,31 @@ class Precondition:
 
 
 @dataclass(frozen=True)
+class DictionarySpec:
+    """C11/F11 external-dictionary membership (check_icd10,
+    File_Submission_Object.py:576-583): the valid-code universe is a TABLE
+    (ICD-10 is ~70k codes; the analog here is any code dim), not an inline
+    list. The compiler stages ONE broadcast left-join per dictionary rule
+    that defines a boolean flag column (:func:`dict_flag_col`), so the rule
+    itself stays a pure Column expression inside the fused projection — the
+    fact table is never shuffled."""
+
+    df: "object"  # pyspark DataFrame; typed loosely to keep dataclass eq/hash sane
+    value_col: str
+
+
+def dict_flag_col(rule_id: str) -> str:
+    """Name of the compiler-provided membership flag for a dictionary rule."""
+    return "_dict_ok_" + "".join(ch if ch.isalnum() else "_" for ch in rule_id)
+
+
+@dataclass(frozen=True)
 class Rule:
     rule_id: str
     column: str
     check: CheckFn
     precondition: Precondition | None = None
+    dictionary: DictionarySpec | None = None
 
     def emissions(self) -> list[Emission]:
         # Rules see a STRING view of the target: the reference's cells are
@@ -255,6 +275,60 @@ def check_registry_membership(keys: Sequence[str], registry_name: str) -> CheckF
         ]
 
     return build
+
+
+def check_dictionary(
+    rule_id: str,
+    *,
+    dict_name: str = "dictionary",
+    na_allowed: bool = True,
+) -> CheckFn:
+    """C11 check_icd10 (File_Submission_Object.py:576-583): cell must be a
+    member of an external dictionary TABLE, or 'N/A' when allowed; '' passes
+    (missing-ness is C14's job). The membership itself is the compiler-staged
+    broadcast-join flag (:func:`dict_flag_col`) — pair this builder with a
+    :class:`DictionarySpec` on the same Rule."""
+    flag = dict_flag_col(rule_id)
+
+    def build(c: Column) -> list[Emission]:
+        ok = F.coalesce(F.col(flag), F.lit(False))
+        if na_allowed:
+            ok = ok | is_na(c)
+        return [
+            Emission.of(
+                ~is_blank(c) & ~ok,
+                SEVERITY_ERROR,
+                F.concat(
+                    F.lit(f"Invalid or unknown {dict_name} code "),
+                    _val(c),
+                    F.lit(f", Value must be a valid {dict_name} code"
+                          + (" or N/A" if na_allowed else "")),
+                ),
+            )
+        ]
+
+    return build
+
+
+def dictionary_rule(
+    rule_id: str,
+    column: str,
+    dict_df,
+    value_col: str,
+    *,
+    dict_name: str = "dictionary",
+    na_allowed: bool = True,
+    precondition: Precondition | None = None,
+) -> Rule:
+    """Convenience constructor binding check_dictionary to its
+    DictionarySpec."""
+    return Rule(
+        rule_id,
+        column,
+        check_dictionary(rule_id, dict_name=dict_name, na_allowed=na_allowed),
+        precondition=precondition,
+        dictionary=DictionarySpec(dict_df, value_col),
+    )
 
 
 def check_interpretation(substrings: Sequence[str]) -> CheckFn:

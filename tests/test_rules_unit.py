@@ -25,6 +25,7 @@ from seronet_data_validator_spark.plans.rules import (
     check_regex,
     check_required,
     check_string,
+    dictionary_rule,
 )
 
 
@@ -178,3 +179,33 @@ def test_int_typed_column_rules_fire(spark):
     out = run_rule(spark, rows, "id int, sr int",
                    Rule("r", "sr", check_in_list(["8000", "16000"], case_insensitive=False)))
     assert [v["row_ref"] for v in out] == ["1"]
+
+
+def test_check_dictionary_broadcast_membership(spark):
+    # C11: membership against an external dictionary TABLE (ICD-10 analog),
+    # staged as a broadcast-join flag inside the fused pass. 'N/A' and ''
+    # pass; unknown codes and the en-dash variant (normalized first) error.
+    dict_df = spark.createDataFrame(
+        [("A01.1",), ("B20-2",), ("C03.9",)], "code string")
+    rows = [("1", "A01.1"), ("2", "Z99.9"), ("3", "N/A"), ("4", ""),
+            ("5", "B20–2")]  # en-dash → '-' normalization, then lookup
+    out = run_rule(
+        spark, rows, "id string, v string",
+        dictionary_rule("C11", "v", dict_df, "code", dict_name="ICD10"),
+    )
+    got = {v["row_ref"]: v["message"] for v in out}
+    assert set(got) == {"2"}
+    assert "Invalid or unknown ICD10 code Z99.9" in got["2"]
+
+
+def test_check_dictionary_na_disallowed_and_precondition(spark):
+    dict_df = spark.createDataFrame([("X1",)], "code string")
+    rows = [("1", "N/A", "Yes"), ("2", "X1", "Yes"), ("3", "bad", "No")]
+    out = run_rule(
+        spark, rows, "id string, v string, dep string",
+        dictionary_rule("C11b", "v", dict_df, "code", na_allowed=False,
+                        precondition=Precondition("dep", ("Yes",))),
+    )
+    got = {v["row_ref"]: v["severity"] for v in out}
+    # row 1: gated in, N/A not allowed → Error; row 3: dep fails → Not Validated
+    assert got == {"1": SEVERITY_ERROR, "3": SEVERITY_NOT_VALIDATED}
