@@ -85,15 +85,19 @@ def main() -> None:
     per_query["clips_validation_full_suite"] = round(validate_sec, 4)
 
     total_sec = round(sum(per_query.values()), 4)
+    # value = the BASELINE.json north metric (clips validated/sec, higher is
+    # better) so it stays comparable across rounds even as the query suite
+    # grows; per-query seconds + the suite total are auxiliary fields.
     print(
         json.dumps(
             {
-                "metric": "clips validated/sec (full rule suite) + query suite wall time",
-                "value": total_sec,
-                "unit": "sec",
+                "metric": "clips validated/sec (full rule suite)",
+                "value": round(clips_per_sec, 1),
+                "unit": "clips/sec",
                 "queries": per_query,
                 "sf": sf,
                 "clips_per_sec": round(clips_per_sec, 1),
+                "suite_sec": total_sec,
                 "n_clips": n_clips,
                 "n_violations": n_violations,
                 "cpus": int(cpus),

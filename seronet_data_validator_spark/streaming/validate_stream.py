@@ -155,3 +155,79 @@ def windowed_event_counts(
             "sum_value",
         )
     )
+
+
+def windowed_drift(
+    stream: DataFrame,
+    ref_quantiles: "list[float]",
+    *,
+    probs: "list[float] | None" = None,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    psi_threshold: float = 0.2,
+    eps: float = 1e-6,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-window PSI drift against a static reference profile — the
+    Structured-Streaming extension of the north-rule drift check
+    (operators/stats.drift_report scores whole-run profiles; this scores
+    every tumbling window as data streams in).
+
+    Same PSI definition as stats.psi_from_quantiles: the reference's
+    quantiles are the bin edges (equal-mass bins under the reference, mass
+    from ``probs``); the current window's bin mass is counted EXACTLY via
+    conditional sums — bucket index = #edges below the value, so the whole
+    computation is one watermarked groupBy(window) with pure Column
+    expressions. One stateful operator, streaming-legal in append mode, and
+    the identical plan runs on a batch DataFrame (asserted in tests).
+
+    Returns (window_start, window_end, n, psi, drifted).
+    """
+    import numpy as np
+
+    from seronet_data_validator_spark.operators.stats import DEFAULT_QUANTILE_GRID
+
+    grid = list(probs or DEFAULT_QUANTILE_GRID)
+    if len(grid) != len(ref_quantiles):
+        raise ValueError("probs and ref_quantiles must align")
+    ref_mass = np.diff(np.concatenate([[0.0], np.asarray(grid), [1.0]]))
+
+    v = F.col(value_col).cast("double")
+    # bucket b = number of reference edges strictly below v  (0..len(edges))
+    bucket = sum(
+        (F.when(v > F.lit(float(e)), 1).otherwise(0) for e in ref_quantiles),
+        F.lit(0),
+    )
+    n_buckets = len(ref_quantiles) + 1
+    counts = [
+        F.sum(F.when(F.col("_bucket") == b, 1).otherwise(0)).alias(f"_n{b}")
+        for b in range(n_buckets)
+    ]
+    agg = (
+        stream.withColumn("_bucket", bucket)
+        # watermarks require TIMESTAMP (not NTZ); cast keeps the same plan
+        # valid for both batch and streaming inputs
+        .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"), *counts)
+    )
+    # Laplace-smoothed current mass: (n_b + α) / (n + αB). A window holds
+    # finitely many rows, so raw empty bins would blow PSI up on sparse
+    # windows (E[PSI] of pure multinomial noise ≈ (B-1)/n); smoothing keeps
+    # the statistic calibrated without changing its large-n limit.
+    psi = F.lit(0.0)
+    denom = F.col("n") + F.lit(alpha * n_buckets)
+    for b in range(n_buckets):
+        c_b = F.greatest((F.col(f"_n{b}") + F.lit(alpha)) / denom, F.lit(eps))
+        r_b = F.lit(float(max(ref_mass[b], eps)))
+        psi = psi + (c_b - r_b) * F.log(c_b / r_b)
+    return agg.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        F.col("n"),
+        F.round(psi, 6).alias("psi"),
+        (psi > F.lit(psi_threshold)).alias("drifted"),
+    )
