@@ -260,7 +260,11 @@ join is a zero-Exchange merge join) at several `local[N]` levels in separate
 JVMs. Each level first runs one untimed full pass (long-lived executors =
 steady-state: Python workers up, codegen JITed, staged files page-cached —
 a cluster's storage bandwidth scales with executors; the sandbox's single
-local disk does not), then best-of-3 timed passes. The **scan floor** column
+local disk does not), then best-of-3 timed passes; the whole level ladder is
+swept twice (interleaved), keeping each level's minimum, and the host
+CPU/mem-BW calibrations are themselves best-of-3 — the VM's background
+contention varies on multi-minute timescales and a single noisy window
+would silently distort a ratio. The **scan floor** column
 is the same measurement for the minimal job that merely READS every payload
 byte of both tables (join + sum of lengths, zero validation work) — the
 irreducible I/O any validator of this input performs.
@@ -280,10 +284,10 @@ ceilings are measured in the same session: CPU = pure-Python multiprocessing
 burn speedup / 4; mem-BW = aggregate numpy memcpy GB/s speedup / 4; the
 input-scan floor is the N→4N efficiency of the pure two-table byte scan.
 
-**Reading: {raw_met}the engine's scaling tracks the input scan's scaling —
-at {best[0]}→{best[1]}, engine/floor = {best[6]:.3f}
-{"(everything the engine ADDS on top of reading its input scales at or above target)"
- if best[6] >= 0.8 else ""}.** The residual gap to 0.8 raw at 4→16 is the host's
+**Reading:** {raw_met}the engine's scaling tracks the input scan's scaling —
+engine/floor = {best[6]:.3f} at {best[0]}→{best[1]}{
+", i.e. everything the engine ADDS on top of reading its input scales at or above target"
+ if best[6] >= 0.8 else ""}. The residual gap to 0.8 raw at 4→16 is the host's
 single-box memory system (mem-BW ceiling column), which caps the pure scan
 identically — not engine serialization. On a real N→4N EXECUTOR scale-out
 each executor brings its own memory bus and disks, so the scan floor (and
