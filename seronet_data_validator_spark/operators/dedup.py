@@ -54,6 +54,18 @@ def exact_duplicates(
     )
 
 
+def _ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Spread a too-coarsely-partitioned input across the cluster before a
+    CPU-heavy projection (signature folds, hyperplane projections). A small
+    table often arrives as ONE parquet file = one task, serializing the
+    whole stage on one core; a table that already has >= min_parts splits is
+    returned untouched — no shuffle is added on well-partitioned inputs."""
+    want = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
 def shingles(df: DataFrame, text_col: str = "text", *, n: int = 3) -> DataFrame:
     """Word n-gram shingles as 64-bit hashes (xxhash64, JVM-side).
     Adds `shingle_hashes: array<long>` (distinct)."""
@@ -182,7 +194,9 @@ def minhash_dedup(
     pass ``cache_handles`` to receive it and ``unpersist()`` once the result
     is materialized — in a long-lived session the blocks otherwise live until
     eviction pressure."""
-    sh = shingles(df.select(id_col, text_col), text_col, n=shingle_n)
+    sh = shingles(
+        _ensure_parallelism(df.select(id_col, text_col)), text_col, n=shingle_n
+    )
     # one materialization point: the signed frame feeds the banded SELF-join
     # (two subtree copies) AND the Jaccard verify join — without it the
     # shingling+signing computes four times. At cluster scale this is the
@@ -211,7 +225,10 @@ def simhash(
     arrays per token) and is the layout that scales — token rows distribute
     evenly regardless of document length skew."""
     toks = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
-    tok_df = df.select(F.col(id_col), F.explode(toks).alias("_tok"))
+    # repartition BEFORE the explode: doc rows are far slimmer than token rows
+    tok_df = _ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(toks).alias("_tok")
+    )
     h = F.xxhash64(F.col("_tok"))
     aggs = [
         F.sum(
@@ -342,7 +359,7 @@ def embedding_near_duplicates(
     norm = F.sqrt(
         F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, v: a + v.cast("double") * v.cast("double"))
     )
-    bucketed = df.select(
+    bucketed = _ensure_parallelism(df).select(
         F.col(id_col), F.col(vec_col), bucket.alias("bucket"), norm.alias("nrm")
     )
     if max_bucket_size:

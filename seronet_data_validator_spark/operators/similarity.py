@@ -69,47 +69,35 @@ def train_centroids(
     scale-killer; centroid quality converges on a small uniform sample (IVF
     training is always sample-based — Jégou et al., PQ/IVFADC). So:
 
-    * seeding: the n_cells lowest ``xxhash64(id, seed)`` rows — a one-pass
-      top-k (TakeOrdered heap per partition, no global sort of the corpus);
-    * refinement: ``iters`` assignment/mean rounds over
-      ``corpus.sample(train_fraction)`` (deterministic seed), capped at
-      ``max_train_rows``. The sampled frame is persisted across iterations.
+    The bounded sample (≤ max_train_rows × dim floats — the cap IS the
+    memory contract) is collected ONCE and Lloyd runs vectorized in numpy on
+    the driver: distributing k-means over a sample that fits in one process
+    would spend iters × 2 whole Spark jobs of fixed overhead to do one
+    matrix multiply's worth of work (faiss trains IVF the same way —
+    in-process over a sample). Seeding: the n_cells lowest
+    ``xxhash64(id, seed)`` sample rows — deterministic, order-independent.
+    The SEARCH path (assign_cells + ivf_topk) still covers the full corpus
+    exactly and stays fully distributed."""
+    import numpy as np
 
-    Driver holds only n_cells × dim floats. The SEARCH path (assign_cells +
-    ivf_topk) still covers the full corpus exactly."""
-    seeds = [
-        [float(x) for x in r[vec_col]]
-        for r in corpus.select(vec_col)
-        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
-        .limit(n_cells)
-        .collect()
-    ]
-    cents = seeds
-    if train_fraction is None:
-        train = corpus.select(vec_col).limit(max_train_rows)
-    else:
-        train = corpus.select(vec_col).sample(fraction=train_fraction, seed=seed).limit(max_train_rows)
-    train = train.persist()
-    try:
-        for _ in range(iters):
-            assigned = assign_cells(train, cents, vec_col=vec_col)
-            means = (
-                assigned.groupBy("cell")
-                .agg(
-                    *[
-                        F.avg(F.col(vec_col)[i].cast("double")).alias(f"c{i}")
-                        for i in range(len(cents[0]))
-                    ]
-                )
-                .collect()
-            )
-            new = list(cents)
-            for row in means:
-                new[row["cell"]] = [row[f"c{i}"] for i in range(len(cents[0]))]
-            cents = new
-    finally:
-        train.unpersist()
-    return cents
+    sampled = corpus.select(
+        F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"), F.col(vec_col)
+    )
+    if train_fraction is not None:
+        sampled = sampled.sample(fraction=train_fraction, seed=seed)
+    rows = sampled.limit(max_train_rows).collect()
+    x = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+    x = x[np.argsort(np.asarray([r["_h"] for r in rows]))]
+    cents = x[:n_cells].copy()
+    for _ in range(iters):
+        # argmin_c |v - c|^2 = argmin_c (|c|^2 - 2 v·c); |v|^2 is constant
+        d2 = (cents * cents).sum(axis=1)[None, :] - 2.0 * (x @ cents.T)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return [[float(v) for v in c] for c in cents]
 
 
 def assign_cells(
@@ -117,6 +105,9 @@ def assign_cells(
 ) -> DataFrame:
     """Add `cell` = argmin centroid by L2^2 (expanded as -2·dot + |c|^2;
     |v|^2 constant per row). Literal centroid arrays — broadcast-free."""
+    from seronet_data_validator_spark.operators.dedup import _ensure_parallelism
+
+    corpus = _ensure_parallelism(corpus)
     scores = []
     for ci, c in enumerate(centroids):
         arr = F.array(*[F.lit(float(x)) for x in c])
