@@ -185,6 +185,9 @@ def main() -> None:
     n_clips = int(sys.argv[1]) if len(sys.argv) > 1 else 1_500_000
     levels = [int(x) for x in os.environ.get("SCALING_LEVELS", "2,4,8,16").split(",")]
     pairs = [(lo, lo * 4) for lo in levels if lo * 4 in levels]
+    if not pairs:
+        sys.exit("SCALING_LEVELS must contain at least one (N, 4N) pair, "
+                 f"e.g. '2,8' or '4,16' — got {levels}")
     stage_dir = os.environ.get(
         "SCALING_STAGE_DIR", f"/tmp/spark_graft_scaling2_{n_clips}"
     )

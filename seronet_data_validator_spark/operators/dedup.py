@@ -28,29 +28,39 @@ _MERSENNE = (1 << 31) - 1
 
 def exact_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    *, max_dup_ids: int = 100,
+    *, max_dup_ids: int = 100, n_salts: int = 4096,
 ) -> DataFrame:
     """Exact dedup: md5 content hash → groups with >1 member.
     Output: (content_hash, n, keep_id, dup_ids).
 
-    ``dup_ids`` is a bounded SAMPLE (first ``max_dup_ids`` by id): an
-    unbounded collect_list OOMs one task when a viral doc is duplicated 10^8
-    times at web scale. The window pass computes the full group count and the
-    per-group rank in one shuffle; only ranked-within-bound rows reach the
-    collect, so the agg buffer is capped regardless of skew."""
+    Skew discipline for the viral-doc case (one document duplicated 10^8
+    times): the count/min pass is a plain hash aggregate — partial (map-side)
+    combine absorbs ANY key skew, unlike a window, which would funnel the
+    whole hot group through one task's sort. ``dup_ids`` is a bounded SAMPLE
+    (the ``max_dup_ids`` smallest ids), computed only over rows of groups
+    already known duplicated, via a salted two-level top-k: level 1 keeps the
+    k smallest ids per (hash, salt) — buffers bounded by group/n_salts rows —
+    level 2 merges n_salts k-arrays per hash (≤ n_salts × k longs). No
+    unbounded per-group state anywhere."""
     h = F.md5(F.col(text_col)).alias("content_hash")
     slim = df.select(h, F.col(id_col))
-    w = Window.partitionBy("content_hash")
-    ranked = slim.select(
-        "content_hash",
-        id_col,
-        F.count(F.lit(1)).over(w).alias("_n"),
-        F.row_number().over(w.orderBy(id_col)).alias("_rn"),
-    ).where((F.col("_n") > 1) & (F.col("_rn") <= max_dup_ids))
-    return ranked.groupBy("content_hash").agg(
-        F.max("_n").alias("n"),
-        F.min(id_col).alias("keep_id"),
-        F.sort_array(F.collect_list(id_col)).alias("dup_ids"),
+    stats = (
+        slim.groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n") > 1)
+    )
+    dup_rows = slim.join(stats.select("content_hash"), "content_hash", "left_semi")
+    lvl1 = (
+        dup_rows.withColumn("_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)))
+        .groupBy("content_hash", "_salt")
+        .agg(F.slice(F.sort_array(F.collect_list(id_col)), 1, max_dup_ids).alias("_ids"))
+    )
+    samples = lvl1.groupBy("content_hash").agg(
+        F.slice(F.sort_array(F.flatten(F.collect_list("_ids"))), 1, max_dup_ids)
+        .alias("dup_ids")
+    )
+    return stats.join(samples, "content_hash").select(
+        "content_hash", "n", "keep_id", "dup_ids"
     )
 
 
@@ -424,6 +434,7 @@ def connected_components(
     pairs: DataFrame,
     *,
     max_iter: int = 20,
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs (id_a, id_b) by iterative
     min-label propagation: every node repeatedly adopts the smallest label in
@@ -436,7 +447,12 @@ def connected_components(
     minimum node id reachable — the canonical representative.
 
     This closes the transitive-chain gap of one-hop dedup_keep_first: a~b,
-    b~c (but not a~c) still lands a, b, c in ONE component."""
+    b~c (but not a~c) still lands a, b, c in ONE component.
+
+    Cache lifecycle: the returned labels frame is persisted (the loop needs
+    it; callers usually read it more than once). Pass ``cache_handles`` to
+    receive it and ``unpersist()`` after materializing downstream results —
+    same contract as minhash_dedup."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -475,6 +491,8 @@ def connected_components(
             updated.unpersist()
             if n_changed == 0:
                 break
+        if cache_handles is not None:
+            cache_handles.append(labels)
         return labels
     finally:
         edges.unpersist()
@@ -486,10 +504,15 @@ def dedup_by_components(
     id_col: str = "doc_id",
     *,
     max_iter: int = 20,
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """Keep exactly one document per connected component (the minimum id),
-    transitively: a~b~c keeps only a even without an a~c pair."""
-    comp = connected_components(pairs, max_iter=max_iter)
+    transitively: a~b~c keeps only a even without an a~c pair.
+
+    ``cache_handles`` receives the persisted labels frame (see
+    connected_components) so repeated calls in a long-lived session don't
+    accumulate cached blocks."""
+    comp = connected_components(pairs, max_iter=max_iter, cache_handles=cache_handles)
     drops = comp.where(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )

@@ -93,10 +93,16 @@ def referential_violations(
     registry_name: str = "registry",
     row_ref_column: str | None = None,
     broadcast_dim: bool = True,
+    keep_columns: tuple[str, ...] = (),
 ) -> DataFrame:
     """C15 check_assay_special (File_Submission_Object.py:289-300): fact keys
     absent from the registry dimension → one Error per offending row.
-    left_anti against a broadcast dim — the fact table never shuffles."""
+    left_anti against a broadcast dim — the fact table never shuffles.
+
+    ``keep_columns`` (e.g. the partition key) are carried through as leading
+    columns so violations attribute to their REAL partition — identical to
+    the fused inline path's keep_columns, keeping the two C15 strategies
+    verdict-equivalent regardless of registry size."""
     d = dim.select(F.col(dim_key or key).alias(key)).dropDuplicates([key])
     if broadcast_dim:
         d = F.broadcast(d)
@@ -105,6 +111,7 @@ def referential_violations(
     ).join(d, key, "left_anti")
     row_ref = F.col(row_ref_column) if row_ref_column else F.lit(ROW_REF_CROSS_TABLE)
     return missing.select(
+        *[F.col(c) for c in keep_columns],
         *_v(
             SEVERITY_ERROR,
             table_name,
@@ -293,6 +300,8 @@ def suppressed_referential_violations(
     dim_key: str | None = None,
     registry_name: str = "registry",
     row_ref_column: str | None = None,
+    broadcast_dim: bool = True,
+    broadcast_prior: bool = True,
 ) -> DataFrame:
     """C20 check_map_ids (File_Submission_Object.py:758-784): referential
     check whose candidate violations are anti-joined against keys ALREADY
@@ -302,14 +311,16 @@ def suppressed_referential_violations(
 
     Two left_anti joins: fact vs dim (the C15 referential core), then
     candidates vs prior violation values for this column. Both anti sides are
-    key projections; the prior-violations side is typically small enough to
-    broadcast."""
+    key projections; pass ``broadcast_dim=False`` / ``broadcast_prior=False``
+    when a side is too large to ship to every executor (a long-lived
+    violations table can reach billions of rows) — the join then falls back
+    to a shuffle anti-join on the key."""
+    dim_side = dim.select(F.col(dim_key or key).alias(key)).dropDuplicates([key])
+    if broadcast_dim:
+        dim_side = F.broadcast(dim_side)
     candidates = fact.where(
         F.col(key).isNotNull() & (F.col(key).cast("string") != "")
-    ).join(
-        F.broadcast(dim.select(F.col(dim_key or key).alias(key)).dropDuplicates([key])),
-        key, "left_anti",
-    )
+    ).join(dim_side, key, "left_anti")
     # violation values are stored as strings — cast back to the fact key's
     # type so the anti-join compares natively (no implicit double coercion)
     key_type = fact.schema[key].dataType
@@ -318,7 +329,9 @@ def suppressed_referential_violations(
         .select(F.col("column_value").cast(key_type).alias(key))
         .dropDuplicates([key])
     )
-    fresh = candidates.join(F.broadcast(already), key, "left_anti")
+    if broadcast_prior:
+        already = F.broadcast(already)
+    fresh = candidates.join(already, key, "left_anti")
     row_ref = F.col(row_ref_column) if row_ref_column else F.lit(ROW_REF_CROSS_TABLE)
     return fresh.select(
         *_v(

@@ -85,7 +85,12 @@ def train_centroids(
     )
     if train_fraction is not None:
         sampled = sampled.sample(fraction=train_fraction, seed=seed)
-    rows = sampled.limit(max_train_rows).collect()
+    # the max_train_rows LOWEST hashes — a uniform, deterministic,
+    # partition-layout-independent sample. orderBy+limit compiles to
+    # TakeOrderedAndProject (a bounded heap per partition, no global sort);
+    # a bare limit() would take a prefix of the first partitions, i.e. one
+    # site/time-slice under typical ingest layouts.
+    rows = sampled.orderBy("_h").limit(max_train_rows).collect()
     x = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
     x = x[np.argsort(np.asarray([r["_h"] for r in rows]))]
     cents = x[:n_cells].copy()

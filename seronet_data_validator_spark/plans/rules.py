@@ -265,9 +265,13 @@ def check_registry_membership(keys: Sequence[str], registry_name: str) -> CheckF
 
     def build(c: Column) -> list[Emission]:
         cs = c.cast("string")
+        # a NULL registry row must not admit the literal string 'None'
+        # (str(None)); the anti-join path never equi-matches a null dim key
+        valid = [str(k) for k in keys if k is not None]
+        in_set = cs.isin(*valid) if valid else F.lit(False)
         return [
             Emission.of(
-                c.isNotNull() & (cs != "") & ~cs.isin(*[str(k) for k in keys]),
+                c.isNotNull() & (cs != "") & ~in_set,
                 SEVERITY_ERROR,
                 F.concat(F.lit("Value "), cs,
                          F.lit(f" was not found in {registry_name}")),

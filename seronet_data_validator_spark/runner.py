@@ -145,11 +145,15 @@ def validate_clips(
     dup = duplicate_id_violations(clips, rs.row_ref_column, rs.table_name)
     parts.append(_with_null_part(dup, partition_column))
     if codec_registry is not None and not registry_inlined:
+        # keep_columns: attribute each orphan to its real partition, exactly
+        # like the inlined-isin path does via the fused pass — verdicts must
+        # not depend on which C15 strategy the registry size selected
         ref_v = referential_violations(
             clips, codec_registry, "codec", rs.table_name,
             registry_name="codec_registry", row_ref_column=rs.row_ref_column,
+            keep_columns=(partition_column,),
         )
-        parts.append(_with_null_part(ref_v, partition_column))
+        parts.append(ref_v)
     if manifest is not None:
         cnt = count_reconciliation_violations(clips, manifest, partition_column, rs.table_name)
         parts.append(_with_null_part(cnt, partition_column))

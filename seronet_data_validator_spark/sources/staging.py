@@ -107,16 +107,18 @@ def stage_clip_tables(
             src = reference_clips(spark, n_rows, seed=seed).repartition(buckets, "clip_id")
         else:
             # clean fixture: the reference CONTENT equals the staged clips
-            # table, so derive it by projecting the staged (already
-            # bucket-partitioned) table — each scan task holds exactly one
-            # bucket's keys, so the bucketed write needs NO repartition
-            # shuffle (no 2nd copy of the corpus on disk mid-write); the
-            # result is still a physically separate table with its own files
+            # table, so derive it by projecting the staged table. The
+            # repartition is NOT optional: a plain projection+write scan
+            # SPLITS the big bucket files (maxPartitionBytes), and each split
+            # writes its own file per bucket — multi-file buckets lose the
+            # reported sort order and the reference join regains per-task
+            # Sorts. Re-hashing by the bucket key restores exactly one file
+            # per bucket (repartition hash == bucketing hash).
             src = spark.table(clips_tbl).select(
                 "clip_id",
                 F.col("bytes").alias("ref_bytes"),
                 F.col("transcript").alias("ref_transcript"),
-            )
+            ).repartition(buckets, "clip_id")
         (
             src.write.bucketBy(buckets, "clip_id")
             .sortBy("clip_id")

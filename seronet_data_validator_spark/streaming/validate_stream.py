@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -27,7 +28,7 @@ from seronet_data_validator_spark.operators.integrity import (
     duplicate_id_violations,
     referential_violations,
 )
-from seronet_data_validator_spark.plans.compile import compile_ruleset
+from seronet_data_validator_spark.plans.compile import compile_ruleset, dedup_violations
 from seronet_data_validator_spark.plans.rules import RuleSet
 from seronet_data_validator_spark.rulesets import clips_ruleset
 from seronet_data_validator_spark.sources.clips import CLIPS_SCHEMA
@@ -63,8 +64,8 @@ def stream_validate_clips(
         if batch_df.isEmpty():
             return
         sp = batch_df.sparkSession
-        v = compile_ruleset(batch_df, rs)
-        v = v.unionByName(duplicate_id_violations(batch_df, rs.row_ref_column, rs.table_name))
+        parts = [compile_ruleset(batch_df, rs)]
+        parts.append(duplicate_id_violations(batch_df, rs.row_ref_column, rs.table_name))
         # cross-batch uniqueness: duplicate_id_violations above only sees THIS
         # micro-batch; a key that arrived in an earlier batch would silently
         # pass. The compact key log (id, batch_id) makes uniqueness global:
@@ -73,13 +74,19 @@ def stream_validate_clips(
         # durable across restarts. The batch_id < current filter keeps batch
         # replays (at-least-once foreachBatch) from flagging a batch against
         # its own earlier append.
+        # only a genuinely-absent log (first batch ever) may be skipped; any
+        # OTHER read failure (corrupt file, permissions, schema drift) must
+        # surface — swallowing it would silently disable global uniqueness
+        # for every batch from then on
         try:
             prior_keys = (
                 sp.read.schema(seen_schema).parquet(seen_path)
                 .where(F.col("batch_id") < batch_id)
                 .select(rs.row_ref_column).dropDuplicates([rs.row_ref_column])
             )
-        except Exception:
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
             prior_keys = None
         if prior_keys is not None:
             key = F.col(rs.row_ref_column)
@@ -98,14 +105,21 @@ def stream_validate_clips(
                     ).alias("message"),
                 )
             )
-            v = v.unionByName(cross)
+            parts.append(cross)
         if codec_registry is not None:
-            v = v.unionByName(
+            parts.append(
                 referential_violations(
                     batch_df, codec_registry, "codec", rs.table_name,
                     registry_name="codec_registry", row_ref_column=rs.row_ref_column,
                 )
             )
+        # same first-writer-wins C22 dedup as the batch runner (pass order =
+        # rules, uniqueness, cross-batch, referential) so batch backfill and
+        # stream emit identical violation sets for identical rows
+        v = parts[0].withColumn("_ord", F.lit(0))
+        for i, p in enumerate(parts[1:], start=1):
+            v = v.unionByName(p.withColumn("_ord", F.lit(i)))
+        v = dedup_violations(v, order_col="_ord")
         (
             v.withColumn("batch_id", F.lit(batch_id))
             .write.mode("append")

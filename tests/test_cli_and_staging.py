@@ -74,3 +74,26 @@ def test_staged_tables_join_without_exchange(spark, tmp_path):
     assert set(refs.columns) == {"clip_id", "ref_bytes", "ref_transcript"}
     # clean fixture + identical reference content -> no audio violations
     assert av.where(F.col("rule_id").startswith("C13a")).count() == 0
+
+
+def test_derived_refs_table_single_file_buckets(spark, tmp_path):
+    """Regression: deriving the clean-fixture refs table from the staged
+    clips table must re-hash by the bucket key — a plain projection+write
+    scan SPLITS big bucket files and each split writes its own file, giving
+    multi-file buckets that lose the reported sort order (per-task Sorts in
+    the reference join). Tiny maxPartitionBytes forces splits here."""
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+    try:
+        clips, refs = stage_clip_tables(
+            spark, 400, seed=13, buckets=4,
+            table_prefix=f"s{os.getpid()}", refs_from_clips=False,
+        )
+        assert refs.count() == 400
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        refs_dir = os.path.join(wh, f"s{os.getpid()}_refs_400_13")
+        files = [f for f in os.listdir(refs_dir) if f.startswith("part-")]
+        # one file per bucket — the zero-Sort merge-join invariant
+        assert len(files) == 4, sorted(files)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)

@@ -110,3 +110,42 @@ def test_dup_message_carries_count(bad_result):
         .select("message").first()["message"]
     )
     assert "3 times" in msg
+
+
+def test_c15_inline_and_antijoin_paths_verdict_equivalent(spark):
+    """The registry-size-selected C15 strategy (inlined isin vs broadcast
+    anti-join) must not change per-partition verdicts: a bad codec in
+    partition A fails A and only A on BOTH paths."""
+    from pyspark.sql import functions as F
+
+    from seronet_data_validator_spark.runner import validate_clips
+    from seronet_data_validator_spark.sources.clips import (
+        codec_registry_df,
+        generate_clips,
+    )
+
+    clips = generate_clips(spark, 300, seed=7)  # clean fixture
+    # corrupt every codec in ONE partition (site) only
+    bad_site = clips.select("site").first()["site"]
+    clips = clips.withColumn(
+        "codec",
+        F.when(F.col("site") == bad_site, F.lit("not_a_codec")).otherwise(F.col("codec")),
+    )
+    small = codec_registry_df(spark)  # inlined path (< 10k keys)
+    big = small.unionByName(
+        spark.range(10_001).select(
+            F.concat(F.lit("pad_"), F.col("id")).alias("codec"),
+            F.lit("pad").alias("container"),
+            F.lit("F").alias("lossy"),
+        )
+    )  # > 10k keys -> broadcast anti-join path
+
+    def verdicts(reg):
+        res = validate_clips(spark, clips, codec_registry=reg,
+                             run_id="vv", run_audio_pass=False)
+        return {v["partition_key"]: (v["pass"], v["n_errors"]) for v in res.verdicts}
+
+    v_small, v_big = verdicts(small), verdicts(big)
+    assert v_small == v_big
+    assert v_small[bad_site][0] is False
+    assert all(ok for s, (ok, _) in v_small.items() if s != bad_site)
