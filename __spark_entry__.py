@@ -465,6 +465,28 @@ def q_dictionary_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select("row_ref", "column_value", "rule_id")
 
 
+_DRIFT_EDGES = [5.0, 12.0, 19.0, 26.0, 36.0, 47.0, 62.0, 83.0, 112.0]
+
+
+def q_windowed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window PSI drift vs a reference profile (streaming/validate_stream.
+    windowed_drift — the identical plan serves batch and readStream; here it
+    runs batch over events with FIXED literal decile edges so the PSI is
+    SQL-replicable). Windows are epoch-aligned 7-day tumbles, emitted as
+    epoch seconds to dodge timestamp formatting differences."""
+    from seronet_data_validator_spark.streaming import windowed_drift
+
+    ev = _t(spark, sf_dir, "events")
+    probs = [i / 10.0 for i in range(1, 10)]
+    out = windowed_drift(ev, _DRIFT_EDGES, probs=probs, window="7 days")
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start_s"),
+        "n",
+        "psi",
+        "drifted",
+    )
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style rolling-hash fingerprint (operators/text.fingerprint);
     xxhash64 has no DuckDB equivalent → rows-only oracle."""
@@ -587,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suppressed_orphans": q_suppressed_orphans,
         "presence_violations": q_presence_violations,
         "dictionary_check": q_dictionary_check,
+        "windowed_drift": q_windowed_drift,
         "fingerprints": q_fingerprints,
         "simhash_neardup": q_simhash_neardup,
         "ivf_search": q_ivf_search,
@@ -594,6 +617,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "clips_validation": q_clips_validation,
     }
+
+
+def _drift_oracle_sql() -> str:
+    """DuckDB replica of streaming.windowed_drift's smoothed PSI with the
+    fixed _DRIFT_EDGES decile bins (alpha=0.5, B=10, eps=1e-6)."""
+    bucket = " + ".join(
+        f"(CASE WHEN value > {e} THEN 1 ELSE 0 END)" for e in _DRIFT_EDGES
+    )
+    n_buckets = len(_DRIFT_EDGES) + 1
+    counts = ",\n               ".join(
+        f"SUM(CASE WHEN bucket = {b} THEN 1 ELSE 0 END) AS n{b}"
+        for b in range(n_buckets)
+    )
+    terms = " + ".join(
+        f"(GREATEST((n{b} + 0.5) / (n + 5.0), 1e-6) - 0.1)"
+        f" * LN(GREATEST((n{b} + 0.5) / (n + 5.0), 1e-6) / 0.1)"
+        for b in range(n_buckets)
+    )
+    return f"""
+        WITH rows_b AS (
+            SELECT CAST(floor(epoch(ts) / 604800) * 604800 AS BIGINT) AS window_start_s,
+                   ({bucket}) AS bucket
+            FROM events
+        ), agg AS (
+            SELECT window_start_s, COUNT(*) AS n,
+               {counts}
+            FROM rows_b GROUP BY window_start_s
+        )
+        SELECT window_start_s, n,
+               ROUND({terms}, 6) AS psi,
+               ({terms}) > 0.2 AS drifted
+        FROM agg
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -907,6 +963,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE lang IS NOT NULL AND lang <> '' AND lang <> 'N/A'
               AND lang NOT IN ('en', 'es', 'de', 'fr')
         """,
+        "windowed_drift": _drift_oracle_sql(),
         # fingerprints, simhash_neardup, ivf_search, minhash_neardup,
         # audio_features, clips_validation: xxhash64-based signatures /
         # approximate ANN / pandas-UDF audio passes — non-SQL-expressible,

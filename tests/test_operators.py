@@ -227,3 +227,15 @@ def test_connected_components_transitive_chain(spark):
     )
     kept = sorted(r["doc_id"] for r in dedup.dedup_by_components(docs_df, pairs).collect())
     assert kept == [1, 10, 99]
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 200-node chain: plain 1-hop min propagation would need 200 rounds
+    # (silently truncated at max_iter=20); pointer jumping needs ~8
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    comp = dedup.connected_components(pairs)
+    rows = comp.collect()
+    assert len(rows) == 201
+    assert {r["component"] for r in rows} == {0}
