@@ -1,0 +1,80 @@
+"""Distributed-correctness properties: operator output must be a pure
+function of the DATA, never of its partitioning. On a 1000-executor cluster
+the same table arrives under arbitrary splits; any partition-sensitive
+result is a silent correctness bug that small single-partition tests miss."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from seronet_data_validator_spark.operators import dedup
+from seronet_data_validator_spark.runner import validate_clips
+from seronet_data_validator_spark.sources.clips import (
+    codec_registry_df,
+    generate_clips,
+    reference_clips,
+)
+
+
+def _violation_multiset(res):
+    return sorted(
+        (r["severity"], r["table_name"], r["row_ref"], r["column_name"],
+         r["column_value"], r["rule_id"], r["message"])
+        for r in res.violations.collect()
+    )
+
+
+def test_validate_clips_partition_invariant(spark):
+    clips = generate_clips(spark, 500, seed=43, bad=True)
+    reg = codec_registry_df(spark)
+    refs = reference_clips(spark, 500, seed=43)
+    outs = []
+    for n_parts in (1, 7):
+        res = validate_clips(
+            spark, clips.repartition(n_parts), codec_registry=reg,
+            reference_clips=refs, run_id=f"pi{n_parts}",
+        )
+        outs.append((_violation_multiset(res), res.passed,
+                     sorted((v["partition_key"], v["pass"], v["n_errors"])
+                            for v in res.verdicts)))
+    assert outs[0] == outs[1]
+
+
+def test_exact_duplicates_partition_invariant(spark):
+    rows = [(i, f"doc body {i % 37}") for i in range(400)]  # 37 dup groups
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    outs = []
+    for n_parts in (1, 11):
+        out = dedup.exact_duplicates(df.repartition(n_parts), max_dup_ids=5)
+        outs.append(sorted(
+            (r["content_hash"], r["n"], r["keep_id"], tuple(r["dup_ids"]))
+            for r in out.collect()
+        ))
+    assert outs[0] == outs[1]
+    assert len(outs[0]) == 37 and all(t[1] >= 10 for t in outs[0])
+
+
+def test_minhash_pairs_partition_invariant(spark):
+    rows = [(i, "common shared text for the near duplicate family number "
+             + str(i % 5)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    outs = []
+    for n_parts in (1, 9):
+        pairs = dedup.minhash_dedup(df.repartition(n_parts), jaccard_threshold=0.9)
+        outs.append(sorted((r["id_a"], r["id_b"], r["jaccard"])
+                           for r in pairs.collect()))
+    assert outs[0] == outs[1] and outs[0]
+
+
+def test_connected_components_partition_invariant(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 50)]          # chain 0..50
+        + [(100 + i, 100) for i in range(1, 10)],   # star at 100
+        "id_a long, id_b long",
+    )
+    outs = []
+    for n_parts in (1, 5):
+        comp = dedup.connected_components(pairs.repartition(n_parts))
+        outs.append(sorted((r["node"], r["component"]) for r in comp.collect()))
+    assert outs[0] == outs[1]
+    comps = {c for _, c in outs[0]}
+    assert comps == {0, 100}
