@@ -487,6 +487,31 @@ def q_windowed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation: quality-gate (Gopher-style score ≥
+    0.75) ∧ allowed language ∧ exact-dedup (keep the lowest doc_id per
+    content hash) — the composite filter a pretraining pipeline runs before
+    tokenization, composed from the same operators the suite tests
+    individually. The dedup drop-set derives from a content-hash join (NOT
+    the bounded dup_ids sample — that sample is for reporting; the join is
+    the complete, scale-safe drop set)."""
+    from seronet_data_validator_spark.operators.dedup import exact_duplicates
+    from seronet_data_validator_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    dups = exact_duplicates(docs)
+    hashed = docs.select(F.md5("text").alias("content_hash"), "doc_id")
+    drops = (
+        hashed.join(dups.select("content_hash", "keep_id"), "content_hash")
+        .where(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
+    kept = quality_score(docs).join(drops, "doc_id", "left_anti")
+    return kept.where(
+        (F.col("quality_score") >= 0.75) & F.col("lang").isin("en", "de", "fr", "es")
+    ).select("doc_id", "lang", "quality_score")
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style rolling-hash fingerprint (operators/text.fingerprint);
     xxhash64 has no DuckDB equivalent → rows-only oracle."""
@@ -610,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "presence_violations": q_presence_violations,
         "dictionary_check": q_dictionary_check,
         "windowed_drift": q_windowed_drift,
+        "corpus_curation": q_corpus_curation,
         "fingerprints": q_fingerprints,
         "simhash_neardup": q_simhash_neardup,
         "ivf_search": q_ivf_search,
@@ -964,6 +990,34 @@ def oracle_sql() -> dict[str, str]:
               AND lang NOT IN ('en', 'es', 'de', 'fr')
         """,
         "windowed_drift": _drift_oracle_sql(),
+        "corpus_curation": """
+            WITH q AS (
+                SELECT doc_id, lang,
+                       round((
+                         (CASE WHEN len(string_split(trim(text), ' '))
+                               BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
+                         (CASE WHEN (length(text) - (len(string_split(trim(text), ' ')) - 1)) * 1.0
+                               / greatest(len(string_split(trim(text), ' ')), 1)
+                               BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+                         (CASE WHEN len(list_distinct(string_split(trim(lower(text)), ' '))) * 1.0
+                               / greatest(len(string_split(trim(text), ' ')), 1)
+                               >= 0.2 THEN 1.0 ELSE 0.0 END) +
+                         (CASE WHEN length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) * 1.0
+                               / greatest(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.0 END)
+                       ) / 4.0, 4) AS quality_score
+                FROM documents
+            ), d AS (
+                SELECT md5(text) AS h, min(doc_id) AS keep
+                FROM documents GROUP BY 1 HAVING count(*) > 1
+            ), drops AS (
+                SELECT dd.doc_id FROM documents dd
+                JOIN d ON md5(dd.text) = d.h WHERE dd.doc_id <> d.keep
+            )
+            SELECT doc_id, lang, quality_score FROM q
+            WHERE quality_score >= 0.75
+              AND lang IN ('en', 'de', 'fr', 'es')
+              AND doc_id NOT IN (SELECT doc_id FROM drops)
+        """,
         # fingerprints, simhash_neardup, ivf_search, minhash_neardup,
         # audio_features, clips_validation: xxhash64-based signatures /
         # approximate ANN / pandas-UDF audio passes — non-SQL-expressible,
