@@ -95,3 +95,24 @@ def test_snr_chunk_boundaries():
     r, t = ref.astype(np.float64), test.astype(np.float64)
     expected = 10.0 * np.log10(np.dot(r, r) / np.dot(r - t, r - t))
     assert abs(got - expected) < 0.02
+
+
+@given(
+    st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+             min_size=19, max_size=19, unique=True),
+)
+def test_drift_stats_identity_and_shift(qs):
+    """KS and PSI are 0 for identical distributions and strictly positive
+    under a large shift; PSI under shift exceeds the 0.2 alert threshold."""
+    from seronet_data_validator_spark.operators.stats import (
+        ks_from_quantiles,
+        psi_from_quantiles,
+    )
+
+    q = sorted(qs)
+    assert ks_from_quantiles(q, q) == 0.0
+    assert abs(psi_from_quantiles(q, q)) < 1e-9
+    span = max(q[-1] - q[0], 1.0)
+    shifted = [x + 10 * span for x in q]
+    assert ks_from_quantiles(shifted, q) > 0.9
+    assert psi_from_quantiles(shifted, q) > 0.2
