@@ -384,7 +384,10 @@ def q_consistency_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C19 compare_tests (reference Validation_Rules.py:64-119): per-group
     declared-vs-observed class consistency as ONE conditional groupBy agg —
     here each order's declared o_orderstatus vs its lineitems' l_linestatus
-    ('F' must hold for ALL lines, 'O' must hold for AT LEAST ONE)."""
+    ('F' must hold for ALL lines, 'O' must hold for AT LEAST ONE); the
+    declared side (orders) is passed so orders with ZERO lineitems emit
+    C19.missing — the reference's missing-test case
+    (Validation_Rules.py:80-84)."""
     from seronet_data_validator_spark.operators.integrity import consistency_violations
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linestatus")
@@ -398,6 +401,7 @@ def q_consistency_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         table_name="orders",
         all_must_match_value="F",
         any_must_match_value="O",
+        declared=o.select(F.col("o_orderkey").alias("l_orderkey")),
     )
     return v.select(
         F.col("column_value").alias("order_key"), "rule_id", "message"
@@ -965,6 +969,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT cast(l_orderkey AS varchar), 'C19.none_match',
                    'Group declared O but no row observes class O'
             FROM a WHERE n_any > 0 AND n_any_ok = 0
+            UNION ALL
+            SELECT cast(o_orderkey AS varchar), 'C19.missing',
+                   concat('Group ', cast(o_orderkey AS varchar),
+                          ' has no in-scope rows to confirm its declared status')
+            FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_orderkey = o.o_orderkey)
         """,
         "suppressed_orphans": """
             SELECT c_custkey, 'C20.map_id' AS rule_id

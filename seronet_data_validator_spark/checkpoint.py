@@ -21,8 +21,10 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -50,10 +52,21 @@ class RunManifest:
         self.spark = spark
         self.path = os.path.join(output_root, "run_manifest")
 
-    def completed_partitions(self, run_id: str) -> list[str]:
+    def _read(self) -> DataFrame | None:
+        """Read the manifest; None only when it genuinely does not exist yet.
+        Any OTHER failure (corrupt file, permissions) propagates — swallowing
+        it would silently drop the resume/exit-status protection and let a
+        previously-failed dataset report clean."""
         try:
-            df = self.spark.read.schema(MANIFEST_SCHEMA).parquet(self.path)
-        except Exception:
+            return self.spark.read.schema(MANIFEST_SCHEMA).parquet(self.path)
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            return None
+
+    def completed_partitions(self, run_id: str) -> list[str]:
+        df = self._read()
+        if df is None:
             return []
         return [
             r["partition_key"]
@@ -73,9 +86,8 @@ class RunManifest:
         ``passed`` column falls back to n_errors == 0."""
         if not partitions:
             return {}
-        try:
-            df = self.spark.read.schema(MANIFEST_SCHEMA).parquet(self.path)
-        except Exception:
+        df = self._read()
+        if df is None:
             return {}
         rows = (
             df.where((F.col("run_id") == run_id) & F.col("partition_key").isin(partitions))
@@ -125,3 +137,29 @@ class RunManifest:
         self.spark.createDataFrame(rows, MANIFEST_SCHEMA).coalesce(1).write.mode(
             "append"
         ).parquet(self.path)
+
+    def compact(self, *, target_files: int = 1) -> int:
+        """Rewrite the manifest into ``target_files`` parquet files.
+
+        Each :meth:`commit` appends one small file; thousands of runs →
+        thousands of tiny files and a slow manifest read. Call this from a
+        maintenance cadence (the production analog is an Iceberg
+        ``rewrite_data_files`` table service — Iceberg makes the swap an
+        atomic snapshot commit; on a plain filesystem we stage to a temp dir
+        and rename, with a ``.old`` fallback so a crash mid-swap loses
+        nothing readable). Returns the row count compacted."""
+        df = self._read()
+        if df is None:
+            return 0
+        # materialize OFF the source files before overwriting them
+        snap = df.localCheckpoint(eager=True)
+        n = snap.count()
+        tmp = self.path + ".compact.tmp"
+        old = self.path + ".compact.old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        snap.coalesce(max(1, target_files)).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+        return n

@@ -68,10 +68,19 @@ def _ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFram
     """Spread a too-coarsely-partitioned input across the cluster before a
     CPU-heavy projection (signature folds, hyperplane projections). A small
     table often arrives as ONE parquet file = one task, serializing the
-    whole stage on one core; a table that already has >= min_parts splits is
-    returned untouched — no shuffle is added on well-partitioned inputs."""
+    whole stage on one core; a well-partitioned input is returned untouched.
+
+    The parallelism probe is STATIC — ``df.inputFiles()`` off the analyzed
+    logical plan — never ``df.rdd.getNumPartitions()``: converting to RDD
+    compiles the physical plan and, with AQE on, eagerly materializes
+    upstream shuffle stages (partially running the job twice). File count
+    under-counts splittable big files, which only means we skip a
+    repartition that the scan's own splitting already provides. Non-file
+    sources (generated/mapInPandas inputs declare their own parallelism)
+    pass through unchanged."""
     want = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < want:
+    files = df.inputFiles()
+    if files and len(files) < want:
         return df.repartition(want)
     return df
 

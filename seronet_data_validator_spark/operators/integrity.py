@@ -218,6 +218,7 @@ def consistency_violations(
     all_must_match_value: str,
     any_must_match_value: str,
     scope: Column | None = None,
+    declared: DataFrame | None = None,
 ) -> DataFrame:
     """C19 compare_tests (Validation_Rules.py:64-119): per-group semantic
     consistency between a declared status and observed per-row classes.
@@ -240,7 +241,17 @@ def consistency_violations(
 
     ``observed_class`` must evaluate to the same value domain as
     ``declared_col``. Violations carry the cross-table row_ref sentinel '-5'
-    (the reference's submission-level Row_Index)."""
+    (the reference's submission-level Row_Index).
+
+    ``declared`` closes the missing-group blind spot: the reference's
+    "missing test" case (Validation_Rules.py:80-84) fires for participants
+    with NO observation rows at all — groups that an inner-joined ``df``
+    cannot contain. Pass the declared-side table (one row per expected
+    group, keyed on ``group_col``) and those absent groups emit
+    ``C19.missing`` via a broadcast left join onto the (tiny, post-agg)
+    group aggregate. Without it, only groups whose rows are ALL out of
+    ``scope`` can fire the missing branch — that caller contract must then
+    guarantee every declared group has at least one row in ``df``."""
     in_scope = scope if scope is not None else F.lit(True)
     decl = F.col(declared_col)
     cls = observed_class
@@ -256,6 +267,15 @@ def consistency_violations(
             F.when(in_scope & (decl == any_must_match_value) & (cls == any_must_match_value), one).otherwise(0)
         ).alias("_n_any_ok"),
     )
+    if declared is not None:
+        # declared-side outer: a group with zero observation rows joins to
+        # nothing → its counts coalesce to 0 and C19.missing fires. Both
+        # sides are one-row-per-group (post-agg), so this join is tiny
+        # relative to the input scan regardless of input size.
+        groups = declared.select(group_col).dropDuplicates([group_col])
+        agg = groups.join(agg, group_col, "left").na.fill(
+            0, ["_n_scope", "_n_all", "_n_all_ok", "_n_any", "_n_any_ok"]
+        )
     key = F.col(group_col)
 
     def viol(cond: Column, rule_id: str, message: Column) -> DataFrame:

@@ -208,9 +208,13 @@ def validate_clips(
     if output_root:
         (
             # W1/S5: the reference writes error files sorted by Row_Index
-            # (File_Submission_Object.py:796-799); sortWithinPartitions keeps
+            # (File_Submission_Object.py:796-799) — NUMERICALLY ("2" before
+            # "10"); try_cast orders numeric refs as longs with non-numeric
+            # refs after, lexicographic within. sortWithinPartitions keeps
             # the sort shuffle-free (per output file, not global).
-            real_violations.sortWithinPartitions("row_ref")
+            real_violations.sortWithinPartitions(
+                F.col("row_ref").try_cast("long").asc_nulls_last(), "row_ref"
+            )
             .write.mode("overwrite")
             .partitionBy(partition_column)
             .parquet(os.path.join(output_root, "violations", run_id))

@@ -28,8 +28,9 @@ def jdbc_gap_fill(
     num_partitions: int = 8,
     lower_bound: int | None = None,
     upper_bound: int | None = None,
+    max_keys_per_query: int = 10_000,
     dry_run: bool = False,
-) -> DataFrame | dict:
+) -> DataFrame | dict | list[dict]:
     """Pull rows of ``table`` whose ``key_column`` is in ``keys`` over JDBC.
 
     The IN-filter is folded into the ``dbtable`` subquery so it executes
@@ -38,18 +39,43 @@ def jdbc_gap_fill(
     With ``partition_column`` + bounds the read fans out to
     ``num_partitions`` parallel connections.
 
-    ``dry_run=True`` returns the reader options dict instead of connecting
-    (sandbox has no JDBC driver)."""
-    quoted = ", ".join("'" + str(k).replace("'", "''") + "'" for k in keys)
-    subquery = f"(SELECT * FROM {table} WHERE {key_column} IN ({quoted})) AS gap_fill"
-    options: dict[str, str] = {"url": url, "dbtable": subquery}
-    if partition_column is not None:
-        options.update(
-            partitionColumn=partition_column,
-            numPartitions=str(num_partitions),
-            lowerBound=str(lower_bound if lower_bound is not None else 0),
-            upperBound=str(upper_bound if upper_bound is not None else 1_000_000),
+    An empty ``keys`` list raises (``WHERE key IN ()`` is invalid SQL on
+    most databases); key lists beyond ``max_keys_per_query`` are chunked
+    into multiple database-side-filtered pulls unioned Spark-side, so no
+    single statement exceeds the database's statement-length limit. (At the
+    extreme — millions of keys — stage the keys as a temp table and join
+    database-side instead; that is a deployment concern, noted here.)
+
+    ``dry_run=True`` returns the reader options dict (or a list of dicts,
+    one per chunk) instead of connecting (sandbox has no JDBC driver)."""
+    if not keys:
+        raise ValueError(
+            "jdbc_gap_fill requires at least one key: 'WHERE {0} IN ()' is "
+            "invalid SQL — skip the gap-fill when there is nothing to fill".format(key_column)
         )
+
+    def _options(chunk: list[str]) -> dict[str, str]:
+        quoted = ", ".join("'" + str(k).replace("'", "''") + "'" for k in chunk)
+        subquery = f"(SELECT * FROM {table} WHERE {key_column} IN ({quoted})) AS gap_fill"
+        opts: dict[str, str] = {"url": url, "dbtable": subquery}
+        if partition_column is not None:
+            opts.update(
+                partitionColumn=partition_column,
+                numPartitions=str(num_partitions),
+                lowerBound=str(lower_bound if lower_bound is not None else 0),
+                upperBound=str(upper_bound if upper_bound is not None else 1_000_000),
+            )
+        return opts
+
+    chunks = [
+        list(keys[i : i + max_keys_per_query])
+        for i in range(0, len(keys), max_keys_per_query)
+    ]
+    all_options = [_options(c) for c in chunks]
     if dry_run:
-        return options
-    return spark.read.format("jdbc").options(**options).load()
+        return all_options[0] if len(all_options) == 1 else all_options
+    dfs = [spark.read.format("jdbc").options(**o).load() for o in all_options]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
