@@ -580,9 +580,15 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_clips_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship engine pass on a deterministic synthetic clips table (audio
-    pandas-UDF invariants are non-SQL-expressible → rows-only oracle)."""
-    from seronet_data_validator_spark.runner import validate_clips
+    pandas-UDF invariants are non-SQL-expressible → rows-only oracle). Runs
+    the FULL lifecycle including the step-6 stages (reference
+    Data_Validation_v1.py:185-186): C17 presence vs the reference table,
+    C19 per-site declared-codec consistency (site '99' declared but absent
+    → C19.missing), C20 suppression against a prior violation table
+    (codec_x9 already reported → not re-reported)."""
+    from seronet_data_validator_spark.runner import SiteConsistencySpec, validate_clips
     from seronet_data_validator_spark.sources.clips import (
+        SITES,
         codec_registry_df,
         generate_clips,
         reference_clips,
@@ -590,12 +596,22 @@ def q_clips_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = 500
     clips = generate_clips(spark, n, seed=43, bad=True)
+    declared = spark.createDataFrame(
+        [(s, "pcm_s16le") for s in SITES] + [("99", "pcm_s16le")],
+        "site string, declared_codec string",
+    )
+    prior = spark.createDataFrame(
+        [("codec", "codec_x9")], "column_name string, column_value string"
+    )
     res = validate_clips(
         spark,
         clips,
         codec_registry=codec_registry_df(spark),
         reference_clips=reference_clips(spark, n, seed=43),
         run_id="entry",
+        prior_violations=prior,
+        site_consistency=SiteConsistencySpec(declared=declared),
+        run_presence_pass=True,
     )
     return res.violations
 

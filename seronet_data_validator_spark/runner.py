@@ -34,9 +34,13 @@ from seronet_data_validator_spark.model import (
 )
 from seronet_data_validator_spark.operators.audio import audio_violations
 from seronet_data_validator_spark.operators.integrity import (
+    consistency_violations,
     count_reconciliation_violations,
     duplicate_id_violations,
+    presence_matrix,
+    presence_violations,
     referential_violations,
+    suppressed_referential_violations,
 )
 from seronet_data_validator_spark.plans.compile import compile_ruleset, dedup_violations
 from seronet_data_validator_spark.plans.rules import (
@@ -46,6 +50,28 @@ from seronet_data_validator_spark.plans.rules import (
 )
 from seronet_data_validator_spark.rulesets import clips_ruleset
 from seronet_data_validator_spark.schema import schema_contract_violations
+
+
+@dataclass
+class SiteConsistencySpec:
+    """C19 clips analog (reference compare_tests, Validation_Rules.py:64-119,
+    lifecycle step 6 at Data_Validation_v1.py:185-186): per-group semantic
+    consistency between a DECLARED per-site attribute and the clips actually
+    observed for that site.
+
+    ``declared`` holds one row per expected group: (group_col, declared_col).
+    The default policy is the reference's "any must match": a site declaring
+    codec X must contain at least one clip with codec X; a declared site with
+    NO clips at all emits C19.missing. ``all_must_match_value`` opts a
+    declared value into the stricter every-row policy (the reference's
+    prior-Negative branch)."""
+
+    declared: DataFrame
+    group_col: str = "site"
+    declared_col: str = "declared_codec"
+    observed_col: str = "codec"
+    all_must_match_value: str = "__all_policy_unused__"
+    any_must_match_value: str = "pcm_s16le"
 
 
 @dataclass
@@ -74,8 +100,27 @@ def validate_clips(
     output_root: str | None = None,
     run_audio_pass: bool = True,
     audio_force_full_decode: bool = False,
+    prior_violations: DataFrame | None = None,
+    site_consistency: SiteConsistencySpec | None = None,
+    run_presence_pass: bool = False,
 ) -> ValidationResult:
-    """Full validation lifecycle over a clips DataFrame."""
+    """Full validation lifecycle over a clips DataFrame.
+
+    Optional step-6 stages (the reference's cross-sheet + compare_tests
+    block, Data_Validation_v1.py:185-186):
+
+    * ``prior_violations`` — C20 check_map_ids: the codec referential check
+      becomes the SUPPRESSED variant (candidates already reported in the
+      given violation table are not re-reported; the
+      violations-table-as-join-input pattern,
+      File_Submission_Object.py:758-784).
+    * ``site_consistency`` — C19 compare_tests clips analog: per-site
+      declared-vs-observed codec consistency, including C19.missing for
+      declared sites with zero clips.
+    * ``run_presence_pass`` — C17 cross-table presence vs
+      ``reference_clips``: clip ids absent from the reference → Error
+      (orphan), reference ids with no clip row → Warning (childless).
+    """
     rs = ruleset or clips_ruleset()
 
     # (1) schema contract — metadata-only, gates like the reference's
@@ -122,7 +167,7 @@ def validate_clips(
     # INSIDE the fused rule pass — zero extra scans of the fact table, no
     # join stage. Big registries keep the broadcast anti-join operator.
     registry_inlined = False
-    if codec_registry is not None:
+    if codec_registry is not None and prior_violations is None:
         keys = codec_registry.select("codec").limit(10_001).collect()
         if len(keys) <= 10_000:
             inlined = RuleSet(table_name=rs.table_name, row_ref_column=rs.row_ref_column)
@@ -145,18 +190,79 @@ def validate_clips(
     dup = duplicate_id_violations(clips, rs.row_ref_column, rs.table_name)
     parts.append(_with_null_part(dup, partition_column))
     if codec_registry is not None and not registry_inlined:
-        # keep_columns: attribute each orphan to its real partition, exactly
-        # like the inlined-isin path does via the fused pass — verdicts must
-        # not depend on which C15 strategy the registry size selected
-        ref_v = referential_violations(
-            clips, codec_registry, "codec", rs.table_name,
-            registry_name="codec_registry", row_ref_column=rs.row_ref_column,
-            keep_columns=(partition_column,),
-        )
-        parts.append(ref_v)
+        if prior_violations is not None:
+            # C20: referential with suppression — keys already reported in
+            # the prior violation table are not re-reported. Table-level
+            # (submission-scope) like the reference's map-ids check, so the
+            # NULL-partition sentinel applies.
+            sv = suppressed_referential_violations(
+                clips, codec_registry, "codec", rs.table_name,
+                prior_violations, registry_name="codec_registry",
+                row_ref_column=rs.row_ref_column,
+            )
+            parts.append(_with_null_part(sv, partition_column))
+        else:
+            # keep_columns: attribute each orphan to its real partition,
+            # exactly like the inlined-isin path does via the fused pass —
+            # verdicts must not depend on which C15 strategy the registry
+            # size selected
+            ref_v = referential_violations(
+                clips, codec_registry, "codec", rs.table_name,
+                registry_name="codec_registry", row_ref_column=rs.row_ref_column,
+                keep_columns=(partition_column,),
+            )
+            parts.append(ref_v)
     if manifest is not None:
         cnt = count_reconciliation_violations(clips, manifest, partition_column, rs.table_name)
         parts.append(_with_null_part(cnt, partition_column))
+
+    # C17: clips-vs-reference presence (one union + one groupBy-presence agg
+    # regardless of table count — no outer-join chain).
+    if run_presence_pass and reference_clips is not None:
+        m = presence_matrix(
+            {
+                "clips": clips.select(rs.row_ref_column),
+                "reference": reference_clips.select(rs.row_ref_column),
+            },
+            rs.row_ref_column,
+        )
+        pv = presence_violations(
+            m, rs.row_ref_column, child="clips", parent="reference",
+            child_missing_severity=SEVERITY_WARNING,
+        )
+        parts.append(_with_null_part(pv, partition_column))
+
+    # C19: per-site declared-vs-observed consistency (one conditional
+    # groupBy agg + a tiny declared-side outer join for missing groups).
+    if site_consistency is not None:
+        sc = site_consistency
+        obs = clips.select(sc.group_col, sc.observed_col).join(
+            F.broadcast(sc.declared), sc.group_col, "inner"
+        )
+        cv = consistency_violations(
+            obs,
+            group_col=sc.group_col,
+            declared_col=sc.declared_col,
+            observed_class=F.col(sc.observed_col),
+            table_name=rs.table_name,
+            all_must_match_value=sc.all_must_match_value,
+            any_must_match_value=sc.any_must_match_value,
+            declared=sc.declared,
+        )
+        if sc.group_col == partition_column:
+            # the group IS the partition — attribute mismatch violations to
+            # it so per-partition verdicts fail exactly the offending site.
+            # C19.missing stays on the NULL (global) partition: a declared
+            # site with zero clips has no verdict row of its own, so only a
+            # global error makes the run fail.
+            cv = cv.select(
+                F.when(F.col("rule_id") != "C19.missing", F.col("column_value"))
+                .alias(partition_column),
+                "*",
+            )
+            parts.append(cv)
+        else:
+            parts.append(_with_null_part(cv, partition_column))
 
     # (5) audio invariant pass (Arrow pandas UDF) — narrow, partition-parallel.
     if run_audio_pass and "bytes" in clips.columns:

@@ -112,6 +112,95 @@ def test_dup_message_carries_count(bad_result):
     assert "3 times" in msg
 
 
+@pytest.fixture(scope="module")
+def full_lifecycle_result(spark):
+    """Bad fixture with the step-6 stages wired in (reference lifecycle
+    Data_Validation_v1.py:185-186): C17 presence vs reference, C19 per-site
+    declared-codec consistency, C20 suppression against prior violations."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from seronet_data_validator_spark.runner import SiteConsistencySpec
+    from seronet_data_validator_spark.sources.clips import SITES
+
+    clips = generate_clips(spark, N, seed=43, bad=True).cache()
+    declared = spark.createDataFrame(
+        [(s, "pcm_s16le") for s in SITES] + [("99", "pcm_s16le")],
+        "site string, declared_codec string",
+    )
+    prior = spark.createDataFrame(
+        [("codec", "codec_x9")], "column_name string, column_value string"
+    )
+    res = validate_clips(
+        spark, clips,
+        codec_registry=codec_registry_df(spark),
+        reference_clips=reference_clips(spark, N, seed=43),
+        run_id="full-run",
+        prior_violations=prior,
+        site_consistency=SiteConsistencySpec(declared=declared),
+        run_presence_pass=True,
+    )
+    res.violations.cache()
+    return res
+
+
+def test_full_lifecycle_golden_counts(full_lifecycle_result):
+    """The wired step-6 stages add exactly the expected rule families on the
+    Bad fixture; the original families stay untouched except C15 → C20
+    (suppression replaces the plain referential when prior violations are
+    supplied: codec_x9 already reported → 3 of the 4 bad codecs remain)."""
+    counts = error_counts(full_lifecycle_result)
+    # original families unchanged
+    assert counts[("C3.clip_id_format", "clip_id")] == 6
+    assert counts[("C4.dup_id", "clip_id")] == 1
+    assert counts[("C9.dur_ms_range", "dur_ms")] == 2
+    assert counts[("C14.transcript_required", "transcript")] == 2
+    assert counts[("C10.transcript_text", "transcript")] == 1
+    # C20 replaces C15: codec_x9 suppressed by the prior violation table
+    assert ("C15.referential", "codec") not in counts
+    assert counts[("C20.map_id", "codec")] == 3
+    # C17: 6 BAD-IDs + the duplicated id are absent from the reference
+    assert counts[("C17.orphan", "clip_id")] == 7
+    # C19: declared site '99' has zero clips
+    assert counts[("C19.missing", "site")] == 1
+    assert not full_lifecycle_result.passed
+
+
+def test_full_lifecycle_childless_warnings(full_lifecycle_result):
+    """C17 reverse direction: the 9 reference ids whose clips were renamed
+    (6 BAD-IDs + 3 dup overwrites) have no clip row → Warning, not Error."""
+    n = (
+        full_lifecycle_result.violations
+        .where((F.col("rule_id") == "C17.childless") & (F.col("severity") == "Warning"))
+        .count()
+    )
+    assert n == 9
+
+
+def test_full_lifecycle_good_fixture_clean(spark):
+    """Good fixture with all step-6 stages on: zero Errors (prior table
+    empty, every declared site present, presence symmetric)."""
+    from seronet_data_validator_spark.model import VIOLATION_SCHEMA
+    from seronet_data_validator_spark.runner import SiteConsistencySpec
+    from seronet_data_validator_spark.sources.clips import SITES
+
+    clips = generate_clips(spark, N, seed=42, bad=False)
+    declared = spark.createDataFrame(
+        [(s, "pcm_s16le") for s in SITES], "site string, declared_codec string"
+    )
+    prior = spark.createDataFrame([], VIOLATION_SCHEMA)
+    res = validate_clips(
+        spark, clips,
+        codec_registry=codec_registry_df(spark),
+        reference_clips=reference_clips(spark, N, seed=42),
+        run_id="full-good",
+        prior_violations=prior.select("column_name", "column_value"),
+        site_consistency=SiteConsistencySpec(declared=declared),
+        run_presence_pass=True,
+    )
+    assert error_counts(res) == {}
+    assert res.passed
+
+
 def test_c15_inline_and_antijoin_paths_verdict_equivalent(spark):
     """The registry-size-selected C15 strategy (inlined isin vs broadcast
     anti-join) must not change per-partition verdicts: a bad codec in
