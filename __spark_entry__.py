@@ -469,6 +469,168 @@ def q_dictionary_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select("row_ref", "column_value", "rule_id")
 
 
+def q_not_validated_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1/C2 dependency gate (reference check_for_dependancy /
+    'Not Validated' emission, File_Submission_Object.py:267-287): the
+    n_chars number rule applies only where lang ∈ {en,de,fr}; 'zh' is an
+    exemption (no emission); any OTHER lang → severity 'Not Validated'."""
+    from seronet_data_validator_spark.plans.compile import compile_ruleset
+    from seronet_data_validator_spark.plans.rules import (
+        Precondition,
+        Rule,
+        RuleSet,
+        check_number,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    rs = RuleSet(table_name="documents", row_ref_column="doc_id")
+    rs.add(
+        Rule(
+            "C9.n_chars",
+            "n_chars",
+            check_number(lower=1, upper=1_000_000, int_only=True),
+            precondition=Precondition("lang", values=("en", "de", "fr"),
+                                      exempt_values=("zh",)),
+        )
+    )
+    v = compile_ruleset(docs, rs)
+    return v.select("row_ref", "severity", "rule_id", "column_value", "message")
+
+
+def q_parent_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 hierarchical-ID containment (reference check_if_substr,
+    File_Submission_Object.py:356-367): a derived child id must contain its
+    parent (source); every 10th doc's child id is built WITHOUT the parent
+    prefix → violation."""
+    from seronet_data_validator_spark.plans.compile import compile_ruleset
+    from seronet_data_validator_spark.plans.rules import (
+        Rule,
+        RuleSet,
+        check_parent_substr,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "child_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.lit("x"), F.col("doc_id").cast("string")),
+        ).otherwise(
+            F.concat(F.col("source"), F.lit("-"), F.col("doc_id").cast("string"))
+        ),
+    )
+    rs = RuleSet(table_name="documents", row_ref_column="doc_id")
+    rs.add(Rule("C5.child_contains_source", "child_id", check_parent_substr("source")))
+    v = compile_ruleset(docs, rs)
+    return v.select("row_ref", "column_value", "rule_id", "message")
+
+
+def q_interpretation_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 interpretation substrings (reference check_interpertation,
+    File_Submission_Object.py:387-397): text must CONTAIN one of the allowed
+    words, case-insensitively."""
+    from seronet_data_validator_spark.plans.compile import compile_ruleset
+    from seronet_data_validator_spark.plans.rules import (
+        Rule,
+        RuleSet,
+        check_interpretation,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    rs = RuleSet(table_name="documents", row_ref_column="doc_id")
+    rs.add(Rule("C7.interp", "text", check_interpretation(["data", "query", "table"])))
+    v = compile_ruleset(docs, rs)
+    return v.select("row_ref", "rule_id", "message")
+
+
+def q_duration_triplet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12 duration-triplet consistency (reference check_duration_rules +
+    compare_dates_to_curr, File_Submission_Object.py:471-517): tri-state N/A
+    linkage across (duration, unit, year), unit membership, year range.
+    Derived deterministic columns over events exercise each branch."""
+    from seronet_data_validator_spark.plans.compile import compile_ruleset
+    from seronet_data_validator_spark.plans.rules import (
+        Rule,
+        RuleSet,
+        check_duration_triplet,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id"),
+        F.col("value").alias("dur"),
+        F.col("event_type").alias("unit"),
+        F.when(F.col("event_id") % 13 == 0, F.lit("N/A"))
+        .when(F.col("event_id") % 17 == 0, F.lit("1850"))
+        .otherwise((F.lit(1990) + F.col("event_id") % 30).cast("string"))
+        .alias("yr"),
+    )
+    rs = RuleSet(table_name="events", row_ref_column="event_id")
+    rs.add(
+        Rule(
+            "C12.duration",
+            "dur",
+            check_duration_triplet("unit", "yr", units=("click", "view", "signup")),
+        )
+    )
+    v = compile_ruleset(ev, rs)
+    return v.select("row_ref", "rule_id", "message")
+
+
+def q_conditional_required(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C14 conditional-severity required-ness (reference get_missing_values'
+    'Yes: SARS-Positive' split, File_Submission_Object.py:590-622): blank
+    cells are Error when the dependent column says so, Warning otherwise —
+    severity is a per-row EXPRESSION, not a rule constant."""
+    from seronet_data_validator_spark.plans.compile import compile_ruleset
+    from seronet_data_validator_spark.plans.rules import (
+        Rule,
+        RuleSet,
+        check_required,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "maybe_text",
+        F.when(F.col("doc_id") % 5 == 0, F.lit("")).otherwise(F.col("text")),
+    )
+    rs = RuleSet(table_name="documents", row_ref_column="doc_id")
+    rs.add(
+        Rule(
+            "C14.maybe_text",
+            "maybe_text",
+            check_required(conditional_column="lang", error_when="en",
+                           warning_when="de"),
+        )
+    )
+    v = compile_ruleset(docs, rs)
+    return v.select("row_ref", "severity", "rule_id")
+
+
+def q_date_na_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 date rule with the N/A pass policy (reference check_date,
+    File_Submission_Object.py:399-431): 'N/A' cells are in-policy and skip
+    validation; unparseable strings are Errors; parseable dates are range
+    checked against fixed bounds."""
+    from seronet_data_validator_spark.plans.compile import compile_ruleset
+    from seronet_data_validator_spark.plans.rules import Rule, RuleSet, check_date
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id"),
+        F.when(F.col("event_id") % 7 == 0, F.lit("N/A"))
+        .when(F.col("event_id") % 11 == 0, F.lit("not-a-date"))
+        .otherwise(F.date_format("ts", "yyyy-MM-dd"))
+        .alias("maybe_date"),
+    )
+    rs = RuleSet(table_name="events", row_ref_column="event_id")
+    rs.add(
+        Rule(
+            "C8.maybe_date",
+            "maybe_date",
+            check_date(lower="1900-01-01", upper="2030-01-01", na_allowed=True),
+        )
+    )
+    v = compile_ruleset(ev, rs)
+    return v.select("row_ref", "rule_id", "column_value", "message")
+
+
 _DRIFT_EDGES = [5.0, 12.0, 19.0, 26.0, 36.0, 47.0, 62.0, 83.0, 112.0]
 
 
@@ -654,6 +816,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suppressed_orphans": q_suppressed_orphans,
         "presence_violations": q_presence_violations,
         "dictionary_check": q_dictionary_check,
+        "not_validated_gate": q_not_validated_gate,
+        "parent_containment": q_parent_containment,
+        "interpretation_check": q_interpretation_check,
+        "duration_triplet": q_duration_triplet,
+        "conditional_required": q_conditional_required,
+        "date_na_policy": q_date_na_policy,
         "windowed_drift": q_windowed_drift,
         "corpus_curation": q_corpus_curation,
         "fingerprints": q_fingerprints,
@@ -1015,6 +1183,76 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE lang IS NOT NULL AND lang <> '' AND lang <> 'N/A'
               AND lang NOT IN ('en', 'es', 'de', 'fr')
+        """,
+        "not_validated_gate": """
+            SELECT CAST(doc_id AS VARCHAR) AS row_ref,
+                   'Not Validated' AS severity,
+                   'C9.n_chars' AS rule_id,
+                   CAST(n_chars AS VARCHAR) AS column_value,
+                   'Unable to validate n_chars: dependent column lang = '
+                     || lang || ' (needs [''en'', ''de'', ''fr''])' AS message
+            FROM documents
+            WHERE lang NOT IN ('en', 'de', 'fr')
+              AND NOT (lang IS NULL OR lang = '' OR lang = 'zh')
+        """,
+        "parent_containment": """
+            SELECT CAST(doc_id AS VARCHAR) AS row_ref,
+                   'x' || CAST(doc_id AS VARCHAR) AS column_value,
+                   'C5.child_contains_source' AS rule_id,
+                   'Child ID x' || CAST(doc_id AS VARCHAR)
+                     || ' does not contain parent source ' || source AS message
+            FROM documents WHERE doc_id % 10 = 0
+        """,
+        "interpretation_check": """
+            SELECT CAST(doc_id AS VARCHAR) AS row_ref,
+                   'C7.interp' AS rule_id,
+                   'Value ' || text
+                     || ' must contain one of [''data'', ''query'', ''table'']'
+                     AS message
+            FROM documents
+            WHERE text IS NOT NULL AND text <> ''
+              AND NOT (lower(text) LIKE '%data%'
+                       OR lower(text) LIKE '%query%'
+                       OR lower(text) LIKE '%table%')
+        """,
+        "duration_triplet": """
+            WITH t AS (
+                SELECT event_id, value AS dur, event_type AS unit,
+                       CASE WHEN event_id % 13 = 0 THEN 'N/A'
+                            WHEN event_id % 17 = 0 THEN '1850'
+                            ELSE CAST(1990 + event_id % 30 AS VARCHAR)
+                       END AS yr
+                FROM events
+            )
+            SELECT CAST(event_id AS VARCHAR) AS row_ref,
+                   'C12.duration' AS rule_id,
+                   'Duration/unit/year must be all N/A or none N/A' AS message
+            FROM t WHERE yr = 'N/A'
+            UNION ALL
+            SELECT CAST(event_id AS VARCHAR), 'C12.duration',
+                   'Duration unit ' || unit
+                     || ' not in [''click'', ''signup'', ''view'']'
+            FROM t WHERE yr <> 'N/A' AND unit NOT IN ('click', 'signup', 'view')
+            UNION ALL
+            SELECT CAST(event_id AS VARCHAR), 'C12.duration',
+                   'Year ' || yr || ' out of range'
+            FROM t WHERE yr <> 'N/A'
+              AND CAST(yr AS INT) NOT BETWEEN 1900 AND year(current_date)
+        """,
+        "conditional_required": """
+            SELECT CAST(doc_id AS VARCHAR) AS row_ref,
+                   CASE WHEN lang = 'en' THEN 'Error'
+                        WHEN lang = 'de' THEN 'Warning'
+                        ELSE 'Warning' END AS severity,
+                   'C14.maybe_text' AS rule_id
+            FROM documents WHERE doc_id % 5 = 0
+        """,
+        "date_na_policy": """
+            SELECT CAST(event_id AS VARCHAR) AS row_ref,
+                   'C8.maybe_date' AS rule_id,
+                   'not-a-date' AS column_value,
+                   'Value not-a-date is not a parseable date' AS message
+            FROM events WHERE event_id % 11 = 0 AND event_id % 7 <> 0
         """,
         "windowed_drift": _drift_oracle_sql(),
         "corpus_curation": """
