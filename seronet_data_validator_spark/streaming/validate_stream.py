@@ -19,8 +19,8 @@ checkpoint.
 from __future__ import annotations
 
 import os
+import shutil
 
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -34,6 +34,26 @@ from seronet_data_validator_spark.rulesets import clips_ruleset
 from seronet_data_validator_spark.sources.clips import CLIPS_SCHEMA
 
 
+def _seen_snapshots(seen_root: str) -> list[int]:
+    """Batch ids of existing seen-key snapshots (``snap=<id>`` dirs).
+    Driver-side local-FS listing; on a real deployment the seen-key log is
+    an Iceberg table and snapshots are table snapshots — the listing becomes
+    a metadata call. In-flight ``snap=<id>.tmp`` dirs are ignored (their
+    name fails the int parse) so a crash mid-compaction is invisible."""
+    try:
+        names = os.listdir(seen_root)
+    except FileNotFoundError:
+        return []
+    out = []
+    for n in names:
+        if n.startswith("snap="):
+            try:
+                out.append(int(n.split("=", 1)[1]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
 def stream_validate_clips(
     spark: SparkSession,
     input_path: str,
@@ -43,12 +63,26 @@ def stream_validate_clips(
     codec_registry: DataFrame | None = None,
     trigger_available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    compact_seen_keys_every: int = 16,
 ):
     """Continuously validate clip files landing in ``input_path``.
 
-    Returns the StreamingQuery. Violations append to
-    ``<output_root>/violations_stream`` parquet; the stream checkpoint lives
-    at ``<output_root>/_checkpoint`` (exactly-once per micro-batch).
+    Returns the StreamingQuery. Violations are written to
+    ``<output_root>/violations_stream`` parquet partitioned by batch_id with
+    DYNAMIC partition overwrite — a replayed micro-batch (at-least-once
+    foreachBatch) overwrites its own partition instead of appending a second
+    copy, making the violation output exactly-once. The stream checkpoint
+    lives at ``<output_root>/_checkpoint``.
+
+    The cross-batch uniqueness key log is COMPACTED every
+    ``compact_seen_keys_every`` batches: tail files (one per batch) are
+    folded into a single ``snap=<batch_id>`` snapshot keyed on the id with
+    its FIRST batch_id (so the replay guard ``batch_id < current`` keeps
+    working), older snapshots and tail files are removed. Per-batch read
+    volume is therefore bounded — one snapshot + at most
+    ``compact_seen_keys_every`` tail files — instead of growing with stream
+    lifetime. (Production: the log is a bucketed Iceberg table and the
+    compaction is a rewrite_data_files snapshot commit.)
     """
     rs = ruleset or clips_ruleset()
     reader = spark.readStream.schema(CLIPS_SCHEMA)
@@ -57,7 +91,8 @@ def stream_validate_clips(
     stream = reader.parquet(input_path)
 
     viol_path = os.path.join(output_root, "violations_stream")
-    seen_path = os.path.join(output_root, "seen_keys")
+    seen_root = os.path.join(output_root, "seen_keys")
+    seen_tail = os.path.join(seen_root, "tail")
     seen_schema = f"{rs.row_ref_column} string, batch_id long"
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -68,26 +103,25 @@ def stream_validate_clips(
         parts.append(duplicate_id_violations(batch_df, rs.row_ref_column, rs.table_name))
         # cross-batch uniqueness: duplicate_id_violations above only sees THIS
         # micro-batch; a key that arrived in an earlier batch would silently
-        # pass. The compact key log (id, batch_id) makes uniqueness global:
-        # anti-state lookups join on the key only — at scale this is the
-        # foreachBatch analog of dropDuplicatesWithinWatermark state, but
-        # durable across restarts. The batch_id < current filter keeps batch
+        # pass. The key log (id, batch_id) makes uniqueness global: the read
+        # is the LATEST snapshot plus the post-snapshot tail — bounded, not
+        # O(stream history). The batch_id < current filter keeps batch
         # replays (at-least-once foreachBatch) from flagging a batch against
-        # its own earlier append.
-        # only a genuinely-absent log (first batch ever) may be skipped; any
-        # OTHER read failure (corrupt file, permissions, schema drift) must
-        # surface — swallowing it would silently disable global uniqueness
-        # for every batch from then on
-        try:
+        # its own earlier append; snapshots preserve each key's FIRST
+        # batch_id so the guard survives compaction.
+        read_paths = []
+        snaps = _seen_snapshots(seen_root)
+        if snaps:
+            read_paths.append(os.path.join(seen_root, f"snap={snaps[-1]}"))
+        if os.path.isdir(seen_tail):
+            read_paths.append(seen_tail)
+        prior_keys = None
+        if read_paths:
             prior_keys = (
-                sp.read.schema(seen_schema).parquet(seen_path)
+                sp.read.schema(seen_schema).parquet(*read_paths)
                 .where(F.col("batch_id") < batch_id)
                 .select(rs.row_ref_column).dropDuplicates([rs.row_ref_column])
             )
-        except AnalysisException as e:
-            if "PATH_NOT_FOUND" not in str(e):
-                raise
-            prior_keys = None
         if prior_keys is not None:
             key = F.col(rs.row_ref_column)
             cross = (
@@ -120,9 +154,14 @@ def stream_validate_clips(
         for i, p in enumerate(parts[1:], start=1):
             v = v.unionByName(p.withColumn("_ord", F.lit(i)))
         v = dedup_violations(v, order_col="_ord")
+        # partitioned by batch_id + dynamic overwrite: a replayed batch
+        # overwrites ITS OWN partition only — exactly-once output under
+        # at-least-once foreachBatch execution
         (
             v.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(viol_path)
         )
         # append this batch's keys to the log AFTER the violation write so a
@@ -133,8 +172,36 @@ def stream_validate_clips(
                 F.lit(batch_id).cast("long").alias("batch_id"),
             )
             .write.mode("append")
-            .parquet(seen_path)
+            .parquet(seen_tail)
         )
+        # periodic compaction: fold snapshot + tail into ONE new snapshot
+        # (key → first batch_id), then drop superseded snapshots and tail
+        # files. Crash windows are safe: the .tmp dir is invisible to the
+        # reader until the atomic rename, a stale older snapshot is simply
+        # not the max, and un-deleted tail files only re-supply rows the
+        # snapshot already holds (dropDuplicates on read absorbs them).
+        if compact_seen_keys_every and batch_id > 0 and batch_id % compact_seen_keys_every == 0:
+            src = []
+            snaps = _seen_snapshots(seen_root)
+            if snaps:
+                src.append(os.path.join(seen_root, f"snap={snaps[-1]}"))
+            if os.path.isdir(seen_tail):
+                src.append(seen_tail)
+            if src:
+                compacted = (
+                    sp.read.schema(seen_schema).parquet(*src)
+                    .groupBy(rs.row_ref_column)
+                    .agg(F.min("batch_id").alias("batch_id"))
+                )
+                tmp = os.path.join(seen_root, f"snap={batch_id}.tmp")
+                final = os.path.join(seen_root, f"snap={batch_id}")
+                shutil.rmtree(tmp, ignore_errors=True)
+                compacted.write.mode("overwrite").parquet(tmp)
+                os.rename(tmp, final)
+                for s in snaps:
+                    shutil.rmtree(os.path.join(seen_root, f"snap={s}"),
+                                  ignore_errors=True)
+                shutil.rmtree(seen_tail, ignore_errors=True)
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

@@ -35,6 +35,12 @@ def test_stream_validate_clips(spark, tmp_path):
     assert counts["C4.dup_id"] == 1
     assert counts["C15.referential"] == 4
 
+    # violations land partitioned by batch_id (dynamic overwrite → a
+    # replayed micro-batch overwrites its own partition, not appends)
+    viol_parts = [n for n in os.listdir(os.path.join(out, "violations_stream"))
+                  if n.startswith("batch_id=")]
+    assert viol_parts, "violations_stream must be partitioned by batch_id"
+
     # exactly-once: restarting the stream over the same files adds nothing
     q2 = stream_validate_clips(spark, inp, out, codec_registry=codec_registry_df(spark))
     q2.awaitTermination(60)
@@ -61,6 +67,41 @@ def test_cross_batch_duplicate_detected(spark, tmp_path):
     cross = viols.where(F.col("rule_id") == "C4.cross_batch_dup")
     assert cross.count() == 5
     assert "earlier micro-batch" in cross.first()["message"]
+
+
+def test_seen_key_log_compaction_bounded(spark, tmp_path):
+    """54 single-file micro-batches with compaction every 8: the seen-key
+    log must end as ONE snapshot + a tail bounded by the compaction
+    interval — per-batch read volume stays O(interval), not O(history) —
+    while still holding every key ever seen. Violations land partitioned by
+    batch_id (dynamic overwrite → replay-idempotent)."""
+    import glob
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    clips = generate_clips(spark, 216, seed=5)
+    clips.repartition(54).write.parquet(inp)
+    n_ids = clips.select("clip_id").distinct().count()
+
+    q = stream_validate_clips(
+        spark, inp, out, max_files_per_trigger=1, compact_seen_keys_every=8,
+    )
+    q.awaitTermination(600)
+
+    seen_root = os.path.join(out, "seen_keys")
+    snaps = [n for n in os.listdir(seen_root)
+             if n.startswith("snap=") and not n.endswith(".tmp")]
+    assert len(snaps) == 1, f"exactly one live snapshot expected, got {snaps}"
+    tail_files = glob.glob(os.path.join(seen_root, "tail", "*.parquet"))
+    assert len(tail_files) <= 8, (
+        f"tail must be bounded by the compaction interval, got {len(tail_files)}"
+    )
+    # no key lost across compactions
+    paths = [os.path.join(seen_root, snaps[0])]
+    if tail_files:
+        paths.append(os.path.join(seen_root, "tail"))
+    log = spark.read.schema("clip_id string, batch_id long").parquet(*paths)
+    assert log.select("clip_id").distinct().count() == n_ids
 
 
 def test_windowed_event_counts_matches_batch(spark):
