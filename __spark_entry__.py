@@ -740,6 +740,30 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(clips)
 
 
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal image pass: native numpy decode of uncompressed public
+    formats (PPM P6 / 24-bit BMP) → (width, height, mean_luma); a PNG row
+    exercises the honest stub boundary (NULL features). Binary fixtures are
+    built driver-side deterministically → rows-only oracle."""
+    import numpy as np
+
+    from seronet_data_validator_spark.operators.multimodal import (
+        bmp_bytes,
+        image_features,
+        ppm_bytes,
+    )
+
+    rows = []
+    for i in range(60):
+        w, h = 4 + i % 5, 3 + i % 4
+        rgb = ((np.arange(h * w * 3).reshape(h, w, 3) * (i + 1)) % 256).astype("uint8")
+        enc = ppm_bytes if i % 2 == 0 else bmp_bytes
+        rows.append((f"img{i:03d}", bytearray(enc(rgb))))
+    rows.append(("img_png", bytearray(b"\x89PNG\r\n\x1a\n fake")))
+    images = spark.createDataFrame(rows, "item_id string, bytes binary")
+    return image_features(images)
+
+
 def q_clips_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship engine pass on a deterministic synthetic clips table (audio
     pandas-UDF invariants are non-SQL-expressible → rows-only oracle). Runs
@@ -829,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_search": q_ivf_search,
         "minhash_neardup": q_minhash_neardup,
         "audio_features": q_audio_features,
+        "image_features": q_image_features,
         "clips_validation": q_clips_validation,
     }
 

@@ -10,7 +10,9 @@ partitioning and batch shape are the real 100 TB plumbing. Decoders for
 formats whose libraries are not in this container are STUBBED behind a
 clearly-marked NotImplementedError, as permitted by the build brief.
 
-Audio is fully real (RIFF/WAV PCM16 parse in numpy — public spec).
+Audio is fully real (RIFF/WAV PCM16 parse in numpy — public spec), as is
+image decode for the uncompressed public formats (PPM P6, 24-bit BI_RGB
+BMP); only compressed image/video codecs remain stubbed.
 """
 
 from __future__ import annotations
@@ -180,30 +182,124 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def ppm_bytes(rgb: np.ndarray) -> bytes:
+    """Minimal binary PPM (P6, maxval 255) encoder — public netpbm spec.
+    ``rgb`` is (height, width, 3) uint8. Deterministic fixture source for
+    the decode path below."""
+    h, w, _ = rgb.shape
+    return f"P6\n{w} {h}\n255\n".encode() + rgb.astype(np.uint8).tobytes()
+
+
+def bmp_bytes(rgb: np.ndarray) -> bytes:
+    """Minimal uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB) encoder —
+    public spec: bottom-up rows, BGR order, rows padded to 4 bytes."""
+    import struct
+
+    h, w, _ = rgb.shape
+    row_bytes = (w * 3 + 3) & ~3
+    img_size = row_bytes * h
+    off = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", off + img_size, 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    body = bytearray()
+    bgr = rgb[:, :, ::-1].astype(np.uint8)
+    pad = b"\x00" * (row_bytes - w * 3)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        body += bgr[y].tobytes() + pad
+    return hdr + dib + bytes(body)
+
+
+def _decode_image(b: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode an UNCOMPRESSED image buffer → (width, height, rgb uint8
+    array). Pure numpy over the public PPM (P6/netpbm) and BMP
+    (BITMAPINFOHEADER, 24-bit BI_RGB) layouts — no codec library.
+    Compressed formats (PNG/JPEG/...) raise NotImplementedError: their
+    codecs are not in this container; in production swap in PIL/cv2 here —
+    the Spark-side plumbing does not change."""
+    import struct
+
+    if b is None or len(b) < 2:
+        raise ValueError("empty image buffer")
+    if b[:2] == b"P6":
+        # header: P6 <ws> width <ws> height <ws> maxval <single-ws> data;
+        # '#' comments allowed between tokens
+        pos, tokens = 2, []
+        while len(tokens) < 3:
+            while pos < len(b) and b[pos : pos + 1].isspace():
+                pos += 1
+            if pos < len(b) and b[pos : pos + 1] == b"#":
+                while pos < len(b) and b[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(b) and not b[pos : pos + 1].isspace():
+                pos += 1
+            if pos == start:
+                raise ValueError("truncated PPM header")
+            tokens.append(int(b[start:pos]))
+        pos += 1  # single whitespace after maxval
+        w, h, maxval = tokens
+        if maxval != 255:
+            raise NotImplementedError("16-bit PPM not supported")
+        need = w * h * 3
+        if len(b) - pos < need:
+            raise ValueError("truncated PPM payload")
+        rgb = np.frombuffer(b, np.uint8, count=need, offset=pos).reshape(h, w, 3)
+        return w, h, rgb
+    if b[:2] == b"BM":
+        if len(b) < 54:
+            raise ValueError("truncated BMP header")
+        data_off = struct.unpack_from("<I", b, 10)[0]
+        dib_size = struct.unpack_from("<I", b, 14)[0]
+        if dib_size < 40:
+            raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+        w, h = struct.unpack_from("<ii", b, 18)
+        bits = struct.unpack_from("<H", b, 28)[0]
+        compression = struct.unpack_from("<I", b, 30)[0]
+        if bits != 24 or compression != 0:
+            raise NotImplementedError(
+                f"only uncompressed 24-bit BI_RGB BMP supported (bits={bits}, "
+                f"compression={compression})"
+            )
+        top_down = h < 0
+        h = abs(h)
+        row_bytes = (w * 3 + 3) & ~3
+        if len(b) - data_off < row_bytes * h:
+            raise ValueError("truncated BMP payload")
+        rows = np.frombuffer(b, np.uint8, count=row_bytes * h, offset=data_off)
+        rows = rows.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+        if not top_down:
+            rows = rows[::-1]
+        return w, h, rows[:, :, ::-1]  # BGR → RGB
+    raise NotImplementedError(
+        "compressed/unknown image format (codec libraries not in this "
+        "container — PPM/BMP are decoded natively)"
+    )
+
+
 def image_features(
     images: DataFrame, *, id_col: str = "item_id", bytes_col: str = "bytes"
 ) -> DataFrame:
-    """Image decode/feature plumbing. The decode itself is STUBBED — no image
-    codec library ships in this container. The Spark-side contract (schema,
-    Arrow batching, partition-parallel narrow pass) is identical to
-    audio_features; swap `_decode_image_stub` for a real decoder (PIL/cv2)
-    in production."""
+    """Image decode + features over the binary column: (width, height,
+    mean_luma) with luma = 0.299R + 0.587G + 0.114B on the 0-255 scale.
+    PPM (P6) and uncompressed 24-bit BMP decode natively (numpy over the
+    public specs); compressed formats yield NULL features (their codecs are
+    not in this container — the NotImplementedError path is the documented
+    stub boundary). The Spark-side contract (schema, Arrow batching,
+    partition-parallel narrow pass) is identical to audio_features."""
     src = images.select(id_col, bytes_col)
-
-    def _decode_image_stub(b: bytes) -> tuple[int, int, float]:
-        raise NotImplementedError(
-            "image decode requires an image codec library (PIL/cv2), "
-            "not available in this container — plumbing only"
-        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for iid, b in zip(pdf[id_col], pdf[bytes_col]):
                 try:
-                    w, h, luma = _decode_image_stub(b)
+                    w, h, rgb = _decode_image(b)
+                    luma = float(
+                        np.mean(rgb @ np.array([0.299, 0.587, 0.114], np.float64))
+                    )
                     rows.append((iid, w, h, luma))
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
                     rows.append((iid, None, None, None))
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
 

@@ -183,10 +183,35 @@ def test_audio_frame_sample_shape(spark):
     assert all(len(v) <= 4 for v in by_clip.values())
 
 
-def test_image_features_stubbed(spark):
+def test_image_features_compressed_stubbed(spark):
+    """Compressed formats stay honestly stubbed (no codec libs in this
+    container): NULL features, plumbing intact."""
     df = spark.createDataFrame([("a", b"\x89PNG fake")], "item_id string, bytes binary")
     out = image_features(df).collect()
-    assert len(out) == 1 and out[0]["width"] is None  # stub yields nulls, plumbing works
+    assert len(out) == 1 and out[0]["width"] is None
+
+
+def test_image_features_decodes_ppm_and_bmp(spark):
+    """Uncompressed public formats decode natively (numpy over the PPM P6 /
+    24-bit BI_RGB BMP specs): real (width, height, mean_luma)."""
+    import numpy as np
+
+    from seronet_data_validator_spark.operators.multimodal import bmp_bytes, ppm_bytes
+
+    rgb = np.zeros((2, 3, 3), np.uint8)
+    rgb[0, :, 0] = 255  # top row pure red
+    rgb[1, :, 2] = 255  # bottom row pure blue
+    expected_luma = (0.299 * 255 + 0.114 * 255) / 2
+    df = spark.createDataFrame(
+        [("ppm", bytearray(ppm_bytes(rgb))), ("bmp", bytearray(bmp_bytes(rgb))),
+         ("trunc", bytearray(ppm_bytes(rgb)[:-4]))],
+        "item_id string, bytes binary",
+    )
+    out = {r["item_id"]: r for r in image_features(df).collect()}
+    for k in ("ppm", "bmp"):
+        assert (out[k]["width"], out[k]["height"]) == (3, 2)
+        assert abs(out[k]["mean_luma"] - expected_luma) < 1e-6, k
+    assert out["trunc"]["width"] is None  # truncated payload → NULL, no crash
 
 
 def test_profile_and_drift(spark):
