@@ -143,23 +143,49 @@ class RunManifest:
 
         Each :meth:`commit` appends one small file; thousands of runs →
         thousands of tiny files and a slow manifest read. Call this from a
-        maintenance cadence (the production analog is an Iceberg
-        ``rewrite_data_files`` table service — Iceberg makes the swap an
-        atomic snapshot commit; on a plain filesystem we stage to a temp dir
-        and rename, with a ``.old`` fallback so a crash mid-swap loses
-        nothing readable). Returns the row count compacted."""
+        maintenance cadence. Returns the row count compacted."""
         df = self._read()
         if df is None:
             return 0
-        # materialize OFF the source files before overwriting them
-        snap = df.localCheckpoint(eager=True)
-        n = snap.count()
-        tmp = self.path + ".compact.tmp"
-        old = self.path + ".compact.old"
-        shutil.rmtree(tmp, ignore_errors=True)
-        snap.coalesce(max(1, target_files)).write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(old, ignore_errors=True)
-        os.rename(self.path, old)
-        os.rename(tmp, self.path)
-        shutil.rmtree(old, ignore_errors=True)
-        return n
+        return _compact_parquet_dir(df, self.path, target_files)
+
+
+def _compact_parquet_dir(df: DataFrame, path: str, target_files: int) -> int:
+    """Rewrite ``path`` (an append-grown parquet dir whose content is
+    ``df``) into ``target_files`` files. The production analog is an Iceberg
+    ``rewrite_data_files`` table service — Iceberg makes the swap an atomic
+    snapshot commit; on a plain filesystem we materialize off the source
+    files (localCheckpoint), stage to a temp dir and rename, with a ``.old``
+    fallback so a crash mid-swap loses nothing readable."""
+    snap = df.localCheckpoint(eager=True)
+    n = snap.count()
+    tmp = path + ".compact.tmp"
+    old = path + ".compact.old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    snap.coalesce(max(1, target_files)).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return n
+
+
+def compact_partition_verdicts(
+    spark: SparkSession, output_root: str, *, target_files: int = 1
+) -> int:
+    """Same tiny-file hygiene for the ``partition_verdicts`` table the
+    runner appends one file per run (runner.validate_clips step 8). Returns
+    the row count compacted; 0 when the table does not exist yet."""
+    from seronet_data_validator_spark.model import PARTITION_VERDICT_SCHEMA
+
+    path = os.path.join(output_root, "partition_verdicts")
+    schema = T.StructType(
+        list(PARTITION_VERDICT_SCHEMA.fields)
+    )
+    try:
+        df = spark.read.schema(schema).parquet(path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
+        return 0
+    return _compact_parquet_dir(df, path, target_files)

@@ -70,6 +70,28 @@ def test_manifest_compact_bounds_file_count(spark, tmp_path):
         assert m.prior_verdicts(f"run-{i}", ["p1"]) == {"p1": True}
 
 
+def test_partition_verdicts_compaction(spark, tmp_path):
+    """Runner appends one coalesce(1) file per run to partition_verdicts;
+    compact_partition_verdicts folds the pile into one file, contents
+    intact."""
+    from seronet_data_validator_spark.checkpoint import compact_partition_verdicts
+    from seronet_data_validator_spark.sources.clips import generate_clips
+
+    clips = generate_clips(spark, 40, seed=2)
+    for i in range(3):
+        validate_clips(spark, clips, run_id=f"r{i}", output_root=str(tmp_path),
+                       run_audio_pass=False)
+    path = os.path.join(str(tmp_path), "partition_verdicts")
+    before = glob.glob(os.path.join(path, "*.parquet"))
+    assert len(before) == 3
+    n = compact_partition_verdicts(spark, str(tmp_path))
+    after = glob.glob(os.path.join(path, "*.parquet"))
+    assert len(after) == 1
+    df = spark.read.parquet(path)
+    assert df.count() == n
+    assert df.select("run_id").distinct().count() == 3
+
+
 def test_manifest_corrupt_read_raises_not_swallows(spark, tmp_path):
     """A corrupt manifest must raise, not silently return {} (which would
     let a previously-failed dataset resume as passed)."""
