@@ -197,16 +197,21 @@ def main() -> None:
 
     # run the highest level first: the first worker stages the tables
     # (untimed), and generation parallelism follows its core count.
-    # TWO full sweeps per level (each already best-of-3 internally), keeping
-    # the per-level minimum: the host VM's background contention varies on
-    # multi-minute timescales, and a single sweep can land one level in a
-    # noisy window and silently distort the ratio.
-    results: dict[int, dict] = {}
-    for sweep in range(2):
+    # MEDIAN-OF-N protocol (default 3 full sweeps per level, each already
+    # best-of-3 timed passes inside its JVM): the host VM's background
+    # contention varies on multi-minute timescales, and a target "met" by
+    # the single best execution is not robustly met — the reported number
+    # is the per-level MEDIAN across sweeps, with every sweep disclosed.
+    n_sweeps = int(os.environ.get("SCALING_SWEEPS", "3"))
+    results_all: dict[int, list[dict]] = {c: [] for c in levels}
+    for sweep in range(n_sweeps):
         for c in sorted(levels, reverse=True):
-            r = run_level(repo, c, n_clips, stage_dir, "0")
-            if c not in results or r["sec"] < results[c]["sec"]:
-                results[c] = r
+            results_all[c].append(run_level(repo, c, n_clips, stage_dir, "0"))
+
+    def _median(rs: list[dict]) -> dict:
+        return sorted(rs, key=lambda r: r["sec"])[len(rs) // 2]
+
+    results = {c: _median(v) for c, v in results_all.items()}
     # the irreducible input-scan floor at every level: ANY validator of this
     # input must read every payload byte of both tables — the engine's
     # scaling can be read against what the pure scan itself achieves
@@ -231,6 +236,27 @@ def main() -> None:
         scan_e = eff(results_scan, lo, hi)
         pair_rows.append((lo, hi, e, hw, bw, scan_e, e / min(1.0, scan_e)))
 
+    # full disclosure: per-sweep wall/throughput per level, and the
+    # per-sweep (same-sweep lo vs hi) efficiency for each pair
+    sweep_level_table = "\n".join(
+        f"| local[{c}] | " + " | ".join(
+            f"{r['sec']:.2f}s ({r['rows_per_sec']:.0f}/s)" for r in results_all[c]
+        ) + f" | {results[c]['sec']:.2f}s |"
+        for c in levels
+    )
+    sweep_eff_rows = []
+    for lo, hi in pairs:
+        per_sweep = [
+            results_all[hi][i]["rows_per_sec"] / (4.0 * results_all[lo][i]["rows_per_sec"])
+            for i in range(n_sweeps)
+        ]
+        sweep_eff_rows.append((lo, hi, per_sweep))
+    sweep_eff_table = "\n".join(
+        f"| {lo}→{hi} | " + " | ".join(f"{e:.3f}" for e in per_sweep)
+        + f" | **{eff(results, lo, hi):.3f}** |"
+        for lo, hi, per_sweep in sweep_eff_rows
+    )
+
     level_table = "\n".join(
         f"| local[{c}] | {results[c]['sec']:.2f} | {results[c]['rows_per_sec']:.0f} "
         f"| {results_scan[c]['sec']:.2f} |"
@@ -245,9 +271,10 @@ def main() -> None:
     best_raw = max(pair_rows, key=lambda r: r[2])
     best = max(pair_rows, key=lambda r: r[6])
     raw_met = (
-        f"**the raw target is met at {best_raw[0]}→{best_raw[1]}: engine efficiency "
-        f"{best_raw[2]:.3f} ≥ 0.8** (the window where the host itself still offers "
-        f"scalable memory bandwidth), and "
+        f"**the raw target is met at {best_raw[0]}→{best_raw[1]}: MEDIAN engine "
+        f"efficiency {best_raw[2]:.3f} ≥ 0.8 across {n_sweeps} full executions** "
+        f"(the pair where the host itself still offers scalable memory "
+        f"bandwidth), and "
         if best_raw[2] >= 0.8 else ""
     )
 
@@ -263,18 +290,41 @@ join is a zero-Exchange merge join) at several `local[N]` levels in separate
 JVMs. Each level first runs one untimed full pass (long-lived executors =
 steady-state: Python workers up, codegen JITed, staged files page-cached —
 a cluster's storage bandwidth scales with executors; the sandbox's single
-local disk does not), then best-of-3 timed passes; the whole level ladder is
-swept twice (interleaved), keeping each level's minimum, and the host
-CPU/mem-BW calibrations are themselves best-of-3 — the VM's background
-contention varies on multi-minute timescales and a single noisy window
-would silently distort a ratio. The **scan floor** column
-is the same measurement for the minimal job that merely READS every payload
-byte of both tables (join + sum of lengths, zero validation work) — the
-irreducible I/O any validator of this input performs.
+local disk does not), then best-of-3 timed passes. The whole level ladder is
+swept {n_sweeps}× (interleaved), and the REPORTED number per level is the
+MEDIAN across sweeps — not the best — with every sweep disclosed below; the
+host CPU/mem-BW calibrations are themselves best-of-3. The VM's background
+contention varies on multi-minute timescales; the median-of-sweeps protocol
+is what makes the headline robust to a single quiet (or noisy) window. The
+**scan floor** column is the same measurement for the minimal job that
+merely READS every payload byte of both tables (join + sum of lengths, zero
+validation work) — the irreducible I/O any validator of this input performs
+(floor uses min-across-sweeps: it is a hardware bound, so the least-contended
+sample is the right estimator for it).
+
+**Sandbox scale ceiling:** staging is capped at ~1.5M clips — the two staged
+tables (~18 GB each) plus the bucketed write's transient sort spill must fit
+the sandbox's ~94 GB usable filesystem. Larger scale factors are not
+reachable here; beyond this point the scale-out argument rests on the
+calibration columns (each real executor brings its own memory bus and
+disks), not on bigger local runs.
 
 | parallelism | engine wall (s) | clips/sec | scan floor (s) |
 |---|---|---|---|
 {level_table}
+
+### Per-sweep disclosure (median in bold column)
+
+| parallelism | {' | '.join(f'sweep {i}' for i in range(n_sweeps))} | median |
+|---|{'---|' * n_sweeps}---|
+{sweep_level_table}
+
+| pair | {' | '.join(f'sweep {i} eff' for i in range(n_sweeps))} | median eff |
+|---|{'---|' * n_sweeps}---|
+{sweep_eff_table}
+
+Per-sweep efficiency pairs each sweep's local[N] run with the SAME sweep's
+local[4N] run (adjacent in time → same contention window).
 
 ## N→4N efficiency, against what the host itself can scale
 
@@ -320,14 +370,21 @@ Generated by `python bench_scaling.py {n_clips}` on {time.strftime('%Y-%m-%d')}.
     with open(os.path.join(repo, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     print(json.dumps({
-        "pairs": {f"{lo}->{hi}": {"efficiency": round(e, 3), "cpu_ceiling": round(hw, 3),
+        "protocol": f"median-of-{n_sweeps}-sweeps",
+        "pairs": {f"{lo}->{hi}": {"efficiency_median": round(e, 3),
+                                  "cpu_ceiling": round(hw, 3),
                                   "membw_ceiling": round(bw, 3),
                                   "scan_floor": round(se, 3),
                                   "engine_over_floor": round(en, 3)}
                   for lo, hi, e, hw, bw, se, en in pair_rows},
+        "per_sweep_efficiency": {
+            f"{lo}->{hi}": [round(e, 3) for e in per_sweep]
+            for lo, hi, per_sweep in sweep_eff_rows
+        },
         "full_decode_efficiency": round(e_full, 3),
-        "levels": {str(c): {"sec": round(results[c]["sec"], 2),
-                            "rps": round(results[c]["rows_per_sec"]),
+        "levels": {str(c): {"sec_median": round(results[c]["sec"], 2),
+                            "rps_median": round(results[c]["rows_per_sec"]),
+                            "sec_all": [round(r["sec"], 2) for r in results_all[c]],
                             "scan_sec": round(results_scan[c]["sec"], 2)} for c in levels},
     }))
 
