@@ -696,9 +696,11 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # cap the doc subset: the synthetic corpus has a tiny vocabulary, so
-    # near-dup pairs at hamming<=3 grow quadratically with doc count
+    # near-dup pairs at hamming<=3 grow quadratically with doc count.
+    # signatures_only: the banding path needs just (id, simhash) — skipping
+    # the join-back removes a join stage + a second scan of documents.
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1500)
-    return simhash_near_duplicates(simhash(docs), max_hamming=3)
+    return simhash_near_duplicates(simhash(docs, signatures_only=True), max_hamming=3)
 
 
 def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:

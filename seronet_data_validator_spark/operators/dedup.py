@@ -231,7 +231,8 @@ def minhash_dedup(
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", *, bits: int = 64, id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", *, bits: int = 64, id_col: str = "doc_id",
+    signatures_only: bool = False,
 ) -> DataFrame:
     """SimHash fingerprint (Charikar '02): per token, its 64-bit hash votes
     ±1 per bit position; fingerprint bit = sign of the vote sum. Adds
@@ -242,7 +243,12 @@ def simhash(
     side) aggregation means the shuffle carries `bits` longs per document;
     this beats a per-row array fold ~10x (the fold allocates two `bits`-long
     arrays per token) and is the layout that scales — token rows distribute
-    evenly regardless of document length skew."""
+    evenly regardless of document length skew.
+
+    ``signatures_only=True`` returns just (id, simhash) WITHOUT joining the
+    fingerprint back onto the input — the near-dup banding path only needs
+    the slim pair, and skipping the join drops a whole join stage (plus a
+    second scan of the input) from that plan."""
     toks = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
     # repartition BEFORE the explode: doc rows are far slimmer than token rows
     tok_df = _ensure_parallelism(df.select(id_col, text_col)).select(
@@ -262,6 +268,8 @@ def simhash(
             F.col(f"_v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
         ).otherwise(F.lit(0).cast("long"))
     sig = votes.select(F.col(id_col), fp.alias("simhash"))
+    if signatures_only:
+        return sig
     return df.join(sig, id_col, "left")
 
 
