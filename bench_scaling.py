@@ -324,7 +324,10 @@ disks), not on bigger local runs.
 {sweep_eff_table}
 
 Per-sweep efficiency pairs each sweep's local[N] run with the SAME sweep's
-local[4N] run (adjacent in time → same contention window).
+local[4N] run (adjacent in time → same contention window). This report is
+always the LATEST protocol execution; `BENCH/scaling_runs.jsonl` is the
+append-only record of EVERY execution (medians, per-sweep values,
+calibrations), so re-runs cannot silently select a favourable one.
 
 ## N→4N efficiency, against what the host itself can scale
 
@@ -369,7 +372,7 @@ Generated by `python bench_scaling.py {n_clips}` on {time.strftime('%Y-%m-%d')}.
     os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
     with open(os.path.join(repo, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
-    print(json.dumps({
+    summary = json.dumps({
         "protocol": f"median-of-{n_sweeps}-sweeps",
         "pairs": {f"{lo}->{hi}": {"efficiency_median": round(e, 3),
                                   "cpu_ceiling": round(hw, 3),
@@ -386,7 +389,15 @@ Generated by `python bench_scaling.py {n_clips}` on {time.strftime('%Y-%m-%d')}.
                             "rps_median": round(results[c]["rows_per_sec"]),
                             "sec_all": [round(r["sec"], 2) for r in results_all[c]],
                             "scan_sec": round(results_scan[c]["sec"], 2)} for c in levels},
-    }))
+    })
+    # append-only execution history: EVERY protocol execution is recorded, so
+    # the reported BASELINE.md (always the latest execution) can be read
+    # against the full record — no silent run selection across executions.
+    with open(os.path.join(repo, "BENCH", "scaling_runs.jsonl"), "a") as f:
+        record = {"ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                  "n_clips": n_clips, **json.loads(summary)}
+        f.write(json.dumps(record) + "\n")
+    print(summary)
 
 
 if __name__ == "__main__":

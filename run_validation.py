@@ -49,6 +49,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--run-id", required=True)
     p.add_argument("--partition-column", default="site")
     p.add_argument("--skip-audio", action="store_true", help="skip the decoded-PCM invariant pass")
+    p.add_argument("--presence-pass", action="store_true",
+                   help="C17: flag clips absent from --reference (Error) and "
+                        "reference ids with no clip (Warning)")
+    p.add_argument("--prior-violations",
+                   help="C20: prior violation table (column_name, column_value); "
+                        "codec referential check suppresses already-reported keys")
+    p.add_argument("--declared-sites",
+                   help="C19: declared-site table (site, declared_codec); each "
+                        "site must observe its declared codec, absent declared "
+                        "sites flag C19.missing")
     args = p.parse_args(argv)
 
     spark = SparkSession.getActiveSession()
@@ -57,8 +67,14 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = get_spark(app_name=f"validate-{args.run_id}")
 
-    from seronet_data_validator_spark.runner import validate_clips
+    from seronet_data_validator_spark.runner import SiteConsistencySpec, validate_clips
 
+    site_spec = None
+    if args.declared_sites:
+        site_spec = SiteConsistencySpec(
+            declared=_read(spark, args.declared_sites),
+            group_col=args.partition_column,
+        )
     res = validate_clips(
         spark,
         _read(spark, args.input),
@@ -69,6 +85,9 @@ def main(argv: list[str] | None = None) -> int:
         partition_column=args.partition_column,
         output_root=args.output_root,
         run_audio_pass=not args.skip_audio,
+        prior_violations=_read(spark, args.prior_violations) if args.prior_violations else None,
+        site_consistency=site_spec,
+        run_presence_pass=args.presence_pass,
     )
     print(
         json.dumps(

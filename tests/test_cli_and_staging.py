@@ -53,6 +53,47 @@ def test_run_validation_cli_good_and_bad(spark, tmp_path):
     assert rc_good_again == 0
 
 
+def test_run_validation_cli_step6_stages(spark, tmp_path):
+    """--presence-pass / --declared-sites / --prior-violations wire the C17 /
+    C19 / C20 lifecycle stages from the CLI."""
+    from pyspark.sql import types as T
+
+    from seronet_data_validator_spark.model import VIOLATION_SCHEMA
+
+    from seronet_data_validator_spark.sources.clips import codec_registry_df
+
+    bad = str(tmp_path / "bad.parquet")
+    ref = str(tmp_path / "ref.parquet")
+    declared = str(tmp_path / "declared.parquet")
+    prior = str(tmp_path / "prior.parquet")
+    registry = str(tmp_path / "registry.parquet")
+    generate_clips(spark, 300, seed=7, bad=True).write.parquet(bad)
+    reference_clips(spark, 300, seed=7).write.parquet(ref)
+    codec_registry_df(spark).write.parquet(registry)
+    spark.createDataFrame(
+        [("11", "pcm_s16le"), ("22", "pcm_s16le"), ("33", "pcm_s16le"),
+         ("41", "pcm_s16le"), ("99", "pcm_s16le")],
+        "site string, declared_codec string",
+    ).write.parquet(declared)
+    spark.createDataFrame(
+        [("codec", "codec_x9")], "column_name string, column_value string"
+    ).write.parquet(prior)
+
+    rc = run_validation.main(
+        ["--input", bad, "--reference", ref, "--output-root", str(tmp_path / "o"),
+         "--codec-registry", registry,
+         "--run-id", "s6", "--presence-pass", "--declared-sites", declared,
+         "--prior-violations", prior]
+    )
+    assert rc == 1
+    stored = T.StructType(list(VIOLATION_SCHEMA.fields)
+                          + [T.StructField("site", T.StringType(), True)])
+    v = spark.read.schema(stored).parquet(str(tmp_path / "o" / "violations" / "s6"))
+    rules = {r["rule_id"] for r in v.select("rule_id").distinct().collect()}
+    assert {"C17.orphan", "C19.missing", "C20.map_id"} <= rules
+    assert "C15.referential" not in rules  # C20 replaced it (suppression mode)
+
+
 @pytest.mark.usefixtures("spark")
 def test_staged_tables_join_without_exchange(spark, tmp_path):
     clips, refs = stage_clip_tables(
