@@ -181,31 +181,41 @@ def presence_violations(
     File_Submission_Object.py:722-757)."""
     c_in = F.col(f"in_{child}")
     p_in = F.col(f"in_{parent}")
-    orphan = matrix.where(c_in & ~p_in).select(
-        *_v(
-            parent_missing_severity,
-            child,
-            F.lit(ROW_REF_CROSS_TABLE),
-            id_column,
-            F.col(id_column),
-            "C17.orphan",
-            F.concat(F.lit("ID "), F.col(id_column), F.lit(f" in {child} not found in {parent}")),
-        )
-    )
+    orphan_cond = c_in & ~p_in
     if child_missing_severity is None:
-        return orphan
-    childless = matrix.where(p_in & ~c_in).select(
-        *_v(
-            child_missing_severity,
-            parent,
-            F.lit(ROW_REF_CROSS_TABLE),
-            id_column,
-            F.col(id_column),
-            "C17.childless",
-            F.concat(F.lit("ID "), F.col(id_column), F.lit(f" in {parent} has no rows in {child}")),
+        return matrix.where(orphan_cond).select(
+            *_v(
+                parent_missing_severity,
+                child,
+                F.lit(ROW_REF_CROSS_TABLE),
+                id_column,
+                F.col(id_column),
+                "C17.orphan",
+                F.concat(F.lit("ID "), F.col(id_column),
+                         F.lit(f" in {child} not found in {parent}")),
+            )
         )
+    # BOTH directions in ONE pass over the matrix (a union of two filtered
+    # branches would re-run the whole presence aggregation — the expensive
+    # part at scale — once per direction): rows where presence differs are
+    # violations; severity/rule/table/message are conditional expressions.
+    return matrix.where(c_in != p_in).select(
+        F.when(orphan_cond, F.lit(parent_missing_severity))
+        .otherwise(F.lit(child_missing_severity)).alias("severity"),
+        F.when(orphan_cond, F.lit(child)).otherwise(F.lit(parent)).alias("table_name"),
+        F.lit(ROW_REF_CROSS_TABLE).alias("row_ref"),
+        F.lit(id_column).alias("column_name"),
+        F.coalesce(F.col(id_column).cast("string"), F.lit("NULL")).alias("column_value"),
+        F.when(orphan_cond, F.lit("C17.orphan")).otherwise(F.lit("C17.childless")).alias("rule_id"),
+        F.when(
+            orphan_cond,
+            F.concat(F.lit("ID "), F.col(id_column),
+                     F.lit(f" in {child} not found in {parent}")),
+        ).otherwise(
+            F.concat(F.lit("ID "), F.col(id_column),
+                     F.lit(f" in {parent} has no rows in {child}")),
+        ).alias("message"),
     )
-    return orphan.unionByName(childless)
 
 
 def consistency_violations(
