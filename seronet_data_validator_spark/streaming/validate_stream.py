@@ -61,6 +61,7 @@ def stream_validate_clips(
     *,
     ruleset: RuleSet | None = None,
     codec_registry: DataFrame | None = None,
+    reference_clips: DataFrame | None = None,
     trigger_available_now: bool = True,
     max_files_per_trigger: int | None = None,
     compact_seen_keys_every: int = 16,
@@ -147,9 +148,22 @@ def stream_validate_clips(
                     registry_name="codec_registry", row_ref_column=rs.row_ref_column,
                 )
             )
+        # decoded-PCM invariant pass (C13a) per micro-batch: the same Arrow
+        # operator as the batch runner, joined against the static reference
+        # table — batch backfill and stream emit identical violation
+        # families for identical rows. The identity fast path applies
+        # per batch (clean rows ship ~44 B/clip).
+        if reference_clips is not None and "bytes" in batch_df.columns:
+            from seronet_data_validator_spark.operators.audio import audio_violations
+
+            parts.append(
+                audio_violations(batch_df, reference_clips,
+                                 table_name=rs.table_name,
+                                 id_column=rs.row_ref_column)
+            )
         # same first-writer-wins C22 dedup as the batch runner (pass order =
-        # rules, uniqueness, cross-batch, referential) so batch backfill and
-        # stream emit identical violation sets for identical rows
+        # rules, uniqueness, cross-batch, referential, audio) so batch
+        # backfill and stream emit identical violation sets for identical rows
         v = parts[0].withColumn("_ord", F.lit(0))
         for i, p in enumerate(parts[1:], start=1):
             v = v.unionByName(p.withColumn("_ord", F.lit(i)))

@@ -69,6 +69,27 @@ def test_cross_batch_duplicate_detected(spark, tmp_path):
     assert "earlier micro-batch" in cross.first()["message"]
 
 
+def test_stream_audio_invariant_pass(spark, tmp_path):
+    """With a static reference table, the stream runs the decoded-PCM
+    invariant pass per micro-batch — the C13a families the batch runner
+    emits appear in the streaming violations too."""
+    from seronet_data_validator_spark.sources.clips import reference_clips
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    generate_clips(spark, 200, seed=43, bad=True).write.parquet(inp)
+    q = stream_validate_clips(
+        spark, inp, out,
+        codec_registry=codec_registry_df(spark),
+        reference_clips=reference_clips(spark, 200, seed=43),
+    )
+    q.awaitTermination(120)
+    viols = spark.read.parquet(os.path.join(out, "violations_stream"))
+    rules = {r["rule_id"] for r in viols.select("rule_id").distinct().collect()}
+    assert {"C13a.snr", "C13a.sr_mismatch", "C13a.dur_mismatch",
+            "C13a.transcript", "C13a.decode"} <= rules
+
+
 def test_seen_key_log_compaction_bounded(spark, tmp_path):
     """54 single-file micro-batches with compaction every 8: the seen-key
     log must end as ONE snapshot + a tail bounded by the compaction
