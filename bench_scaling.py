@@ -347,9 +347,9 @@ engine/floor = {best[6]:.3f} at {best[0]}→{best[1]}{
 single-box memory system (mem-BW ceiling column), which caps the pure scan
 identically — not engine serialization. On a real N→4N EXECUTOR scale-out
 each executor brings its own memory bus and disks, so the scan floor (and
-with it the engine) scales with the cluster; the CPU-bound full-decode mode
-below shows the engine's behavior when compute, which does scale on this
-host, dominates.
+with it the engine) scales with the cluster. The full-decode mode below
+measures the adversarial worst case (every payload shipped to Python); its
+scaling is reported as measured, subject to the same host ceilings.
 
 ## Secondary: worst-case full-decode mode
 
