@@ -6,10 +6,12 @@ warehouse (``SELECT ... WHERE id IN (...)``). The Spark-native equivalent is
 database, and ``numPartitions``/bounds split the pull across executors so a
 large gap-fill is not a single-connection bottleneck.
 
-No JDBC driver ships in this sandbox, so ``load()`` is gated: the reader
-CONFIGURATION (url, dbtable-as-subquery, pushed key filter, partitioning) is
-real and unit-tested via ``dry_run``; executing it requires a driver jar on
-the cluster classpath, exactly as spark-submit deployments provide.
+Execution is tested in-sandbox against embedded Apache Derby (its jars ship
+with Spark for the Hive metastore): ``tests/test_jdbc_execution.py`` seeds a
+Derby database and round-trips keyed, chunked, and partition-fanned pulls
+through this function. Against a networked warehouse (PostgreSQL, MySQL, …)
+the only extra requirement is that driver jar on the cluster classpath,
+exactly as spark-submit deployments provide.
 """
 
 from __future__ import annotations
@@ -29,6 +31,7 @@ def jdbc_gap_fill(
     lower_bound: int | None = None,
     upper_bound: int | None = None,
     max_keys_per_query: int = 10_000,
+    driver: str | None = None,
     dry_run: bool = False,
 ) -> DataFrame | dict | list[dict]:
     """Pull rows of ``table`` whose ``key_column`` is in ``keys`` over JDBC.
@@ -46,8 +49,11 @@ def jdbc_gap_fill(
     extreme — millions of keys — stage the keys as a temp table and join
     database-side instead; that is a deployment concern, noted here.)
 
-    ``dry_run=True`` returns the reader options dict (or a list of dicts,
-    one per chunk) instead of connecting (sandbox has no JDBC driver)."""
+    ``driver`` names the JDBC driver class when the database's driver does
+    not self-register via ``java.sql.Driver`` services (Derby embedded needs
+    ``org.apache.derby.iapi.jdbc.AutoloadedDriver`` under Spark's isolated
+    classloader). ``dry_run=True`` returns the reader options dict (or a
+    list of dicts, one per chunk) instead of connecting."""
     if not keys:
         raise ValueError(
             "jdbc_gap_fill requires at least one key: 'WHERE {0} IN ()' is "
@@ -58,6 +64,8 @@ def jdbc_gap_fill(
         quoted = ", ".join("'" + str(k).replace("'", "''") + "'" for k in chunk)
         subquery = f"(SELECT * FROM {table} WHERE {key_column} IN ({quoted})) AS gap_fill"
         opts: dict[str, str] = {"url": url, "dbtable": subquery}
+        if driver is not None:
+            opts["driver"] = driver
         if partition_column is not None:
             opts.update(
                 partitionColumn=partition_column,
