@@ -679,12 +679,15 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style rolling-hash fingerprint (operators/text.fingerprint);
-    xxhash64 has no DuckDB equivalent → rows-only oracle."""
-    from seronet_data_validator_spark.operators.text import fingerprint
+    """Winnowing-style rolling-hash fingerprint, portable-hash variant
+    (operators/text.fingerprint_portable): Karp-Rabin polynomial both DuckDB
+    and Spark can compute bit-for-bit → FULL value oracle. The xxhash64
+    production variant (`fingerprint`) shares the plan shape and is
+    unit-tested for dup-detection equivalence."""
+    from seronet_data_validator_spark.operators.text import fingerprint_portable
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
-    return fingerprint(docs).select("doc_id", "fingerprint", "content_md5")
+    return fingerprint_portable(docs).select("doc_id", "fingerprint", "content_md5")
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1310,8 +1313,33 @@ def oracle_sql() -> dict[str, str]:
               AND lang IN ('en', 'de', 'fr', 'es')
               AND doc_id NOT IN (SELECT doc_id FROM drops)
         """,
-        # fingerprints, simhash_neardup, ivf_search, minhash_neardup,
-        # audio_features, clips_validation: xxhash64-based signatures /
-        # approximate ANN / pandas-UDF audio passes — non-SQL-expressible,
-        # rows-only checks.
+        # doc-level winnowing fingerprint, portable Karp-Rabin hash: token
+        # hash = fold(acc*31 + codepoint) mod M over chars, gram hash =
+        # fold(acc*131 + tok_hash) mod M over an 8-token window, fingerprint
+        # = min over windows. Mirrors fingerprint_portable exactly.
+        "fingerprints": r"""
+            SELECT doc_id,
+              list_min(
+                list_transform(
+                  range(0, greatest(len(toks) - 8, 0) + 1),
+                  i -> list_reduce(
+                         list_prepend(0::BIGINT,
+                           list_transform(toks[i+1:i+8], t ->
+                             list_reduce(
+                               list_prepend(0::BIGINT,
+                                 list_transform(string_split(t, ''), c -> ord(c)::BIGINT)),
+                               (acc, c) -> (acc * 31 + c) % 1000000007))),
+                         (acc, h) -> (acc * 131 + h) % 1000000007)
+                )
+              ) AS fingerprint,
+              md5(text) AS content_md5
+            FROM (
+              SELECT doc_id, text,
+                     string_split_regex(trim(lower(text)), '\s+') AS toks
+              FROM documents WHERE doc_id < 50
+            )
+        """,
+        # simhash_neardup, ivf_search, minhash_neardup, audio_features,
+        # clips_validation: xxhash64-based signatures / approximate ANN /
+        # pandas-UDF audio passes — non-SQL-expressible, rows-only checks.
     }

@@ -98,3 +98,32 @@ def fingerprint(df: DataFrame, text_col: str = "text", *, window: int = 8) -> Da
     return df.withColumn("fingerprint", F.array_min(grams)).withColumn(
         "content_md5", F.md5(F.col(text_col))
     )
+
+
+def fingerprint_portable(
+    df: DataFrame, text_col: str = "text", *, window: int = 8, mod: int = 1_000_000_007
+) -> DataFrame:
+    """`fingerprint` with an engine-portable hash: a Karp-Rabin polynomial
+    (base 31 over code points per token, base 131 over token hashes per
+    gram, all mod `mod`) instead of xxhash64. Same winnowing semantics and
+    plan shape (one projection, no shuffle); any engine with list fold
+    operations reproduces it bit-for-bit — DuckDB's `list_reduce` oracle in
+    the driver contract checks exactly that. Use `fingerprint` (xxhash64,
+    whole-stage-codegen hash) on the hot path; use this variant when the
+    signature must be recomputable outside Spark."""
+    tok_hash = lambda t: F.aggregate(  # noqa: E731
+        F.filter(F.split(t, ""), lambda c: c != ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % mod,
+    )
+    gram_hash = lambda gram: F.aggregate(  # noqa: E731
+        F.transform(gram, tok_hash),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 131 + h) % mod,
+    )
+    toks = _tokens(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - window, F.lit(0)))
+    grams = F.transform(idx, lambda i: gram_hash(F.slice(toks, i + 1, window)))
+    return df.withColumn("fingerprint", F.array_min(grams)).withColumn(
+        "content_md5", F.md5(F.col(text_col))
+    )

@@ -140,6 +140,27 @@ def test_fingerprint_stability(spark, docs):
     assert fp[1] != fp[4]           # different docs
 
 
+def test_fingerprint_portable_matches_xxhash_dup_structure(spark, docs):
+    # Portable Karp-Rabin variant: same dup-detection structure as the
+    # xxhash64 production variant, plus a hand-computed known value.
+    fp = {r["doc_id"]: r["fingerprint"] for r in text.fingerprint_portable(docs).collect()}
+    assert fp[1] == fp[2] and fp[1] != fp[4]
+    assert all(0 <= v < 1_000_000_007 for v in fp.values())
+
+    short = spark.createDataFrame([(1, "just three tokens")], "doc_id long, text string")
+    row = text.fingerprint_portable(short).collect()[0]
+    mod = 1_000_000_007
+    def tok_h(t):
+        acc = 0
+        for c in t:
+            acc = (acc * 31 + ord(c)) % mod
+        return acc
+    expect = 0
+    for t in ["just", "three", "tokens"]:
+        expect = (expect * 131 + tok_h(t)) % mod
+    assert row["fingerprint"] == expect  # <window tokens: single truncated gram
+
+
 def test_brute_force_topk_and_ivf_agree(spark):
     rng = np.random.default_rng(9)
     corpus = spark.createDataFrame(
