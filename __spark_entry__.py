@@ -690,6 +690,115 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_portable(docs).select("doc_id", "fingerprint", "content_md5")
 
 
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full 64-hash MinHash signature over portable shingles
+    (dedup.shingles_portable + dedup.minhash_signature): every signature
+    value recomputed by the DuckDB oracle — the same (a_i*h + b_i) mod p
+    fold over the same Karp-Rabin shingle hashes. Exploded to scalar rows so
+    the driver's value hash covers each of the 64 lanes."""
+    from seronet_data_validator_spark.operators.dedup import (
+        minhash_signature,
+        shingles_portable,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 30)
+    sig = minhash_signature(shingles_portable(docs))
+    return sig.select(
+        "doc_id", F.posexplode("minhash_sig").alias("hash_idx", "sig_value")
+    ).withColumn("hash_idx", F.col("hash_idx").cast("long"))
+
+
+def _minhash_oracle_sql(num_hashes: int = 64, seed: int = 7) -> str:
+    """DuckDB recomputation of q_minhash_signature: the permutation
+    coefficients come from the same random.Random(seed) draw as
+    dedup.minhash_signature, inlined as a VALUES table."""
+    import random
+
+    p = (1 << 31) - 1
+    rnd = random.Random(seed)
+    coeffs = [
+        (rnd.randrange(1, p), rnd.randrange(0, p)) for _ in range(num_hashes)
+    ]
+    values = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(coeffs))
+    return rf"""
+        WITH docs AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+          FROM documents WHERE doc_id < 30
+        ), sh AS (
+          SELECT doc_id, list_distinct(
+            list_transform(
+              range(0, greatest(len(toks) - 3, 0) + 1),
+              i -> list_reduce(
+                     list_prepend(0::BIGINT,
+                       list_transform(toks[i+1:i+3], t ->
+                         list_reduce(
+                           list_prepend(0::BIGINT,
+                             list_transform(string_split(t, ''), c -> ord(c)::BIGINT)),
+                           (acc, c) -> (acc * 31 + c) % 1000000007))),
+                     (acc, h) -> (acc * 131 + h) % 1000000007)
+            )
+          ) AS shingles
+          FROM docs
+        ), e AS (
+          SELECT doc_id, unnest(shingles) AS h FROM sh
+        ), c(hash_idx, a, b) AS (VALUES {values})
+        SELECT e.doc_id,
+               c.hash_idx::BIGINT AS hash_idx,
+               min((c.a * e.h + c.b) % {p}) AS sig_value
+        FROM e CROSS JOIN c
+        GROUP BY e.doc_id, c.hash_idx
+    """
+
+
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable SimHash signatures (dedup.simhash_portable): token hash is
+    the Karp-Rabin polynomial and each of the 64 bit lanes is the parity of
+    a seeded affine transform, so the DuckDB oracle recomputes every
+    signature value exactly — including the sign bit."""
+    from seronet_data_validator_spark.operators.dedup import simhash_portable
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return simhash_portable(docs)
+
+
+def _simhash_oracle_sql(bits: int = 64, seed: int = 11) -> str:
+    """DuckDB recomputation of q_simhash_signatures (coefficients from the
+    same random.Random(seed) draw as dedup.simhash_portable)."""
+    import random
+
+    p = (1 << 31) - 1
+    rnd = random.Random(seed)
+    coeffs = [(rnd.randrange(1, p), rnd.randrange(0, p)) for _ in range(bits)]
+    values = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(coeffs))
+    return rf"""
+        WITH docs AS (
+          SELECT doc_id,
+                 list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS toks
+          FROM documents WHERE doc_id < 300
+        ), h AS (
+          SELECT doc_id,
+                 list_reduce(
+                   list_prepend(0::BIGINT,
+                     list_transform(string_split(unnest(toks), ''), c -> ord(c)::BIGINT)),
+                   (acc, c) -> (acc * 31 + c) % 1000000007) AS th
+          FROM docs
+        ), c(idx, a, b) AS (VALUES {values}),
+        v AS (
+          SELECT doc_id, c.idx,
+                 sum(CASE WHEN ((c.a * h.th + c.b) % {p}) % 2 = 1
+                          THEN 1 ELSE -1 END) AS vote
+          FROM h CROSS JOIN c
+          GROUP BY doc_id, c.idx
+        )
+        SELECT doc_id,
+               sum(CASE WHEN vote > 0 THEN
+                     (CASE WHEN idx = {bits - 1} THEN (-9223372036854775807 - 1)
+                           ELSE (1::BIGINT << idx) END)
+                   ELSE 0 END)::BIGINT AS simhash
+        FROM v GROUP BY doc_id
+    """
+
+
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicate pairs (hamming-banded; xxhash64-based →
     rows-only oracle)."""
@@ -854,6 +963,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_drift": q_windowed_drift,
         "corpus_curation": q_corpus_curation,
         "fingerprints": q_fingerprints,
+        "minhash_signature": q_minhash_signature,
+        "simhash_signatures": q_simhash_signatures,
         "simhash_neardup": q_simhash_neardup,
         "ivf_search": q_ivf_search,
         "minhash_neardup": q_minhash_neardup,
@@ -1339,6 +1450,12 @@ def oracle_sql() -> dict[str, str]:
               FROM documents WHERE doc_id < 50
             )
         """,
+        # the full MinHash signature over portable shingles, recomputed
+        # value-for-value (coefficients from the same seeded draw)
+        "minhash_signature": _minhash_oracle_sql(),
+        # portable SimHash: 64 parity lanes over seeded affine transforms of
+        # the Karp-Rabin token hash, sign bit handled explicitly
+        "simhash_signatures": _simhash_oracle_sql(),
         # simhash_neardup, ivf_search, minhash_neardup, audio_features,
         # clips_validation: xxhash64-based signatures / approximate ANN /
         # pandas-UDF audio passes — non-SQL-expressible, rows-only checks.

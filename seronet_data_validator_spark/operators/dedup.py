@@ -97,6 +97,22 @@ def shingles(df: DataFrame, text_col: str = "text", *, n: int = 3) -> DataFrame:
     return df.withColumn("shingle_hashes", F.array_distinct(grams))
 
 
+def shingles_portable(df: DataFrame, text_col: str = "text", *, n: int = 3) -> DataFrame:
+    """`shingles` with the engine-portable Karp-Rabin gram hash
+    (text.portable_gram_hash) instead of xxhash64: the downstream
+    `minhash_signature` fold is plain modular arithmetic, so with portable
+    shingles the ENTIRE minhash signature is reproducible outside Spark —
+    the driver contract's DuckDB oracle recomputes it value-for-value.
+    Same plan shape (one projection, no shuffle); keep xxhash64 `shingles`
+    on the hot path."""
+    from seronet_data_validator_spark.operators.text import portable_gram_hash
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: portable_gram_hash(F.slice(toks, i + 1, n)))
+    return df.withColumn("shingle_hashes", F.array_distinct(grams))
+
+
 def minhash_signature(
     df: DataFrame, *, num_hashes: int = 64, seed: int = 7
 ) -> DataFrame:
@@ -271,6 +287,45 @@ def simhash(
     if signatures_only:
         return sig
     return df.join(sig, id_col, "left")
+
+
+def simhash_portable(
+    df: DataFrame, text_col: str = "text", *, bits: int = 64, id_col: str = "doc_id",
+    seed: int = 11,
+) -> DataFrame:
+    """`simhash` with engine-portable per-token bits: token hash h is the
+    Karp-Rabin polynomial (text.portable_token_hash) and bit lane i votes by
+    the parity of (a_i*h + b_i) mod p — seeded affine transforms standing in
+    for xxhash64's bit positions. Same explode → one-aggregation layout
+    (doc-length-skew safe, map-side partial agg); every signature value is
+    recomputable outside Spark, which the driver contract's DuckDB oracle
+    does. Returns (id, simhash). Keep `simhash` (xxhash64) on the hot path."""
+    import random
+
+    from seronet_data_validator_spark.operators.text import portable_token_hash
+
+    rnd = random.Random(seed)
+    coeffs = [
+        (rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE)) for _ in range(bits)
+    ]
+    toks = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    tok_df = _ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(toks).alias("_tok")
+    )
+    h = portable_token_hash(F.col("_tok"))
+    aggs = [
+        F.sum(
+            F.when(F.pmod(a * h + b, F.lit(_MERSENNE)) % 2 == 1, 1).otherwise(-1)
+        ).alias(f"_v{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    votes = tok_df.groupBy(id_col).agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        fp = fp + F.when(
+            F.col(f"_v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select(F.col(id_col), fp.alias("simhash"))
 
 
 def simhash_near_duplicates(

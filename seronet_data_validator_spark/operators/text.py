@@ -100,6 +100,27 @@ def fingerprint(df: DataFrame, text_col: str = "text", *, window: int = 8) -> Da
     )
 
 
+def portable_token_hash(t: Column, mod: int = 1_000_000_007) -> Column:
+    """Karp-Rabin polynomial over a token's code points (base 31 mod `mod`):
+    the engine-portable scalar hash — any engine with a list fold (DuckDB
+    `list_reduce`, Flink/Trino lambda aggregates) reproduces it bit-for-bit."""
+    return F.aggregate(
+        F.filter(F.split(t, ""), lambda c: c != ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % mod,
+    )
+
+
+def portable_gram_hash(gram: Column, mod: int = 1_000_000_007) -> Column:
+    """Polynomial fold of token hashes (base 131 mod `mod`) — the portable
+    hash of a token n-gram (array<string> column)."""
+    return F.aggregate(
+        F.transform(gram, lambda t: portable_token_hash(t, mod)),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 131 + h) % mod,
+    )
+
+
 def fingerprint_portable(
     df: DataFrame, text_col: str = "text", *, window: int = 8, mod: int = 1_000_000_007
 ) -> DataFrame:
@@ -111,16 +132,7 @@ def fingerprint_portable(
     the driver contract checks exactly that. Use `fingerprint` (xxhash64,
     whole-stage-codegen hash) on the hot path; use this variant when the
     signature must be recomputable outside Spark."""
-    tok_hash = lambda t: F.aggregate(  # noqa: E731
-        F.filter(F.split(t, ""), lambda c: c != ""),
-        F.lit(0).cast("long"),
-        lambda acc, c: (acc * 31 + F.ascii(c)) % mod,
-    )
-    gram_hash = lambda gram: F.aggregate(  # noqa: E731
-        F.transform(gram, tok_hash),
-        F.lit(0).cast("long"),
-        lambda acc, h: (acc * 131 + h) % mod,
-    )
+    gram_hash = lambda gram: portable_gram_hash(gram, mod)  # noqa: E731
     toks = _tokens(text_col)
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - window, F.lit(0)))
     grams = F.transform(idx, lambda i: gram_hash(F.slice(toks, i + 1, window)))

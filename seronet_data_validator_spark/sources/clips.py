@@ -80,7 +80,7 @@ def decode_wav_i16(b: bytes) -> tuple[np.ndarray, int]:
     return pcm, sr
 
 
-def _synth_row(rid: int, seed: int) -> dict:
+def _synth_row(rid: int, seed: int, payload: bool = True) -> dict:
     rng = np.random.default_rng(np.uint64(seed * 1_000_003 + rid))
     site = SITES[int(rng.integers(0, len(SITES)))]
     corpus = int(rng.integers(0, 1_000_000))
@@ -89,17 +89,28 @@ def _synth_row(rid: int, seed: int) -> dict:
     sr = SAMPLE_RATES[int(rng.integers(0, len(SAMPLE_RATES)))]
     dur_ms = int(rng.integers(50, 400))
     n_samp = int(round(sr * dur_ms / 1000.0))
-    t = np.arange(n_samp, dtype=np.float32) / sr
     freq = 100.0 + float(rng.integers(0, 300))
-    signal = 0.6 * np.sin(2 * np.pi * freq * t)
     noise = rng.normal(0.0, 0.005, n_samp).astype(np.float32)
-    samples = np.clip(signal + noise, -1.0, 1.0)
+    if payload:
+        # PCM synthesis (the expensive part) only when the payload is wanted
+        t = np.arange(n_samp, dtype=np.float32) / sr
+        signal = 0.6 * np.sin(2 * np.pi * freq * t)
+        samples = np.clip(signal + noise, -1.0, 1.0)
+        payload_bytes = wav_bytes((samples * 32767).astype(np.int16), sr)
+    else:
+        # metadata-only fixture (bytes column present but empty): every RNG
+        # draw happens in the same order, so ids/codecs/transcripts are
+        # IDENTICAL to the full generation at the same (rid, seed) — only
+        # the PCM synthesis is skipped. For benching the metadata/transcript
+        # stages (run_audio_pass=False); the decoded-PCM pass would rightly
+        # reject every row of such a fixture.
+        payload_bytes = b""
     codec = str(rng.choice(CODECS, p=CODEC_WEIGHTS))
     n_words = int(rng.integers(3, 12))
     transcript = " ".join(rng.choice(WORDS, size=n_words))
     return {
         "clip_id": clip_id,
-        "bytes": wav_bytes((samples * 32767).astype(np.int16), sr),
+        "bytes": payload_bytes,
         "sr_hz": sr,
         "dur_ms": dur_ms,
         "codec": codec,
@@ -159,8 +170,15 @@ def generate_clips(
     seed: int = 42,
     bad: bool = False,
     num_partitions: int | None = None,
+    payload: bool = True,
 ) -> DataFrame:
-    """Distributed deterministic generation: spark.range → mapInPandas."""
+    """Distributed deterministic generation: spark.range → mapInPandas.
+
+    ``payload=False`` keeps every metadata/transcript value identical but
+    leaves ``bytes`` empty (see ``_synth_row``); requires ``bad=False`` —
+    the corruption recipes tamper with real PCM buffers."""
+    if not payload and bad:
+        raise ValueError("payload=False supports only the clean fixture")
     parts = num_partitions or max(4, spark.sparkContext.defaultParallelism)
     base = spark.range(0, n_rows, 1, parts)
 
@@ -168,7 +186,7 @@ def generate_clips(
         for pdf in batches:
             rows = []
             for rid in pdf["id"].to_numpy():
-                row = _synth_row(int(rid), seed)
+                row = _synth_row(int(rid), seed, payload=payload)
                 if bad:
                     row = _corrupt(row, int(rid), n_rows)
                 rows.append(row)

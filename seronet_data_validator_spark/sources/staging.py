@@ -41,6 +41,40 @@ def stage_conf(stage_dir: str) -> dict[str, str]:
     }
 
 
+def stage_metadata_table(
+    spark: SparkSession,
+    n_rows: int,
+    *,
+    seed: int = 42,
+    buckets: int = DEFAULT_BUCKETS,
+    table_prefix: str = "cpu",
+) -> DataFrame:
+    """Bucketed clips table with an EMPTY payload column (generate_clips
+    payload=False): metadata/transcript values identical to the full fixture
+    at the same seed, ~200 B/row on disk instead of ~10 KB. This is the
+    input for the compute-bound scaling shape — the metadata/transcript rule
+    suite never reads ``bytes`` (the fused pass prunes it), so the staged
+    payload would be dead weight measuring the page cache, not the engine."""
+    tbl = f"{table_prefix}_clips_{n_rows}_{seed}"
+    wh = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    loc = os.path.join(wh, tbl)
+    if wh and os.path.exists(loc) and not spark.catalog.tableExists(tbl):
+        import shutil
+
+        shutil.rmtree(loc)
+    if not spark.catalog.tableExists(tbl):
+        print(f"[staging] creating table {tbl} ({n_rows} rows)", flush=True)
+        (
+            generate_clips(spark, n_rows, seed=seed, payload=False)
+            .repartition(buckets, "clip_id")
+            .write.bucketBy(buckets, "clip_id")
+            .sortBy("clip_id")
+            .mode("overwrite")
+            .saveAsTable(tbl)
+        )
+    return spark.table(tbl)
+
+
 def stage_clip_tables(
     spark: SparkSession,
     n_rows: int,

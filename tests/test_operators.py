@@ -140,6 +140,27 @@ def test_fingerprint_stability(spark, docs):
     assert fp[1] != fp[4]           # different docs
 
 
+def test_portable_shingles_minhash_same_dup_structure(spark, docs):
+    # Portable shingles feed the unchanged minhash fold: identical docs get
+    # identical signatures; the estimated jaccard of the near-dup pair stays
+    # far above the unrelated pair's, as with the xxhash64 shingles.
+    sig = {
+        r["doc_id"]: r["minhash_sig"]
+        for r in dedup.minhash_signature(dedup.shingles_portable(docs)).collect()
+    }
+    assert sig[1] == sig[2]
+    est = lambda a, b: sum(x == y for x, y in zip(sig[a], sig[b])) / len(sig[a])
+    assert est(1, 3) > est(1, 4)
+    assert all(0 <= v < (1 << 31) - 1 for s in sig.values() for v in s)
+
+
+def test_simhash_portable_same_dup_structure(spark, docs):
+    vals = {r["doc_id"]: r["simhash"] for r in dedup.simhash_portable(docs).collect()}
+    assert vals[1] == vals[2]  # identical text -> identical signature
+    ham = lambda a, b: bin((vals[a] ^ vals[b]) & ((1 << 64) - 1)).count("1")
+    assert ham(1, 3) < ham(1, 4)  # near-dup closer than unrelated
+
+
 def test_fingerprint_portable_matches_xxhash_dup_structure(spark, docs):
     # Portable Karp-Rabin variant: same dup-detection structure as the
     # xxhash64 production variant, plus a hand-computed known value.
