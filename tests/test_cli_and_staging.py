@@ -117,6 +117,35 @@ def test_staged_tables_join_without_exchange(spark, tmp_path):
     assert av.where(F.col("rule_id").startswith("C13a")).count() == 0
 
 
+def test_metadata_table_matches_full_fixture_metadata(spark):
+    # The compute-bound bench input: identical metadata at the same seed,
+    # empty payload, bucketed layout, and the metadata suite produces the
+    # same violations as on the full fixture.
+    from seronet_data_validator_spark.runner import validate_clips
+    from seronet_data_validator_spark.sources.clips import codec_registry_df
+    from seronet_data_validator_spark.sources.staging import stage_metadata_table
+
+    meta = stage_metadata_table(
+        spark, 400, seed=11, buckets=4, table_prefix=f"m{os.getpid()}"
+    )
+    full = generate_clips(spark, 400, seed=11)
+    assert meta.drop("bytes").exceptAll(full.drop("bytes")).count() == 0
+    assert meta.selectExpr("max(length(bytes)) m").collect()[0]["m"] == 0
+
+    reg = codec_registry_df(spark)
+    v_meta = validate_clips(
+        spark, meta, codec_registry=reg, run_id="m", output_root=None,
+        run_audio_pass=False,
+    ).violations
+    v_full = validate_clips(
+        spark, full, codec_registry=reg, run_id="f", output_root=None,
+        run_audio_pass=False,
+    ).violations
+    cols = ["rule_id", "column_name", "row_ref", "column_value"]
+    assert v_meta.select(cols).exceptAll(v_full.select(cols)).count() == 0
+    assert v_full.select(cols).exceptAll(v_meta.select(cols)).count() == 0
+
+
 def test_derived_refs_table_single_file_buckets(spark, tmp_path):
     """Regression: deriving the clean-fixture refs table from the staged
     clips table must re-hash by the bucket key — a plain projection+write
