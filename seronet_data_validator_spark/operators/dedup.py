@@ -309,10 +309,14 @@ def simhash_portable(
         (rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE)) for _ in range(bits)
     ]
     toks = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    # project the polynomial hash ONCE per token row: referencing it by
+    # column keeps the char fold out of the 64 per-lane aggregate
+    # expressions (inlining `h` there re-evaluates the fold per lane —
+    # 64x the work, visible as 64 aggregate() calls in the plan)
     tok_df = _ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(toks).alias("_tok")
-    )
-    h = portable_token_hash(F.col("_tok"))
+    ).select(F.col(id_col), portable_token_hash(F.col("_tok")).alias("_h"))
+    h = F.col("_h")
     aggs = [
         F.sum(
             F.when(F.pmod(a * h + b, F.lit(_MERSENNE)) % 2 == 1, 1).otherwise(-1)
