@@ -216,6 +216,23 @@ CPU_SECTION_START = "<!-- cpu-bound:start -->"
 CPU_SECTION_END = "<!-- cpu-bound:end -->"
 
 
+def _cpu_target_sentence(pairs, eff, sweep_eff) -> str:
+    """One sentence stating the north-rule verdict for the compute-bound
+    shape — emitted only when a pair's MEDIAN meets ≥0.8 (never cherry-picks
+    a sweep)."""
+    met = [(lo, hi) for lo, hi in pairs if eff(lo, hi) >= 0.8]
+    if not met:
+        return ""
+    lo, hi = max(met, key=lambda lh: eff(*lh))
+    per = sweep_eff[f"{lo}->{hi}"]
+    all_above = all(e >= 0.8 for e in per)
+    return (
+        f" — **the ≥0.8 N→4N target is met at {lo}→{hi}: median "
+        f"{eff(lo, hi):.3f}" + (", with every individual sweep above 0.8"
+                                if all_above else "") + "**"
+    )
+
+
 def cpu_main() -> None:
     """Compute-bound scaling shape: `python bench_scaling.py --cpu-bound [n]`.
 
@@ -303,7 +320,7 @@ Violations (identical at every level, deterministic input):
 {results[levels[0]]['n_violations']}.
 
 **Reading:** with the shared-memory-bus confound removed, the engine's own
-machinery scales at the numbers above. Together with the primary table's
+machinery scales at the numbers above{_cpu_target_sentence(pairs, eff, sweep_eff)}. Together with the primary table's
 engine/floor column (the engine tracks the irreducible scan even when
 byte-bound), the scaling story is: no engine-side serialization; the
 primary shape's raw gap is the single box's memory system, which a real
@@ -539,7 +556,15 @@ Violations produced (identical at every level, deterministic input):
 Generated by `python bench_scaling.py {n_clips}` on {time.strftime('%Y-%m-%d')}.
 """
     os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
-    with open(os.path.join(repo, "BENCH", "BASELINE.md"), "w") as f:
+    report_path = os.path.join(repo, "BENCH", "BASELINE.md")
+    # a primary-protocol rerun must not drop the compute-bound section a
+    # --cpu-bound run appended (and vice versa — cpu_main edits in place)
+    if os.path.exists(report_path):
+        prev = open(report_path).read()
+        if CPU_SECTION_START in prev and CPU_SECTION_END in prev:
+            cpu_part = prev.split(CPU_SECTION_START)[1].split(CPU_SECTION_END)[0]
+            md = md.rstrip() + "\n\n" + CPU_SECTION_START + cpu_part + CPU_SECTION_END + "\n"
+    with open(report_path, "w") as f:
         f.write(md)
     summary = json.dumps({
         "protocol": f"median-of-{n_sweeps}-sweeps",
