@@ -223,13 +223,15 @@ def _cpu_target_sentence(pairs, eff, sweep_eff) -> str:
     met = [(lo, hi) for lo, hi in pairs if eff(lo, hi) >= 0.8]
     if not met:
         return ""
-    lo, hi = max(met, key=lambda lh: eff(*lh))
-    per = sweep_eff[f"{lo}->{hi}"]
-    all_above = all(e >= 0.8 for e in per)
+    parts = ", ".join(f"{lo}→{hi} median {eff(lo, hi):.3f}" for lo, hi in met)
+    all_above = all(
+        e >= 0.8 for lo, hi in met for e in sweep_eff[f"{lo}->{hi}"]
+    )
+    every = " EVERY" if len(met) == len(pairs) else ""
     return (
-        f" — **the ≥0.8 N→4N target is met at {lo}→{hi}: median "
-        f"{eff(lo, hi):.3f}" + (", with every individual sweep above 0.8"
-                                if all_above else "") + "**"
+        f" — **the ≥0.8 target is met at{every} measured N→4N pair "
+        f"({parts})" + (", with every individual sweep above 0.8"
+                        if all_above else "") + "**"
     )
 
 
