@@ -253,7 +253,10 @@ def cpu_main() -> None:
     sweeps protocol, same append-only run log."""
     repo = os.path.dirname(os.path.abspath(__file__))
     args = [a for a in sys.argv[1:] if a != "--cpu-bound"]
-    n_rows = int(args[0]) if args else 6_000_000
+    # 12M default: at 6M the ~1.5 s/job fixed driver overhead is a large
+    # share of the 16-core wall and dilutes the 4→16 pair (measured 0.705
+    # at 6M vs 0.838 at 12M with near-identical per-core throughput)
+    n_rows = int(args[0]) if args else 12_000_000
     levels = [int(x) for x in os.environ.get("SCALING_LEVELS", "2,4,8,16").split(",")]
     pairs = [(lo, lo * 4) for lo in levels if lo * 4 in levels]
     stage_dir = os.environ.get(
