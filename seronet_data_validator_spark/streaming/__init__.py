@@ -9,9 +9,15 @@ need a batch view), plus watermarked windowed aggregation for event streams.
 """
 
 from seronet_data_validator_spark.streaming.validate_stream import (
+    stream_dedup_within_watermark,
     stream_validate_clips,
     windowed_drift,
     windowed_event_counts,
 )
 
-__all__ = ["stream_validate_clips", "windowed_drift", "windowed_event_counts"]
+__all__ = [
+    "stream_dedup_within_watermark",
+    "stream_validate_clips",
+    "windowed_drift",
+    "windowed_event_counts",
+]

@@ -227,6 +227,54 @@ def stream_validate_clips(
     return writer.start()
 
 
+def stream_dedup_within_watermark(
+    spark: SparkSession,
+    input_path: str,
+    output_root: str,
+    *,
+    id_col: str = "clip_id",
+    watermark: str = "10 minutes",
+    trigger_available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Bounded-lateness streaming EXACT DEDUP: keep the first arrival of
+    each ``id_col``, drop re-arrivals within the watermark horizon, via
+    ``dropDuplicatesWithinWatermark`` (state-store-backed — the engine
+    evicts per-key state once the watermark passes, so state is bounded by
+    arrival rate × horizon, not by stream lifetime).
+
+    This is the curation-path complement to ``stream_validate_clips``'s
+    key-log uniqueness: the key log FLAGS duplicates as C4 violations with
+    exact GLOBAL history (survives restarts, unbounded horizon, compacted
+    reads); this operator SILENTLY DROPS them for ingest-dedup pipelines
+    where only the first copy should land, and is the right tool when
+    duplicates only ever arrive within a bounded lateness window. Event
+    time is the ingest timestamp — re-sends beyond the horizon are NOT
+    deduped (document the horizon as a data contract, or use the key log).
+
+    Returns the StreamingQuery; deduped rows land in
+    ``<output_root>/deduped`` with the checkpoint at
+    ``<output_root>/_dedup_checkpoint``."""
+    reader = spark.readStream.schema(CLIPS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = (
+        reader.parquet(input_path)
+        .withColumn("ingest_ts", F.current_timestamp())
+        .withWatermark("ingest_ts", watermark)
+        .dropDuplicatesWithinWatermark([id_col])
+    )
+    writer = (
+        stream.writeStream.format("parquet")
+        .option("path", os.path.join(output_root, "deduped"))
+        .option("checkpointLocation", os.path.join(output_root, "_dedup_checkpoint"))
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     *,

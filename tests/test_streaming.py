@@ -125,6 +125,35 @@ def test_seen_key_log_compaction_bounded(spark, tmp_path):
     assert log.select("clip_id").distinct().count() == n_ids
 
 
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """State-store dedup keeps the first arrival per id across micro-batches
+    and drops re-arrivals inside the watermark horizon."""
+    from seronet_data_validator_spark.streaming import stream_dedup_within_watermark
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    base = generate_clips(spark, 60, seed=5).cache()
+    # three landed files: originals, a full duplicate wave, fresh rows —
+    # maxFilesPerTrigger=1 forces them into separate micro-batches
+    base.coalesce(1).write.parquet(inp)
+    base.limit(25).coalesce(1).write.mode("append").parquet(inp)
+    fresh = generate_clips(spark, 20, seed=99).coalesce(1)
+    fresh.write.mode("append").parquet(inp)
+
+    q = stream_dedup_within_watermark(
+        spark, inp, out, watermark="10 minutes", max_files_per_trigger=1
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(os.path.join(out, "deduped"))
+    n_unique = (
+        base.select("clip_id").union(fresh.select("clip_id")).distinct().count()
+    )
+    assert got.select("clip_id").distinct().count() == n_unique
+    # every surviving row is unique — the duplicate wave was dropped
+    assert got.count() == n_unique
+
+
 def test_windowed_event_counts_matches_batch(spark):
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     out = windowed_event_counts(ev, window="1 hour", watermark="2 hours")
