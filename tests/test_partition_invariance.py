@@ -78,3 +78,24 @@ def test_connected_components_partition_invariant(spark):
     assert outs[0] == outs[1]
     comps = {c for _, c in outs[0]}
     assert comps == {0, 100}
+
+
+def test_portable_signatures_partition_invariant(spark):
+    """Portable fingerprint/minhash/simhash values are pure functions of the
+    text — identical under any partitioning (simhash's vote aggregation and
+    the signature folds must not depend on row or token order)."""
+    from seronet_data_validator_spark.operators import text
+
+    rows = [(i, f"token{i % 13} alpha beta gamma delta token{i % 7} epsilon zeta")
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    outs = []
+    for n_parts in (1, 9):
+        d = df.repartition(n_parts)
+        fp = {r["doc_id"]: r["fingerprint"]
+              for r in text.fingerprint_portable(d).collect()}
+        mh = {r["doc_id"]: tuple(r["minhash_sig"]) for r in
+              dedup.minhash_signature(dedup.shingles_portable(d), num_hashes=16).collect()}
+        sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash_portable(d).collect()}
+        outs.append((fp, mh, sh))
+    assert outs[0] == outs[1]
