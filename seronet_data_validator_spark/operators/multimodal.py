@@ -11,8 +11,8 @@ formats whose libraries are not in this container are STUBBED behind a
 clearly-marked NotImplementedError, as permitted by the build brief.
 
 Audio is fully real (RIFF/WAV PCM16 parse in numpy — public spec), as is
-image decode for the uncompressed public formats (PPM P6, 24-bit BI_RGB
-BMP); only compressed image/video codecs remain stubbed.
+image decode for the uncompressed public formats (PPM P6, PGM P5,
+24-bit BI_RGB BMP); only compressed image/video codecs remain stubbed.
 """
 
 from __future__ import annotations
@@ -190,6 +190,13 @@ def ppm_bytes(rgb: np.ndarray) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode() + rgb.astype(np.uint8).tobytes()
 
 
+def pgm_bytes(gray: np.ndarray) -> bytes:
+    """Minimal binary PGM (P5, maxval 255) encoder — public netpbm spec.
+    ``gray``: (h, w) uint8."""
+    h, w = gray.shape
+    return f"P5\n{w} {h}\n255\n".encode() + gray.astype(np.uint8).tobytes()
+
+
 def bmp_bytes(rgb: np.ndarray) -> bytes:
     """Minimal uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB) encoder —
     public spec: bottom-up rows, BGR order, rows padded to 4 bytes."""
@@ -211,7 +218,7 @@ def bmp_bytes(rgb: np.ndarray) -> bytes:
 
 def _decode_image(b: bytes) -> tuple[int, int, np.ndarray]:
     """Decode an UNCOMPRESSED image buffer → (width, height, rgb uint8
-    array). Pure numpy over the public PPM (P6/netpbm) and BMP
+    array). Pure numpy over the public netpbm (PPM P6 / PGM P5) and BMP
     (BITMAPINFOHEADER, 24-bit BI_RGB) layouts — no codec library.
     Compressed formats (PNG/JPEG/...) raise NotImplementedError: their
     codecs are not in this container; in production swap in PIL/cv2 here —
@@ -220,9 +227,11 @@ def _decode_image(b: bytes) -> tuple[int, int, np.ndarray]:
 
     if b is None or len(b) < 2:
         raise ValueError("empty image buffer")
-    if b[:2] == b"P6":
-        # header: P6 <ws> width <ws> height <ws> maxval <single-ws> data;
-        # '#' comments allowed between tokens
+    if b[:2] in (b"P5", b"P6"):
+        # header: P5|P6 <ws> width <ws> height <ws> maxval <single-ws> data;
+        # '#' comments allowed between tokens. P5 = 1-channel grayscale PGM,
+        # P6 = 3-channel RGB PPM — same header grammar, same netpbm spec.
+        channels = 3 if b[:2] == b"P6" else 1
         pos, tokens = 2, []
         while len(tokens) < 3:
             while pos < len(b) and b[pos : pos + 1].isspace():
@@ -240,12 +249,14 @@ def _decode_image(b: bytes) -> tuple[int, int, np.ndarray]:
         pos += 1  # single whitespace after maxval
         w, h, maxval = tokens
         if maxval != 255:
-            raise NotImplementedError("16-bit PPM not supported")
-        need = w * h * 3
+            raise NotImplementedError("16-bit PPM/PGM not supported")
+        need = w * h * channels
         if len(b) - pos < need:
-            raise ValueError("truncated PPM payload")
-        rgb = np.frombuffer(b, np.uint8, count=need, offset=pos).reshape(h, w, 3)
-        return w, h, rgb
+            raise ValueError("truncated PPM/PGM payload")
+        px = np.frombuffer(b, np.uint8, count=need, offset=pos).reshape(h, w, channels)
+        if channels == 1:
+            px = np.repeat(px, 3, axis=2)  # grayscale → rgb (luma == gray)
+        return w, h, px
     if b[:2] == b"BM":
         if len(b) < 54:
             raise ValueError("truncated BMP header")
@@ -282,7 +293,7 @@ def image_features(
 ) -> DataFrame:
     """Image decode + features over the binary column: (width, height,
     mean_luma) with luma = 0.299R + 0.587G + 0.114B on the 0-255 scale.
-    PPM (P6) and uncompressed 24-bit BMP decode natively (numpy over the
+    PPM (P6), PGM (P5) and uncompressed 24-bit BMP decode natively (numpy over the
     public specs); compressed formats yield NULL features (their codecs are
     not in this container — the NotImplementedError path is the documented
     stub boundary). The Spark-side contract (schema, Arrow batching,

@@ -244,8 +244,12 @@ def test_image_features_decodes_ppm_and_bmp(spark):
     rgb[0, :, 0] = 255  # top row pure red
     rgb[1, :, 2] = 255  # bottom row pure blue
     expected_luma = (0.299 * 255 + 0.114 * 255) / 2
+    from seronet_data_validator_spark.operators.multimodal import pgm_bytes
+
+    gray = np.array([[0, 100], [200, 255]], np.uint8)
     df = spark.createDataFrame(
         [("ppm", bytearray(ppm_bytes(rgb))), ("bmp", bytearray(bmp_bytes(rgb))),
+         ("pgm", bytearray(pgm_bytes(gray))),
          ("trunc", bytearray(ppm_bytes(rgb)[:-4]))],
         "item_id string, bytes binary",
     )
@@ -253,6 +257,9 @@ def test_image_features_decodes_ppm_and_bmp(spark):
     for k in ("ppm", "bmp"):
         assert (out[k]["width"], out[k]["height"]) == (3, 2)
         assert abs(out[k]["mean_luma"] - expected_luma) < 1e-6, k
+    # P5 grayscale: luma of replicated-gray equals the mean gray value
+    assert (out["pgm"]["width"], out["pgm"]["height"]) == (2, 2)
+    assert abs(out["pgm"]["mean_luma"] - float(gray.mean())) < 1e-6
     assert out["trunc"]["width"] is None  # truncated payload → NULL, no crash
 
 
