@@ -678,6 +678,29 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "quality_score")
 
 
+def q_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct as-of join (operators/temporal.asof_join):
+    each error event enriched with the user's most recent click at or
+    before it. The Spark side is the union + ordered-window composition
+    (one shuffle, no range explosion); the oracle is DuckDB's NATIVE
+    ASOF LEFT JOIN — two independent implementations of the operator."""
+    from seronet_data_validator_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(errors, clicks, on="user_id", prefix="click_")
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("click_ts").alias("last_click_ts"),
+        F.col("click_value").alias("last_click_value"),
+    )
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style rolling-hash fingerprint, portable-hash variant
     (operators/text.fingerprint_portable): Karp-Rabin polynomial both DuckDB
@@ -970,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_na_policy": q_date_na_policy,
         "windowed_drift": q_windowed_drift,
         "corpus_curation": q_corpus_curation,
+        "asof_last_click": q_asof_last_click,
         "fingerprints": q_fingerprints,
         "minhash_signature": q_minhash_signature,
         "simhash_signatures": q_simhash_signatures,
@@ -1431,6 +1455,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE quality_score >= 0.75
               AND lang IN ('en', 'de', 'fr', 'es')
               AND doc_id NOT IN (SELECT doc_id FROM drops)
+        """,
+        # as-of join: Spark's union+window composition vs DuckDB's native
+        # ASOF LEFT JOIN (l.ts >= r.ts, latest match, per user key)
+        "asof_last_click": """
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.ts AS last_click_ts,
+                   r.value AS last_click_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'error') l
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                            WHERE event_type = 'click') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         # doc-level winnowing fingerprint, portable Karp-Rabin hash: token
         # hash = fold(acc*31 + codepoint) mod M over chars, gram hash =

@@ -1,0 +1,83 @@
+"""Temporal join operators for event streams.
+
+The as-of join — "for each left row, the most recent right row at or before
+its timestamp, per key" — is the workhorse of event/feature alignment
+(point-in-time-correct feature lookup, last-heartbeat enrichment). Spark has
+no native ASOF JOIN; the naive range-join (``l.ts >= r.ts`` + row_number)
+explodes to O(|L|x|R|) per key before pruning. The scalable composition
+used here is union + ordered window:
+
+  tag both sides, union them, and take ``last(right_attr, ignorenulls)``
+  over a per-key window ordered by (ts, side) — right rows sort BEFORE a
+  left row with the same timestamp, giving ``>=`` semantics. ONE shuffle on
+  the key, O(|L|+|R|) rows, no range explosion; skew follows the key
+  distribution exactly like any keyed window.
+
+The driver contract oracle-checks this composition against DuckDB's NATIVE
+``ASOF LEFT JOIN`` — two independent implementations of the operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: "list[str] | None" = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right.right_ts <= left.left_ts`` and the same ``on`` key (NULLs when
+    no prior right row exists — left-outer as-of semantics).
+
+    ``right_cols`` are the right-side columns to carry (default: all except
+    the key and timestamp); they land as ``<prefix><name>``, plus
+    ``<prefix><right_ts>`` for the matched timestamp itself.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, right_ts)]
+    carried = [right_ts] + right_cols
+
+    # union layout: left rows keep their columns, right rows contribute only
+    # the carried attrs (left attrs NULL) — same schema both sides
+    l_tagged = left.select(
+        F.col(on),
+        F.col(left_ts).alias("_ats"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in left.columns if c != on],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in carried],
+    )
+    r_tagged = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c != on],
+        *[F.col(c).alias(f"_r_{c}") for c in carried],
+    )
+    # (ts, side) order: a right row at the SAME timestamp sorts before the
+    # left row -> inclusive (<=) as-of semantics
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_ats"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    enriched = l_tagged.unionByName(r_tagged).select(
+        "*",
+        *[
+            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            for c in carried
+        ],
+    )
+    return enriched.where(F.col("_side") == 1).select(
+        F.col(on),
+        *[F.col(c) for c in left.columns if c != on],
+        *[F.col(f"{prefix}{c}") for c in carried],
+    )

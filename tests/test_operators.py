@@ -313,3 +313,26 @@ def test_connected_components_long_chain_converges(spark):
     rows = comp.collect()
     assert len(rows) == 201
     assert {r["component"] for r in rows} == {0}
+
+
+def test_asof_join_semantics(spark):
+    """Union+window as-of join: inclusive (<=) match, per-key isolation,
+    NULLs when no prior right row exists."""
+    from seronet_data_validator_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "l1"), (1, 20, "l2"), (1, 5, "l0"), (2, 15, "l3")],
+        "k long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 7, 0.7), (1, 10, 1.0), (1, 19, 1.9), (2, 99, 9.9)],
+        "k long, ts long, value double",
+    )
+    out = {
+        r["tag"]: (r["asof_ts"], r["asof_value"])
+        for r in asof_join(left, right, on="k").collect()
+    }
+    assert out["l0"] == (None, None)        # nothing at or before ts=5
+    assert out["l1"] == (10, 1.0)           # equal timestamp matches (<=)
+    assert out["l2"] == (19, 1.9)           # latest prior, not first
+    assert out["l3"] == (None, None)        # key 2's only right row is later
