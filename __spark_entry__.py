@@ -678,6 +678,22 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "quality_score")
 
 
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators/temporal.sessionize, 30-min gap)
+    aggregated to per-session stats. One shuffle + one sort for the whole
+    operator (both windows share the (user_id, ts) spec)."""
+    from seronet_data_validator_spark.operators.temporal import sessionize
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    sess = sessionize(ev, key="user_id", ts_col="ts", gap_seconds=1800)
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 def q_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time-correct as-of join (operators/temporal.asof_join):
     each error event enriched with the user's most recent click at or
@@ -994,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_drift": q_windowed_drift,
         "corpus_curation": q_corpus_curation,
         "asof_last_click": q_asof_last_click,
+        "user_sessions": q_user_sessions,
         "fingerprints": q_fingerprints,
         "minhash_signature": q_minhash_signature,
         "simhash_signatures": q_simhash_signatures,
@@ -1455,6 +1472,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE quality_score >= 0.75
               AND lang IN ('en', 'de', 'fr', 'es')
               AND doc_id NOT IN (SELECT doc_id FROM drops)
+        """,
+        # gap-based sessionization: lag -> new-session flag -> running sum,
+        # microsecond-exact gap arithmetic, aggregated per session
+        "user_sessions": """
+            WITH flagged AS (
+              SELECT user_id, ts, value,
+                CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 1800 SECOND
+                     THEN 0 ELSE 1 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+              SELECT user_id, ts, value,
+                SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+              FROM flagged
+            )
+            SELECT user_id, session_idx,
+                   count(*) AS n_events,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   round(sum(value), 2) AS sum_value
+            FROM sess GROUP BY user_id, session_idx
         """,
         # as-of join: Spark's union+window composition vs DuckDB's native
         # ASOF LEFT JOIN (l.ts >= r.ts, latest match, per user key)

@@ -23,6 +23,39 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def sessionize(
+    events: DataFrame,
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Gap-based sessionization: consecutive events of the same ``key``
+    belong to one session while the gap between them stays ≤
+    ``gap_seconds``; a longer gap starts a new session. Adds
+    ``session_idx`` (0-based per key, in time order).
+
+    The classic two-window composition — ``lag`` to find gap starts, then a
+    running sum of start flags — both over the SAME (key, ts) window, so
+    Spark plans ONE shuffle + ONE sort for the whole operator. Scales as
+    any keyed window: rows per key bound the task, skewed keys behave like
+    any groupBy skew (salt upstream if one key dominates)."""
+    w = Window.partitionBy(key).orderBy(ts_col)
+    # microsecond-exact gap: casting timestamps to long TRUNCATES to whole
+    # seconds and misclassifies gaps within 1 s of the threshold
+    micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = micros - F.lag(micros).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > gap_seconds * 1_000_000), 1
+    ).otherwise(0)
+    run = Window.partitionBy(key).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return events.withColumn(
+        "session_idx", (F.sum(new_session).over(run) - 1).cast("long")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -336,3 +336,28 @@ def test_asof_join_semantics(spark):
     assert out["l1"] == (10, 1.0)           # equal timestamp matches (<=)
     assert out["l2"] == (19, 1.9)           # latest prior, not first
     assert out["l3"] == (None, None)        # key 2's only right row is later
+
+
+def test_sessionize_gap_semantics(spark):
+    """Gap-based sessions: gap == threshold stays in session, gap > starts a
+    new one, per-key isolation; one shuffle + one sort for the whole op."""
+    from seronet_data_validator_spark.operators.temporal import sessionize
+
+    rows = [
+        (1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:10:00"),  # s0
+        (1, "2024-01-01 00:40:00"),                              # exactly 30min -> s0
+        (1, "2024-01-01 01:40:01"),                              # > 1h gap -> s1
+        (2, "2024-01-01 00:00:00"),                              # other key -> own s0
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = sessionize(df, gap_seconds=1800)
+    got = sorted((r["user_id"], str(r["ts"]), r["session_idx"]) for r in out.collect())
+    assert [g[2] for g in got] == [0, 0, 0, 1, 0]
+
+    # ONE keyed shuffle for both windows (AQE prints the final plan twice,
+    # and the parallelized local input adds its own round-robin exchange —
+    # count only the hash exchange on the session key, pre-finalization)
+    plan = sessionize(df, gap_seconds=1800)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
