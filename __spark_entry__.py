@@ -694,6 +694,29 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_views_after_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (operators/temporal.range_join): view events
+    within 5 minutes AFTER an error by the same user. Spark side equi-joins
+    on (user, time-bucket) with the right side exploded to adjacent buckets
+    — bounded join output, no per-key cross product; oracle is the plain
+    inequality join DuckDB optimizes natively (IEJoin)."""
+    from seronet_data_validator_spark.operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    out = range_join(errors, views, on="user_id", within_seconds=300)
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("r_event_id").alias("view_event_id"),
+        F.col("r_ts").alias("view_ts"),
+    )
+
+
 def q_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time-correct as-of join (operators/temporal.asof_join):
     each error event enriched with the user's most recent click at or
@@ -1011,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": q_corpus_curation,
         "asof_last_click": q_asof_last_click,
         "user_sessions": q_user_sessions,
+        "views_after_error": q_views_after_error,
         "fingerprints": q_fingerprints,
         "minhash_signature": q_minhash_signature,
         "simhash_signatures": q_simhash_signatures,
@@ -1472,6 +1496,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE quality_score >= 0.75
               AND lang IN ('en', 'de', 'fr', 'es')
               AND doc_id NOT IN (SELECT doc_id FROM drops)
+        """,
+        # bucketed range join: the oracle is the plain inequality join
+        "views_after_error": """
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.event_id AS view_event_id,
+                   r.ts AS view_ts
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'error') l
+            JOIN (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'view') r
+              ON l.user_id = r.user_id
+             AND r.ts >= l.ts
+             AND r.ts <= l.ts + INTERVAL 300 SECOND
         """,
         # gap-based sessionization: lag -> new-session flag -> running sum,
         # microsecond-exact gap arithmetic, aggregated per session

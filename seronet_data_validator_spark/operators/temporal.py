@@ -56,6 +56,52 @@ def sessionize(
     )
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    within_seconds: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """All (left, right) pairs with the same ``on`` key and
+    ``0 <= right.right_ts - left.left_ts <= within_seconds`` — "right events
+    within the window AFTER each left event".
+
+    A naive key-equi join with the range predicate makes Spark build every
+    same-key pair before filtering (O(|L_k| x |R_k|) per key). This
+    composition BUCKETS time by the window length and equi-joins on
+    (key, bucket) with the right side exploded into (bucket, bucket+1) —
+    any qualifying pair lands in the same or adjacent bucket, so the join
+    output per key is bounded by pairs within ~2 windows, then the exact
+    predicate filters. The shuffle key gains the bucket, which also SPREADS
+    a hot key's rows across buckets instead of one reducer.
+
+    Returns left columns plus the right's (prefixed ``r_``)."""
+    lb = left.withColumn(
+        "_bucket", F.floor(F.unix_micros(F.col(left_ts).cast("timestamp"))
+                           / (within_seconds * 1_000_000))
+    )
+    r_named = right.select(
+        F.col(on),
+        F.col(right_ts).alias(f"r_{right_ts}"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c not in (on, right_ts)],
+    )
+    rb = r_named.withColumn(
+        "_rbucket", F.floor(F.unix_micros(F.col(f"r_{right_ts}").cast("timestamp"))
+                            / (within_seconds * 1_000_000))
+    ).withColumn("_bucket", F.explode(F.array(F.col("_rbucket"), F.col("_rbucket") - 1)))
+    delta = F.unix_micros(F.col(f"r_{right_ts}").cast("timestamp")) - F.unix_micros(
+        F.col(left_ts).cast("timestamp")
+    )
+    return (
+        lb.join(rb, [on, "_bucket"])
+        .where((delta >= 0) & (delta <= within_seconds * 1_000_000))
+        .drop("_bucket", "_rbucket")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -361,3 +361,28 @@ def test_sessionize_gap_semantics(spark):
     # count only the hash exchange on the session key, pre-finalization)
     plan = sessionize(df, gap_seconds=1800)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+
+def test_range_join_bucket_boundaries(spark):
+    """Bucketed range join: pairs across a bucket edge are found, each pair
+    exactly once, window bounds inclusive [0, W], per-key isolation."""
+    from seronet_data_validator_spark.operators.temporal import range_join
+
+    mk = lambda sec: f"2024-01-01 00:{sec // 60:02d}:{sec % 60:02d}"
+    left = spark.createDataFrame(
+        [(1, 100, mk(55)), (1, 101, mk(170)), (2, 200, mk(55))],
+        "k long, event_id long, ts string",
+    ).select("k", "event_id", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, 900, mk(54)),    # before left 100 -> no
+         (1, 901, mk(65)),    # 10s after 100, crosses the 60s bucket edge
+         (1, 902, mk(115)),   # exactly W=60s after 100 -> inclusive yes
+         (1, 903, mk(116)),   # 61s after 100 -> no; before 101 -> no
+         (1, 905, mk(181)),   # 11s after 101, next bucket -> yes
+         (2, 904, mk(56))],   # other key, after its own left
+        "k long, event_id long, ts string",
+    ).select("k", "event_id", F.col("ts").cast("timestamp").alias("ts"))
+
+    out = range_join(left, right, on="k", within_seconds=60)
+    pairs = sorted((r["event_id"], r["r_event_id"]) for r in out.collect())
+    assert pairs == [(100, 901), (100, 902), (101, 905), (200, 904)]
