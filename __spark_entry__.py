@@ -1521,8 +1521,12 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY ts)
             ), sess AS (
               SELECT user_id, ts, value,
-                SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                                 ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+                -- ::BIGINT: DuckDB's SUM over ints is HUGEINT, which
+                -- pandas materializes as float64 and breaks dtype-strict
+                -- value hashing
+                (SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) - 1)::BIGINT
+                  AS session_idx
               FROM flagged
             )
             SELECT user_id, session_idx,
