@@ -694,6 +694,28 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split
+    (operators/sampling.deterministic_split): assignment is a pure function
+    of doc_id via the portable Karp-Rabin hash, so the DuckDB oracle
+    recomputes every row's split label — the auditability property the
+    operator exists for."""
+    from seronet_data_validator_spark.operators.sampling import deterministic_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_split(docs).select("doc_id", "split")
+
+
+def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota (operators/sampling.per_key_cap): keep the
+    30 longest documents per source, ties by doc_id — the pretraining-mix
+    lever, deterministic under any partitioning."""
+    from seronet_data_validator_spark.operators.sampling import per_key_cap
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return per_key_cap(docs, key="source", n=30, order_by="n_chars")
+
+
 def q_views_after_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed range join (operators/temporal.range_join): view events
     within 5 minutes AFTER an error by the same user. Spark side equi-joins
@@ -1035,6 +1057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_click": q_asof_last_click,
         "user_sessions": q_user_sessions,
         "views_after_error": q_views_after_error,
+        "corpus_split": q_corpus_split,
+        "source_quota": q_source_quota,
         "fingerprints": q_fingerprints,
         "minhash_signature": q_minhash_signature,
         "simhash_signatures": q_simhash_signatures,
@@ -1496,6 +1520,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE quality_score >= 0.75
               AND lang IN ('en', 'de', 'fr', 'es')
               AND doc_id NOT IN (SELECT doc_id FROM drops)
+        """,
+        # deterministic split: bucket = affine(KarpRabin(doc_id string))
+        # mod 10000; train < 9800, val < 9900, else test
+        "corpus_split": r"""
+            SELECT doc_id,
+              CASE WHEN bucket < 9800 THEN 'train'
+                   WHEN bucket < 9900 THEN 'val'
+                   ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id,
+                ((list_reduce(
+                    list_prepend(0::BIGINT,
+                      list_transform(string_split(doc_id::VARCHAR, ''),
+                                     c -> ord(c)::BIGINT)),
+                    (acc, c) -> (acc * 31 + c) % 1000000007)
+                  * 1103515245 + 12345) % 1000000007) % 10000 AS bucket
+              FROM documents
+            )
+        """,
+        # per-source quota: 30 longest docs per source, ties by doc_id
+        "source_quota": """
+            SELECT doc_id, source, n_chars FROM (
+              SELECT doc_id, source, n_chars,
+                row_number() OVER (PARTITION BY source
+                                   ORDER BY n_chars DESC, doc_id) AS rk
+              FROM documents
+            ) WHERE rk <= 30
         """,
         # bucketed range join: the oracle is the plain inequality join
         "views_after_error": """

@@ -1,0 +1,86 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Splits and quotas must be REPRODUCIBLE — rerunning the pipeline (or
+recomputing a split in another engine for audit) has to assign every row
+the same way. Both operators here are pure functions of the data:
+
+* ``deterministic_split`` — hash-based train/val/test assignment from the
+  row's id via the engine-portable Karp-Rabin hash (text.portable_token_hash),
+  so the exact assignment is recomputable outside Spark (the driver
+  contract's DuckDB oracle does). No RNG, no ordering dependence, stable
+  under repartitioning and incremental reruns: a row's split never changes
+  when other rows are added or removed.
+
+* ``per_key_cap`` — per-key quotas (e.g. at most N documents per domain /
+  language / source, best-first), the standard pretraining-mix lever.
+  One keyed window; ties broken deterministically by id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from seronet_data_validator_spark.operators.text import portable_token_hash
+
+_SPLIT_BUCKETS = 10_000
+
+
+def deterministic_split(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    fractions: "dict[str, float] | None" = None,
+) -> DataFrame:
+    """Assign each row a split label from a hash of its id.
+
+    ``fractions`` maps label → fraction (must sum to ≤ 1; any remainder
+    falls into the LAST label). Assignment: bucket =
+    affine(KarpRabin(id)) mod 10000, labels own contiguous bucket ranges
+    in dict order. The affine scramble (a*h + b mod p) matters: short
+    numeric ids produce CLUSTERED polynomial hashes (a 3-digit id's hash
+    spans only ~12k values), which would starve the small splits; the
+    multiplicative step spreads any clustered input across the bucket
+    space. Adds ``split: string``."""
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    h = portable_token_hash(F.col(id_col).cast("string"))
+    bucket = ((h * 1_103_515_245 + 12_345) % 1_000_000_007) % _SPLIT_BUCKETS
+    expr = None
+    upper = 0
+    labels = list(fractions)
+    for lab in labels[:-1]:
+        upper += int(round(fractions[lab] * _SPLIT_BUCKETS))
+        cond = bucket < upper
+        expr = F.when(cond, lab) if expr is None else expr.when(cond, lab)
+    last = F.lit(labels[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def per_key_cap(
+    df: DataFrame,
+    *,
+    key: str,
+    n: int,
+    order_by: str,
+    descending: bool = True,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``n`` rows per ``key``, best-first by ``order_by``
+    (ties broken by ``id_col`` ascending — deterministic under any
+    partitioning). One keyed window shuffle; per-key state is the sort of
+    that key's rows, exactly like any groupBy — salt upstream if one key
+    dominates the corpus."""
+    order = [
+        F.col(order_by).desc() if descending else F.col(order_by).asc(),
+        F.col(id_col).asc(),
+    ]
+    w = Window.partitionBy(key).orderBy(*order)
+    return (
+        df.withColumn("_rank", F.row_number().over(w))
+        .where(F.col("_rank") <= n)
+        .drop("_rank")
+    )

@@ -386,3 +386,40 @@ def test_range_join_bucket_boundaries(spark):
     out = range_join(left, right, on="k", within_seconds=60)
     pairs = sorted((r["event_id"], r["r_event_id"]) for r in out.collect())
     assert pairs == [(100, 901), (100, 902), (101, 905), (200, 904)]
+
+
+def test_deterministic_split_and_quota(spark):
+    from seronet_data_validator_spark.operators.sampling import (
+        deterministic_split,
+        per_key_cap,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", 100 - i) for i in range(300)],
+        "doc_id long, source string, n_chars long",
+    )
+    full = {r["doc_id"]: r["split"] for r in deterministic_split(df).collect()}
+    # fractions roughly honored on 300 ids
+    from collections import Counter
+    c = Counter(full.values())
+    assert c["train"] > 280 and set(c) <= {"train", "val", "test"}
+    # STABILITY: a row's split never changes when the corpus shrinks/grows
+    sub = {r["doc_id"]: r["split"]
+           for r in deterministic_split(df.where(F.col("doc_id") < 50)).collect()}
+    assert all(full[k] == v for k, v in sub.items())
+    # and is partition-invariant
+    rep = {r["doc_id"]: r["split"]
+           for r in deterministic_split(df.repartition(7)).collect()}
+    assert rep == full
+
+    capped = per_key_cap(df, key="source", n=10, order_by="n_chars")
+    rows = capped.collect()
+    assert len(rows) == 30
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["n_chars"])
+    # best-first: source s{k} holds i = k, k+3, ... with n_chars = 100 - i,
+    # so its 10 largest are 100-k down to 100-(k+27)
+    for src, vals in by_src.items():
+        k = int(src[1])
+        assert sorted(vals, reverse=True) == [100 - k - 3 * j for j in range(10)]
