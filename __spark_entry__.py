@@ -694,6 +694,16 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary (operators/text.vocabulary): top 200 tokens by term
+    frequency with document frequency — explode → one partial-agg
+    aggregation → TakeOrdered top-N (no global sort)."""
+    from seronet_data_validator_spark.operators.text import vocabulary
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocabulary(docs, top_n=200)
+
+
 def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based train/val/test split
     (operators/sampling.deterministic_split): assignment is a pure function
@@ -1059,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "views_after_error": q_views_after_error,
         "corpus_split": q_corpus_split,
         "source_quota": q_source_quota,
+        "vocab_topk": q_vocab_topk,
         "fingerprints": q_fingerprints,
         "minhash_signature": q_minhash_signature,
         "simhash_signatures": q_simhash_signatures,
@@ -1520,6 +1531,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE quality_score >= 0.75
               AND lang IN ('en', 'de', 'fr', 'es')
               AND doc_id NOT IN (SELECT doc_id FROM drops)
+        """,
+        # corpus vocabulary: token explode -> counts + doc frequency -> top-N
+        "vocab_topk": r"""
+            SELECT token, count(*) AS term_count,
+                   count(DISTINCT doc_id) AS doc_freq
+            FROM (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+              FROM documents
+            ) WHERE token <> ''
+            GROUP BY token
+            ORDER BY term_count DESC, token
+            LIMIT 200
         """,
         # deterministic split: bucket = affine(KarpRabin(doc_id string))
         # mod 10000; train < 9800, val < 9900, else test

@@ -139,3 +139,32 @@ def fingerprint_portable(
     return df.withColumn("fingerprint", F.array_min(grams)).withColumn(
         "content_md5", F.md5(F.col(text_col))
     )
+
+
+def vocabulary(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 1000,
+) -> DataFrame:
+    """Corpus vocabulary: the ``top_n`` tokens by term frequency with
+    term count and document frequency — the vocabulary-building /
+    token-distribution primitive (BPE seeding, stopword discovery, corpus
+    drift baselines).
+
+    Shape: explode tokens → ONE aggregation (partial map-side combine on
+    the token key; doc frequency via count_distinct inside the same agg) →
+    global top-N. Token rows distribute evenly regardless of document
+    length skew; the only data-size-dependent shuffle carries one row per
+    distinct (token) per partition. Ties order by token so the result is
+    deterministic."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    tok_rows = df.select(F.col(id_col), F.explode(toks).alias("token")).where(
+        F.col("token") != ""
+    )
+    counts = tok_rows.groupBy("token").agg(
+        F.count(F.lit(1)).alias("term_count"),
+        F.countDistinct(id_col).alias("doc_freq"),
+    )
+    return counts.orderBy(F.col("term_count").desc(), F.col("token")).limit(top_n)

@@ -423,3 +423,12 @@ def test_deterministic_split_and_quota(spark):
     for src, vals in by_src.items():
         k = int(src[1])
         assert sorted(vals, reverse=True) == [100 - k - 3 * j for j in range(10)]
+
+
+def test_vocabulary_counts(spark, docs):
+    out = {r["token"]: (r["term_count"], r["doc_freq"])
+           for r in text.vocabulary(docs, top_n=100).collect()}
+    # 'the' appears twice in each of docs 1-3, never in 4-5
+    assert out["the"] == (6, 3)
+    # 'fast' once in each of docs 1-3
+    assert out["fast"] == (3, 3)
