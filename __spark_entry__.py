@@ -694,6 +694,20 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/sampling.pack_documents): documents laid
+    out per source in doc_id order into 2048-token packs by start offset —
+    one windowed running sum, fully deterministic."""
+    from seronet_data_validator_spark.operators.sampling import pack_documents
+    from seronet_data_validator_spark.operators.text import token_count
+
+    docs = token_count(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "source", F.col("n_tokens_ws").alias("n_tokens")
+    )
+    out = pack_documents(docs, budget_tokens=2048, group_col="source")
+    return out.select("doc_id", "source", "n_tokens", "pack_id", "pack_offset")
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary (operators/text.vocabulary): top 200 tokens by term
     frequency with document frequency — explode → one partial-agg
@@ -1070,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "source_quota": q_source_quota,
         "vocab_topk": q_vocab_topk,
+        "doc_packing": q_doc_packing,
         "fingerprints": q_fingerprints,
         "minhash_signature": q_minhash_signature,
         "simhash_signatures": q_simhash_signatures,
@@ -1531,6 +1546,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE quality_score >= 0.75
               AND lang IN ('en', 'de', 'fr', 'es')
               AND doc_id NOT IN (SELECT doc_id FROM drops)
+        """,
+        # sequence packing: per-source running token sum in doc_id order,
+        # pack = floor(preceding / 2048); n_tokens = whitespace tokens
+        "doc_packing": r"""
+            SELECT doc_id, source, n_tokens,
+                   (preceding // 2048)::BIGINT AS pack_id,
+                   preceding::BIGINT AS pack_offset
+            FROM (
+              SELECT doc_id, source, n_tokens,
+                SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tokens
+                  AS preceding
+              FROM (
+                SELECT doc_id, source,
+                       len(string_split_regex(trim(lower(text)), '\s+'))
+                         AS n_tokens
+                FROM documents
+              )
+            )
         """,
         # corpus vocabulary: token explode -> counts + doc frequency -> top-N
         "vocab_topk": r"""

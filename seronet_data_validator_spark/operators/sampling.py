@@ -84,3 +84,40 @@ def per_key_cap(
         .where(F.col("_rank") <= n)
         .drop("_rank")
     )
+
+
+def pack_documents(
+    df: DataFrame,
+    *,
+    budget_tokens: int,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget packs (the pretraining
+    sequence-packing primitive): documents are laid out in deterministic
+    ``id_col`` order (per ``group_col`` when given) and a document joins
+    the pack its START offset falls into — ``pack_id =
+    floor(preceding_tokens / budget)``. Adds ``pack_id`` and
+    ``pack_offset`` (token offset of the doc within the running layout).
+
+    This start-offset rule is a single window (ONE shuffle, running sum) —
+    unlike exact greedy first-fit, whose reset-accumulator recurrence is
+    inherently sequential per group. The trade: a pack can overflow its
+    budget by at most ONE document (the straddler that started inside it),
+    which downstream packing consumers handle by truncation or spill —
+    the standard streaming-layout compromise.
+
+    At scale ALWAYS pass ``group_col`` (split/source/shard): without it the
+    running sum is a single global window — one partition holds the whole
+    corpus. Grouped, each group's layout is independent and distributes."""
+    parts = [group_col] if group_col else []
+    w = (
+        Window.partitionBy(*parts).orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(tokens_col).over(w)
+    preceding = cum - F.col(tokens_col)
+    return df.withColumn("pack_offset", preceding.cast("long")).withColumn(
+        "pack_id", F.floor(preceding / budget_tokens).cast("long")
+    )

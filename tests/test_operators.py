@@ -432,3 +432,19 @@ def test_vocabulary_counts(spark, docs):
     assert out["the"] == (6, 3)
     # 'fast' once in each of docs 1-3
     assert out["fast"] == (3, 3)
+
+
+def test_pack_documents_layout(spark):
+    from seronet_data_validator_spark.operators.sampling import pack_documents
+
+    df = spark.createDataFrame(
+        [(1, "a", 900), (2, "a", 900), (3, "a", 900), (4, "a", 100), (5, "b", 50)],
+        "doc_id long, source string, n_tokens long",
+    )
+    out = {r["doc_id"]: (r["pack_id"], r["pack_offset"])
+           for r in pack_documents(df, budget_tokens=1000, group_col="source").collect()}
+    assert out[1] == (0, 0)        # starts pack 0
+    assert out[2] == (0, 900)      # starts inside pack 0 (straddles into 1)
+    assert out[3] == (1, 1800)     # starts inside pack 1
+    assert out[4] == (2, 2700)     # starts inside pack 2
+    assert out[5] == (0, 0)        # group b has its own layout
