@@ -694,6 +694,16 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF (operators/text.tfidf, smoothed sklearn-style idf) for a doc
+    subset; one explode, two partial aggs, one token-key join."""
+    from seronet_data_validator_spark.operators.text import tfidf
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tfidf(docs)
+    return out.where(F.col("doc_id") < 100)
+
+
 def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (operators/sampling.pack_documents): documents laid
     out per source in doc_id order into 2048-token packs by start offset —
@@ -1085,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quota": q_source_quota,
         "vocab_topk": q_vocab_topk,
         "doc_packing": q_doc_packing,
+        "tfidf_scores": q_tfidf_scores,
         "fingerprints": q_fingerprints,
         "minhash_signature": q_minhash_signature,
         "simhash_signatures": q_simhash_signatures,
@@ -1546,6 +1557,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE quality_score >= 0.75
               AND lang IN ('en', 'de', 'fr', 'es')
               AND doc_id NOT IN (SELECT doc_id FROM drops)
+        """,
+        # tf-idf: tf per (doc, token), doc freq per token over the FULL
+        # corpus, smoothed idf = ln((N+1)/(df+1)) + 1; subset filter applied
+        # after scoring, exactly like the Spark side
+        "tfidf_scores": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, token, count(*) AS tf
+              FROM tok WHERE token <> '' GROUP BY doc_id, token
+            ), dft AS (
+              SELECT token, count(*) AS doc_freq FROM tf GROUP BY token
+            ), n AS (
+              SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+            )
+            SELECT tf.doc_id, tf.token, tf.tf, dft.doc_freq,
+                   round(tf.tf * (ln((n.n_docs + 1.0) / (dft.doc_freq + 1))
+                                  + 1.0), 4) AS tfidf
+            FROM tf JOIN dft USING (token) CROSS JOIN n
+            WHERE tf.doc_id < 100
         """,
         # sequence packing: per-source running token sum in doc_id order,
         # pack = floor(preceding / 2048); n_tokens = whitespace tokens

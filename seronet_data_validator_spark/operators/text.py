@@ -168,3 +168,41 @@ def vocabulary(
         F.countDistinct(id_col).alias("doc_freq"),
     )
     return counts.orderBy(F.col("term_count").desc(), F.col("token")).limit(top_n)
+
+
+def tfidf(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_freq: int = 1,
+) -> DataFrame:
+    """Per-(document, token) TF-IDF scores (smoothed, sklearn-style:
+    idf = ln((N+1)/(df+1)) + 1) — the retrieval / duplicate-boilerplate
+    weighting primitive.
+
+    Shape: one explode → per-(doc, token) count agg → per-token doc-freq
+    agg → one shuffle join on the token key (token dimension is data-sized;
+    never broadcast it blindly). N arrives as a broadcast scalar. All
+    aggregations partial map-side; determinism: pure function of the data.
+    Returns (id, token, tf, doc_freq, tfidf rounded to 4)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    tok_rows = df.select(F.col(id_col), F.explode(toks).alias("token")).where(
+        F.col("token") != ""
+    )
+    tf = tok_rows.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    if min_doc_freq > 1:
+        df_t = df_t.where(F.col("doc_freq") >= min_doc_freq)
+    n_docs = df.select(id_col).distinct().count()
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("doc_freq") + 1)) + 1.0
+    return (
+        tf.join(df_t, "token")
+        .select(
+            F.col(id_col),
+            "token",
+            "tf",
+            "doc_freq",
+            F.round(F.col("tf") * idf, 4).alias("tfidf"),
+        )
+    )

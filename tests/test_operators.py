@@ -448,3 +448,18 @@ def test_pack_documents_layout(spark):
     assert out[3] == (1, 1800)     # starts inside pack 1
     assert out[4] == (2, 2700)     # starts inside pack 2
     assert out[5] == (0, 0)        # group b has its own layout
+
+
+def test_tfidf_scores(spark, docs):
+    import math
+
+    out = text.tfidf(docs).collect()
+    by = {(r["doc_id"], r["token"]): r for r in out}
+    # 'the' appears twice in docs 1-3, df=3, N=5
+    r = by[(1, "the")]
+    assert r["tf"] == 2 and r["doc_freq"] == 3
+    assert abs(r["tfidf"] - round(2 * (math.log(6 / 4) + 1), 4)) < 1e-9
+    # a token unique to doc 4 gets the max idf
+    r4 = by[(4, "spark")]
+    assert r4["doc_freq"] == 1
+    assert abs(r4["tfidf"] - round(math.log(6 / 2) + 1, 4)) < 1e-9
