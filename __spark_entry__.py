@@ -694,6 +694,17 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance of each embedding to its label centroid, top 20 outliers
+    (operators/similarity.centroid_distances — long-format centroid agg +
+    (group, dim) join; the embedding-quality screen)."""
+    from seronet_data_validator_spark.operators.similarity import centroid_distances
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d = centroid_distances(emb)
+    return d.orderBy(F.col("dist").desc(), F.col("vec_id")).limit(20)
+
+
 def q_tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF (operators/text.tfidf, smoothed sklearn-style idf) for a doc
     subset; one explode, two partial aggs, one token-key join."""
@@ -1096,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "doc_packing": q_doc_packing,
         "tfidf_scores": q_tfidf_scores,
+        "embedding_outliers": q_embedding_outliers,
         "fingerprints": q_fingerprints,
         "minhash_signature": q_minhash_signature,
         "simhash_signatures": q_simhash_signatures,
@@ -1557,6 +1569,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE quality_score >= 0.75
               AND lang IN ('en', 'de', 'fr', 'es')
               AND doc_id NOT IN (SELECT doc_id FROM drops)
+        """,
+        # embedding outliers: per-(label, dim) centroid means, euclidean
+        # distance per vector, top 20 by distance (ties by vec_id)
+        "embedding_outliers": """
+            WITH dims AS (SELECT unnest(range(64)) AS dim),
+            ex AS (
+              SELECT vec_id, label, dims.dim,
+                     embedding[dims.dim + 1]::DOUBLE AS val
+              FROM embeddings CROSS JOIN dims
+            ), cent AS (
+              SELECT label, dim, avg(val) AS mean_val
+              FROM ex GROUP BY label, dim
+            )
+            SELECT ex.vec_id, ex.label,
+                   round(sqrt(sum((ex.val - cent.mean_val) *
+                                  (ex.val - cent.mean_val))), 4) AS dist
+            FROM ex JOIN cent USING (label, dim)
+            GROUP BY ex.vec_id, ex.label
+            ORDER BY dist DESC, vec_id
+            LIMIT 20
         """,
         # tf-idf: tf per (doc, token), doc freq per token over the FULL
         # corpus, smoothed idf = ln((N+1)/(df+1)) + 1; subset filter applied

@@ -158,3 +158,38 @@ def ivf_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def group_centroids(
+    df: DataFrame, *, group_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-group embedding centroids in LONG format (group, dim, mean_val):
+    posexplode the vector → one partial-agg mean per (group, dim). Long
+    format is the scale-friendly shape — no driver-side vector assembly,
+    and the downstream distance join is a plain (group, dim) equi-join."""
+    ex = df.select(F.col(group_col), F.posexplode(vec_col).alias("dim", "val"))
+    return ex.groupBy(group_col, "dim").agg(F.avg("val").alias("mean_val"))
+
+
+def centroid_distances(
+    df: DataFrame,
+    *,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Euclidean distance of every vector to ITS group's centroid — the
+    embedding-quality / outlier primitive (mislabeled or degenerate vectors
+    sit far from their cluster). Two shuffles total: the centroid agg and
+    the per-id distance agg; the join key (group, dim) spreads each group
+    over 64 dim-slots, so a dominant group does not hot-spot one reducer.
+    Returns (id, group, dist rounded to 4)."""
+    cent = group_centroids(df, group_col=group_col, vec_col=vec_col)
+    ex = df.select(
+        F.col(id_col), F.col(group_col), F.posexplode(vec_col).alias("dim", "val")
+    )
+    return (
+        ex.join(cent, [group_col, "dim"])
+        .groupBy(id_col, group_col)
+        .agg(F.round(F.sqrt(F.sum((F.col("val") - F.col("mean_val")) ** 2)), 4).alias("dist"))
+    )

@@ -463,3 +463,20 @@ def test_tfidf_scores(spark, docs):
     r4 = by[(4, "spark")]
     assert r4["doc_freq"] == 1
     assert abs(r4["tfidf"] - round(math.log(6 / 2) + 1, 4)) < 1e-9
+
+
+def test_centroid_distances(spark):
+    from seronet_data_validator_spark.operators.similarity import (
+        centroid_distances,
+        group_centroids,
+    )
+
+    rows = [
+        (1, 0, [0.0, 0.0]), (2, 0, [2.0, 0.0]),   # centroid (1, 0)
+        (3, 1, [10.0, 10.0]),                      # its own centroid
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    cent = {(r["label"], r["dim"]): r["mean_val"] for r in group_centroids(df).collect()}
+    assert cent[(0, 0)] == 1.0 and cent[(0, 1)] == 0.0 and cent[(1, 0)] == 10.0
+    dist = {r["vec_id"]: r["dist"] for r in centroid_distances(df).collect()}
+    assert dist == {1: 1.0, 2: 1.0, 3: 0.0}
