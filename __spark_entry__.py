@@ -694,6 +694,19 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_test_set_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-leakage screen (operators/dedup.ngram_contamination):
+    (test_doc, train_doc) pairs sharing ≥1 word 8-gram, with shared-gram
+    counts. Split: doc_id % 10 == 0 is 'test'. Portable shingles, so the
+    oracle recomputes the exact pair set."""
+    from seronet_data_validator_spark.operators.dedup import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    test = docs.where(F.col("doc_id") % 10 == 0)
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    return ngram_contamination(train, test, n=8, portable=True)
+
+
 def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distance of each embedding to its label centroid, top 20 outliers
     (operators/similarity.centroid_distances — long-format centroid agg +
@@ -1108,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_packing": q_doc_packing,
         "tfidf_scores": q_tfidf_scores,
         "embedding_outliers": q_embedding_outliers,
+        "test_set_contamination": q_test_set_contamination,
         "fingerprints": q_fingerprints,
         "minhash_signature": q_minhash_signature,
         "simhash_signatures": q_simhash_signatures,
@@ -1569,6 +1583,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE quality_score >= 0.75
               AND lang IN ('en', 'de', 'fr', 'es')
               AND doc_id NOT IN (SELECT doc_id FROM drops)
+        """,
+        # decontamination: distinct portable 8-gram hashes per doc on both
+        # split sides, equi-join on the gram hash, pair counts
+        "test_set_contamination": r"""
+            WITH grams AS (
+              SELECT doc_id,
+                unnest(list_distinct(
+                  list_transform(
+                    range(0, greatest(len(toks) - 8, 0) + 1),
+                    i -> list_reduce(
+                           list_prepend(0::BIGINT,
+                             list_transform(toks[i+1:i+8], t ->
+                               list_reduce(
+                                 list_prepend(0::BIGINT,
+                                   list_transform(string_split(t, ''),
+                                                  c -> ord(c)::BIGINT)),
+                                 (acc, c) -> (acc * 31 + c) % 1000000007))),
+                           (acc, h) -> (acc * 131 + h) % 1000000007)
+                  ))) AS gram
+              FROM (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\s+') AS toks
+                FROM documents
+              )
+            )
+            SELECT q.doc_id AS test_id, t.doc_id AS train_id,
+                   count(*) AS shared_ngrams
+            FROM (SELECT * FROM grams WHERE doc_id % 10 = 0) q
+            JOIN (SELECT * FROM grams WHERE doc_id % 10 <> 0) t
+              ON q.gram = t.gram
+            GROUP BY q.doc_id, t.doc_id
         """,
         # embedding outliers: per-(label, dim) centroid means, euclidean
         # distance per vector, top 20 by distance (ties by vec_id)

@@ -621,3 +621,41 @@ def dedup_by_components(
         F.col("node").alias(id_col)
     )
     return df.join(drops, id_col, "left_anti")
+
+
+def ngram_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    portable: bool = False,
+) -> DataFrame:
+    """Train/test decontamination: every (test_doc, train_doc) pair sharing
+    at least one word ``n``-gram, with the shared-gram count — the standard
+    benchmark-leakage screen before training.
+
+    Shape: shingle both sides (distinct hashed n-grams per doc), explode to
+    (gram_hash, id) rows, equi-join on the 64-bit gram hash, aggregate pair
+    counts. The join key is the gram hash — high cardinality, evenly
+    distributed — so the shuffle spreads regardless of document length or
+    popularity skew; boilerplate grams shared by MANY docs fan out as true
+    candidate pairs do (cap upstream with a gram doc-frequency filter when
+    boilerplate dominates). ``portable=True`` uses the Karp-Rabin shingles
+    so an external engine can audit the exact result."""
+    sh = shingles_portable if portable else shingles
+
+    def grams(df: DataFrame, label: str) -> DataFrame:
+        return sh(df.select(id_col, text_col), text_col, n=n).select(
+            F.col(id_col).alias(label),
+            F.explode("shingle_hashes").alias("gram"),
+        )
+
+    t = grams(train, "train_id")
+    q = grams(test, "test_id")
+    return (
+        q.join(t, "gram")
+        .groupBy("test_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    )

@@ -480,3 +480,23 @@ def test_centroid_distances(spark):
     assert cent[(0, 0)] == 1.0 and cent[(0, 1)] == 0.0 and cent[(1, 0)] == 10.0
     dist = {r["vec_id"]: r["dist"] for r in centroid_distances(df).collect()}
     assert dist == {1: 1.0, 2: 1.0, 3: 0.0}
+
+
+def test_ngram_contamination(spark):
+    train = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine ten"),
+         (2, "totally unrelated training content with different words here now")],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(10, "zzz one two three four five six seven eight qqq"),  # shares 8-grams with 1
+         (11, "no overlap whatsoever in this tiny evaluation document at all")],
+        "doc_id long, text string",
+    )
+    out = dedup.ngram_contamination(train, test, n=8).collect()
+    got = {(r["test_id"], r["train_id"]): r["shared_ngrams"] for r in out}
+    # test 10 shares exactly one 8-gram ("one ... eight") with train 1
+    assert got == {(10, 1): 1}
+    # portable variant finds the same pair set
+    outp = dedup.ngram_contamination(train, test, n=8, portable=True).collect()
+    assert {(r["test_id"], r["train_id"]): r["shared_ngrams"] for r in outp} == got
