@@ -701,7 +701,11 @@ def q_test_set_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes the exact pair set."""
     from seronet_data_validator_spark.operators.dedup import ngram_contamination
 
-    docs = _t(spark, sf_dir, "documents")
+    # doc_id < 2500: the portable char-fold exists for auditability, not
+    # speed — production decontamination uses the xxhash64 shingles
+    # (portable=False); the capped subset keeps the oracle-checked query
+    # proportionate in the bench suite.
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 2500)
     test = docs.where(F.col("doc_id") % 10 == 0)
     train = docs.where(F.col("doc_id") % 10 != 0)
     return ngram_contamination(train, test, n=8, portable=True)
@@ -1605,7 +1609,7 @@ def oracle_sql() -> dict[str, str]:
               FROM (
                 SELECT doc_id,
                        string_split_regex(trim(lower(text)), '\s+') AS toks
-                FROM documents
+                FROM documents WHERE doc_id < 2500
               )
             )
             SELECT q.doc_id AS test_id, t.doc_id AS train_id,

@@ -647,9 +647,16 @@ def ngram_contamination(
     sh = shingles_portable if portable else shingles
 
     def grams(df: DataFrame, label: str) -> DataFrame:
-        return sh(df.select(id_col, text_col), text_col, n=n).select(
+        # explode_outer, not explode: inner explode of a COMPUTED array lets
+        # InferFiltersFromGenerate clone the whole shingle expression into a
+        # size(...)>0 scan filter — re-hashing every document twice
+        # (measured 5x on the portable path; PLANS.md §6). The shingle
+        # array is never empty, and a hypothetical null gram row would drop
+        # at the equi-join anyway.
+        # the hash fold is CPU-heavy — spread a single-file input first
+        return sh(_ensure_parallelism(df.select(id_col, text_col)), text_col, n=n).select(
             F.col(id_col).alias(label),
-            F.explode("shingle_hashes").alias("gram"),
+            F.explode_outer("shingle_hashes").alias("gram"),
         )
 
     t = grams(train, "train_id")
