@@ -694,6 +694,21 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus-mix downsampling (operators/sampling.
+    weighted_mix): keep rows so sources hit 50/30/20 target proportions
+    without upsampling; every keep decision is a hash of the doc id, so
+    the oracle recomputes the exact kept set."""
+    from seronet_data_validator_spark.operators.sampling import weighted_mix
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = weighted_mix(
+        docs, group_col="source",
+        weights={"src0": 0.5, "src1": 0.3, "src2": 0.2},
+    )
+    return out.select("doc_id", "source")
+
+
 def q_test_set_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-leakage screen (operators/dedup.ngram_contamination):
     (test_doc, train_doc) pairs sharing ≥1 word 8-gram, with shared-gram
@@ -1126,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_scores": q_tfidf_scores,
         "embedding_outliers": q_embedding_outliers,
         "test_set_contamination": q_test_set_contamination,
+        "corpus_mix": q_corpus_mix,
         "fingerprints": q_fingerprints,
         "minhash_signature": q_minhash_signature,
         "simhash_signatures": q_simhash_signatures,
@@ -1587,6 +1603,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE quality_score >= 0.75
               AND lang IN ('en', 'de', 'fr', 'es')
               AND doc_id NOT IN (SELECT doc_id FROM drops)
+        """,
+        # corpus mix: keep rate r_g = w_g*K/n_g with K = min(n_g/w_g);
+        # keep when the salted affine hash bucket of the id < r_g*10000
+        "corpus_mix": r"""
+            WITH c AS (
+              SELECT source, count(*)::DOUBLE AS n FROM documents
+              WHERE source IN ('src0', 'src1', 'src2') GROUP BY source
+            ), w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+            k AS (SELECT min(c.n / w.wt) AS kk FROM c JOIN w USING (source)),
+            r AS (
+              SELECT c.source, (w.wt * k.kk / c.n) AS rate
+              FROM c JOIN w USING (source) CROSS JOIN k
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN r USING (source)
+            WHERE ((list_reduce(
+                      list_prepend(0::BIGINT,
+                        list_transform(string_split('mix:' || d.doc_id::VARCHAR, ''),
+                                       c -> ord(c)::BIGINT)),
+                      (acc, c) -> (acc * 31 + c) % 1000000007)
+                    * 1103515245 + 12345) % 1000000007) % 10000
+                  < r.rate * 10000
         """,
         # decontamination: distinct portable 8-gram hashes per doc on both
         # split sides, equi-join on the gram hash, pair counts

@@ -121,3 +121,45 @@ def pack_documents(
     return df.withColumn("pack_offset", preceding.cast("long")).withColumn(
         "pack_id", F.floor(preceding / budget_tokens).cast("long")
     )
+
+
+def weighted_mix(
+    df: DataFrame,
+    *,
+    group_col: str,
+    weights: "dict[str, float]",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic downsampling so the kept rows' group proportions match
+    the target ``weights`` — the pretraining corpus-mix lever ("30% web,
+    30% code, 40% books").
+
+    No group is upsampled: with n_g rows per group and target weight w_g,
+    the keep rate is r_g = w_g * K / n_g where K = min_g(n_g / w_g) — the
+    largest total for which every group can meet its share. A row is kept
+    when its id's affine-scrambled Karp-Rabin bucket (an independent salt
+    from deterministic_split's) falls under r_g: reproducible in any
+    engine, stable under reruns, partition-invariant. Group sizes come
+    from one aggregation joined back broadcast (the group dimension is
+    small by construction — it is the mix axis)."""
+    groups = list(weights)
+    counts = (
+        df.where(F.col(group_col).isin(groups))
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    w_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in weights.items() for x in kv]),
+        F.col(group_col),
+    )
+    k_min = counts.select(F.min(F.col("_n") / w_expr).alias("_k"))
+    rates = counts.crossJoin(F.broadcast(k_min)).select(
+        group_col, ((w_expr * F.col("_k")) / F.col("_n")).alias("_rate")
+    )
+    h = portable_token_hash(F.concat(F.lit("mix:"), F.col(id_col).cast("string")))
+    bucket = ((h * 1_103_515_245 + 12_345) % 1_000_000_007) % _SPLIT_BUCKETS
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .where(bucket < F.col("_rate") * _SPLIT_BUCKETS)
+        .drop("_rate")
+    )

@@ -500,3 +500,27 @@ def test_ngram_contamination(spark):
     # portable variant finds the same pair set
     outp = dedup.ngram_contamination(train, test, n=8, portable=True).collect()
     assert {(r["test_id"], r["train_id"]): r["shared_ngrams"] for r in outp} == got
+
+
+def test_weighted_mix_proportions(spark):
+    from seronet_data_validator_spark.operators.sampling import weighted_mix
+
+    rows = [(i, "a" if i < 400 else ("b" if i < 600 else "c")) for i in range(700)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = weighted_mix(df, group_col="source", weights={"a": 0.25, "b": 0.25, "c": 0.5})
+    from collections import Counter
+    c = Counter(r["source"] for r in out.collect())
+    # c is the binding group (100 rows / 0.5 -> K=200): kept ≈ 50/50/100
+    assert c["c"] == pytest.approx(100, abs=15)
+    assert c["a"] == pytest.approx(50, abs=15)
+    assert c["b"] == pytest.approx(50, abs=15)
+    # deterministic + partition-invariant
+    ids = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in weighted_mix(
+            df.repartition(9), group_col="source",
+            weights={"a": 0.25, "b": 0.25, "c": 0.5},
+        ).collect()
+    )
+    assert ids == ids2
