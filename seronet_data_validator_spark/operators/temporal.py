@@ -124,14 +124,25 @@ def asof_join(
         right_cols = [c for c in right.columns if c not in (on, right_ts)]
     carried = [right_ts] + right_cols
 
-    # union layout: left rows keep their columns, right rows contribute only
-    # the carried attrs (left attrs NULL) — same schema both sides
+    # union layout: left rows keep their columns, right rows contribute the
+    # carried attrs as ONE struct — same schema both sides. One struct, not
+    # per-column: last(col, ignorenulls) taken independently per column
+    # would stitch fields from DIFFERENT right rows whenever the most
+    # recent right row has a NULL attribute (skipped for that column only).
+    # The struct itself is never null on a right row, so last(struct,
+    # ignorenulls) always picks the whole most-recent row.
+    r_struct = F.struct(*[F.col(c).alias(c) for c in carried])
+    null_struct = F.lit(None).cast(
+        "struct<" + ", ".join(
+            f"{c}: {right.schema[c].dataType.simpleString()}" for c in carried
+        ) + ">"
+    )
     l_tagged = left.select(
         F.col(on),
         F.col(left_ts).alias("_ats"),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in left.columns if c != on],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in carried],
+        null_struct.alias("_r"),
     )
     r_tagged = right.select(
         F.col(on),
@@ -139,7 +150,7 @@ def asof_join(
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c != on],
-        *[F.col(c).alias(f"_r_{c}") for c in carried],
+        r_struct.alias("_r"),
     )
     # (ts, side) order: a right row at the SAME timestamp sorts before the
     # left row -> inclusive (<=) as-of semantics
@@ -148,15 +159,10 @@ def asof_join(
         .orderBy(F.col("_ats"), F.col("_side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    enriched = l_tagged.unionByName(r_tagged).select(
-        "*",
-        *[
-            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"{prefix}{c}")
-            for c in carried
-        ],
-    )
+    matched = F.last(F.col("_r"), ignorenulls=True).over(w)
+    enriched = l_tagged.unionByName(r_tagged).select("*", matched.alias("_m"))
     return enriched.where(F.col("_side") == 1).select(
         F.col(on),
         *[F.col(c) for c in left.columns if c != on],
-        *[F.col(f"{prefix}{c}") for c in carried],
+        *[F.col("_m")[c].alias(f"{prefix}{c}") for c in carried],
     )

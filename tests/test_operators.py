@@ -338,6 +338,24 @@ def test_asof_join_semantics(spark):
     assert out["l3"] == (None, None)        # key 2's only right row is later
 
 
+def test_asof_join_null_attrs_not_stitched(spark):
+    """A right row with a NULL attribute must NOT have that field back-filled
+    from an OLDER right row: the match is the whole most-recent row, atomically
+    (struct-based last(), not per-column last(ignorenulls))."""
+    from seronet_data_validator_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 30, "l")], "k long, ts long, tag string")
+    right = spark.createDataFrame(
+        [(1, 10, 0.5, "old"), (1, 20, None, "new")],
+        "k long, ts long, value double, label string",
+    )
+    row = asof_join(left, right, on="k").collect()[0]
+    assert row["asof_ts"] == 20
+    assert row["asof_label"] == "new"
+    # the critical assertion: value comes from the ts=20 row (NULL), not ts=10
+    assert row["asof_value"] is None
+
+
 def test_sessionize_gap_semantics(spark):
     """Gap-based sessions: gap == threshold stays in session, gap > starts a
     new one, per-key isolation; one shuffle + one sort for the whole op."""
