@@ -218,6 +218,36 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level subtotal aggregation via ROLLUP grouping sets:
+    (event_type, hour-of-day) detail rows + per-type subtotals + grand
+    total in ONE shuffle (Expand feeds a single partial-agg HashAggregate
+    — no union of three separate scans). Neither grouping column is NULL
+    in the data, so NULL unambiguously marks the rolled-up level."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.rollup(F.col("event_type"), F.hour("ts").alias("hh")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide conditional aggregation): per user-id bucket, one
+    count column per event type. Explicit pivot values keep the schema
+    static (no extra distinct-values job, plan stays a single aggregate);
+    empty cells coalesced to 0 to match SQL FILTER semantics."""
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "error", "signup"]
+    wide = (
+        ev.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "user_bucket", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds]
+    )
+
+
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine similarity vs the vec_id=0 embedding; returns all
     vectors above a threshold (threshold-filter beats top-k for oracle
@@ -1023,6 +1053,40 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(clips)
 
 
+def q_spectral_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio DSP pass: spectral shape (dominant freq / centroid / bandwidth
+    / rolloff / flatness, Welch power spectrum) joined with energy-VAD
+    silence stats (silence ratio, trim points, speech segments) per clip.
+    Two narrow mapInArrow passes over the binary column; FFT math is
+    non-SQL-expressible → rows-only oracle."""
+    from seronet_data_validator_spark.operators.dsp import (
+        silence_stats,
+        spectral_features,
+    )
+    from seronet_data_validator_spark.sources.clips import generate_clips
+
+    clips = generate_clips(spark, 300, seed=42)
+    return spectral_features(clips).join(silence_stats(clips), "clip_id")
+
+
+def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-based audio near-dup: 128-bit spectral fingerprints on a
+    canonical 8 kHz grid, pigeonhole-banded self-join, hamming verify on
+    two longs. Planted copies (each clip unioned with a 16 kHz resample of
+    itself under a suffixed id) must all be recovered; FFT fingerprints are
+    non-SQL-expressible → rows-only oracle."""
+    from seronet_data_validator_spark.operators.dsp import audio_near_duplicates
+    from seronet_data_validator_spark.operators.multimodal import audio_resample
+    from seronet_data_validator_spark.sources.clips import generate_clips
+
+    clips = generate_clips(spark, 150, seed=42).select("clip_id", "bytes")
+    copies = audio_resample(clips, 16000).select(
+        F.concat(F.col("clip_id"), F.lit("_r16k")).alias("clip_id"),
+        F.col("bytes"),
+    )
+    return audio_near_duplicates(clips.unionByName(copies))
+
+
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal image pass: native numpy decode of uncompressed public
     formats (PPM P6 / 24-bit BMP) → (width, height, mean_luma); a PNG row
@@ -1109,6 +1173,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "text_quality": q_text_quality,
         "events_hourly": q_events_hourly,
+        "events_rollup": q_events_rollup,
+        "event_pivot": q_event_pivot,
+        "spectral_profile": q_spectral_profile,
+        "audio_neardup": q_audio_neardup,
         "similarity_topk": q_similarity_topk,
         "quality_scores": q_quality_scores,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1304,6 +1372,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour_start, event_type,
                    count(*) AS n, round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_rollup": """
+            SELECT event_type, hour(ts) AS hh,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY ROLLUP (event_type, hh)
+        """,
+        "event_pivot": """
+            SELECT user_id % 10 AS user_bucket,
+                   count(*) FILTER (event_type = 'click')    AS click,
+                   count(*) FILTER (event_type = 'view')     AS view,
+                   count(*) FILTER (event_type = 'purchase') AS purchase,
+                   count(*) FILTER (event_type = 'error')    AS error,
+                   count(*) FILTER (event_type = 'signup')   AS signup
+            FROM events GROUP BY 1
         """,
         "similarity_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

