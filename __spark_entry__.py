@@ -1053,6 +1053,70 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(clips)
 
 
+def q_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction (text.pii_scan / pii_redact): per-pattern hit
+    counts and the placeholder-redacted text. Documents carry no real PII,
+    so deterministic synthetic PII (email/SSN/phone/IPv4 derived from
+    doc_id by integer arithmetic) is injected identically here and in the
+    oracle; the value hash then covers every count AND every redacted
+    string. Pure chained regexp expressions — narrow, zero shuffle."""
+    from seronet_data_validator_spark.operators.text import pii_redact, pii_scan
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def dig(expr):
+        return expr.cast("string")
+
+    inj = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 3 == 0,
+                F.concat(F.lit(" u"), dig(d), F.lit("@ex"), dig(d % 7), F.lit(".com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 4 == 0,
+                F.concat(
+                    F.lit(" "), dig(d % 900 + 100), F.lit("-"), dig(d % 90 + 10),
+                    F.lit("-"), dig(d % 9000 + 1000),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 5 == 0,
+                F.concat(
+                    F.lit(" call "), dig(d % 900 + 100), F.lit("-"),
+                    dig(d % 900 + 100), F.lit("-"), dig(d % 9000 + 1000),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 7 == 0,
+                F.concat(F.lit(" 10."), dig(d % 256), F.lit(".0.1")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_redact(pii_scan(inj)).select(
+        "doc_id",
+        F.col("n_email").cast("int").alias("n_email"),
+        F.col("n_ssn").cast("int").alias("n_ssn"),
+        F.col("n_phone").cast("int").alias("n_phone"),
+        F.col("n_ipv4").cast("int").alias("n_ipv4"),
+        "n_pii_total",
+        F.col("text_redacted").alias("redacted"),
+    )
+
+
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition stats (text.repetition_stats): duplicate
+    token/2-gram ratios and the top-token share, computed entirely with
+    per-row array expressions (zero shuffle — at corpus scale this is pure
+    scan-side work)."""
+    from seronet_data_validator_spark.operators.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_spectral_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio DSP pass: spectral shape (dominant freq / centroid / bandwidth
     / rolloff / flatness, Welch power spectrum) joined with energy-VAD
@@ -1175,6 +1239,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_rollup": q_events_rollup,
         "event_pivot": q_event_pivot,
+        "pii_audit": q_pii_audit,
+        "repetition_profile": q_repetition_profile,
         "spectral_profile": q_spectral_profile,
         "audio_neardup": q_audio_neardup,
         "similarity_topk": q_similarity_topk,
@@ -1372,6 +1438,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour_start, event_type,
                    count(*) AS n, round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "pii_audit": r"""
+            WITH inj AS (
+                SELECT doc_id,
+                    text
+                    || CASE WHEN doc_id % 3 = 0 THEN ' u' || doc_id || '@ex' || (doc_id % 7) || '.com' ELSE '' END
+                    || CASE WHEN doc_id % 4 = 0 THEN ' ' || (doc_id % 900 + 100) || '-' || (doc_id % 90 + 10) || '-' || (doc_id % 9000 + 1000) ELSE '' END
+                    || CASE WHEN doc_id % 5 = 0 THEN ' call ' || (doc_id % 900 + 100) || '-' || (doc_id % 900 + 100) || '-' || (doc_id % 9000 + 1000) ELSE '' END
+                    || CASE WHEN doc_id % 7 = 0 THEN ' 10.' || (doc_id % 256) || '.0.1' ELSE '' END
+                    AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT AS n_email,
+                len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))::INT AS n_ssn,
+                len(regexp_extract_all(text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))::INT AS n_phone,
+                len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::INT AS n_ipv4,
+                (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                 + len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))
+                 + len(regexp_extract_all(text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))
+                 + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')))::INT AS n_pii_total,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                      '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+                    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g'),
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g') AS redacted
+            FROM inj
+        """,
+        "repetition_profile": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\s+') AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                len(t) AS n_tokens,
+                round(1.0 - len(list_distinct(t)) * 1.0 / greatest(len(t), 1), 4)
+                    AS dup_token_ratio,
+                round(CASE WHEN len(t) > 1
+                           THEN 1.0 - len(list_distinct(
+                                    list_transform(range(1, len(t)),
+                                                   i -> t[i] || ' ' || t[i + 1])
+                                )) * 1.0 / (len(t) - 1)
+                           ELSE 0.0 END, 4) AS dup_2gram_ratio,
+                round(list_max(list_transform(list_distinct(t),
+                          u -> len(list_filter(t, v -> v = u))))
+                      * 1.0 / greatest(len(t), 1), 4) AS top_token_ratio
+            FROM toks
         """,
         "events_rollup": """
             SELECT event_type, hour(ts) AS hh,

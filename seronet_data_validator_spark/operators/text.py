@@ -206,3 +206,91 @@ def tfidf(
             F.round(F.col("tf") * idf, 4).alias("tfidf"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scan / redaction
+# ---------------------------------------------------------------------------
+# Deterministic regex patterns for the classic structured-PII shapes a
+# pretraining pipeline scrubs before training (public patterns; a heuristic
+# scanner, not a trained NER model). Kept to syntax both Java regex (Spark)
+# and RE2 (DuckDB oracle) interpret identically: character classes,
+# bounded repetition, \b word boundaries — no lookaround, no backrefs.
+# Order matters for redaction: SSN before phone (both are digit triplets),
+# email before ipv4 (an email's host part may contain dotted digits).
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+]
+
+
+def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII hit counts (one column per pattern) plus the total.
+    Pure JVM regexp_count expressions — narrow, zero shuffle; at corpus
+    scale this is a single scan-side pass with nothing to re-partition."""
+    out = df
+    for name, pat in PII_PATTERNS:
+        out = out.withColumn(f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)))
+    total = sum((F.col(f"n_{n}") for n, _ in PII_PATTERNS), F.lit(0))
+    return out.withColumn("n_pii_total", total.cast("int"))
+
+
+def pii_redact(df: DataFrame, text_col: str = "text", *, out_col: str | None = None) -> DataFrame:
+    """Replace every PII match with a typed placeholder ([EMAIL], [SSN], ...),
+    applying patterns in PII_PATTERNS order so overlapping digit shapes
+    resolve deterministically. Chained regexp_replace stays inside
+    whole-stage codegen — one projection, no Python."""
+    col = F.col(text_col)
+    for name, pat in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, f"[{name.upper()}]")
+    return df.withColumn(out_col or f"{text_col}_redacted", col)
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition profile, entirely per-row (zero shuffle):
+
+    - dup_token_ratio: 1 - distinct/total whitespace tokens
+    - dup_2gram_ratio: 1 - distinct/total word 2-grams
+    - top_token_ratio: share of the most frequent token (longest run in the
+      sorted token array via a single F.aggregate fold)
+
+    High values mark boilerplate/spam documents that repetition filters
+    drop before training (public Gopher/C4 rule family)."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    grams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    n_g = F.size(grams)
+    run_state = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    return df.select(
+        id_col,
+        n.alias("n_tokens"),
+        F.round(F.lit(1.0) - F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1)), 4).alias(
+            "dup_token_ratio"
+        ),
+        F.round(
+            F.when(
+                n_g > 0, F.lit(1.0) - F.size(F.array_distinct(grams)) / n_g
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("dup_2gram_ratio"),
+        F.round(run_state["best"] / F.greatest(n, F.lit(1)), 4).alias("top_token_ratio"),
+    )

@@ -542,3 +542,41 @@ def test_weighted_mix_proportions(spark):
         ).collect()
     )
     assert ids == ids2
+
+
+def test_pii_scan_and_redact(spark):
+    rows = [
+        (1, "mail me at a.b+c@ex.co or 555-12-3456 today"),
+        (2, "call 415-555-1234 from 10.0.0.1 please"),
+        (3, "nothing sensitive here"),
+        (4, "two mails x@y.io z@w.dev and ssn 123-45-6789"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.pii_redact(text.pii_scan(df)).collect()}
+    assert (out[1]["n_email"], out[1]["n_ssn"]) == (1, 1)
+    assert (out[2]["n_phone"], out[2]["n_ipv4"]) == (1, 1)
+    assert out[3]["n_pii_total"] == 0 and out[3]["text_redacted"] == rows[2][1]
+    assert (out[4]["n_email"], out[4]["n_ssn"]) == (2, 1)
+    assert out[1]["text_redacted"] == "mail me at [EMAIL] or [SSN] today"
+    assert out[2]["text_redacted"] == "call [PHONE] from [IPV4] please"
+    assert out[4]["text_redacted"] == "two mails [EMAIL] [EMAIL] and ssn [SSN]"
+    # SSN pattern wins over phone on xxx-xx-xxxx; phone never matches it
+    assert out[1]["n_phone"] == 0
+
+
+def test_repetition_stats(spark):
+    rows = [
+        (1, "spam spam spam spam"),            # all dup, one token dominates
+        (2, "a b c d"),                        # all distinct
+        (3, "x y x y x y"),                    # distinct tokens 2, 2-grams repeat
+        (4, "solo"),                           # single token edge case
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.repetition_stats(df).collect()}
+    assert out[1]["dup_token_ratio"] == 0.75 and out[1]["top_token_ratio"] == 1.0
+    assert out[2]["dup_token_ratio"] == 0.0 and out[2]["dup_2gram_ratio"] == 0.0
+    assert out[3]["dup_token_ratio"] == pytest.approx(1 - 2 / 6, abs=1e-4)
+    # 5 bigrams, 2 distinct ("x y", "y x")
+    assert out[3]["dup_2gram_ratio"] == pytest.approx(1 - 2 / 5, abs=1e-4)
+    assert out[4]["n_tokens"] == 1 and out[4]["dup_2gram_ratio"] == 0.0
+    assert out[2]["top_token_ratio"] == 0.25
