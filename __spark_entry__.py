@@ -1117,6 +1117,42 @@ def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_document_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style keep/drop composite (text.document_filter): every
+    quality gate — length band, mean-token-length, punctuation, 2-gram and
+    top-token repetition, stopword language allowlist, PII presence — fused
+    into ONE scan-side projection, emitting a sorted reason list per doc.
+    The same deterministic PII injection as `pii_audit` is applied first so
+    the pii gate fires on a known subset; the oracle replays every gate in
+    DuckDB and the value hash covers verdicts AND reason strings."""
+    from seronet_data_validator_spark.operators.text import document_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def dig(expr):
+        return expr.cast("string")
+
+    inj = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 3 == 0,
+                F.concat(F.lit(" u"), dig(d), F.lit("@ex"), dig(d % 7), F.lit(".com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 4 == 0,
+                F.concat(
+                    F.lit(" "), dig(d % 900 + 100), F.lit("-"), dig(d % 90 + 10),
+                    F.lit("-"), dig(d % 9000 + 1000),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return document_filter(inj)
+
+
 def q_spectral_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio DSP pass: spectral shape (dominant freq / centroid / bandwidth
     / rolloff / flatness, Welch power spectrum) joined with energy-VAD
@@ -1241,6 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_pivot": q_event_pivot,
         "pii_audit": q_pii_audit,
         "repetition_profile": q_repetition_profile,
+        "document_filter": q_document_filter,
         "spectral_profile": q_spectral_profile,
         "audio_neardup": q_audio_neardup,
         "similarity_topk": q_similarity_topk,
@@ -1489,6 +1526,74 @@ def oracle_sql() -> dict[str, str]:
                           u -> len(list_filter(t, v -> v = u))))
                       * 1.0 / greatest(len(t), 1), 4) AS top_token_ratio
             FROM toks
+        """,
+        "document_filter": r"""
+            WITH inj AS (
+                SELECT doc_id,
+                    text
+                    || CASE WHEN doc_id % 3 = 0 THEN ' u' || doc_id || '@ex' || (doc_id % 7) || '.com' ELSE '' END
+                    || CASE WHEN doc_id % 4 = 0 THEN ' ' || (doc_id % 900 + 100) || '-' || (doc_id % 90 + 10) || '-' || (doc_id % 9000 + 1000) ELSE '' END
+                    AS text
+                FROM documents
+            ), s AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS t,
+                       length(text) AS n_chars
+                FROM inj
+            ), m AS (
+                SELECT doc_id,
+                    len(t) AS n_tok,
+                    (n_chars - (len(t) - 1)) * 1.0 / greatest(len(t), 1) AS mean_tok_len,
+                    length(regexp_replace(text, '[^\.,;:!\?]', '', 'g')) * 1.0
+                        / greatest(n_chars, 1) AS punct,
+                    CASE WHEN len(t) > 1
+                         THEN 1.0 - len(list_distinct(
+                                  list_transform(range(1, len(t)),
+                                                 i -> t[i] || ' ' || t[i + 1])
+                              )) * 1.0 / (len(t) - 1)
+                         ELSE 0.0 END AS dup2,
+                    list_max(list_transform(list_distinct(t),
+                        u -> len(list_filter(t, v -> v = u))))
+                        * 1.0 / greatest(len(t), 1) AS toptok,
+                    list_sort([
+                        {'score': len(list_filter(t, x -> x IN
+                            ('the','a','of','and','to','in','is','that','it','for'))) * 1.0
+                            / greatest(len(t), 1), 'lang': 'en'},
+                        {'score': len(list_filter(t, x -> x IN
+                            ('der','die','das','und','ist','nicht','ein','zu','mit','den'))) * 1.0
+                            / greatest(len(t), 1), 'lang': 'de'},
+                        {'score': len(list_filter(t, x -> x IN
+                            ('le','la','les','et','est','un','une','des','que','pour'))) * 1.0
+                            / greatest(len(t), 1), 'lang': 'fr'},
+                        {'score': len(list_filter(t, x -> x IN
+                            ('el','la','los','las','y','es','un','una','que','por'))) * 1.0
+                            / greatest(len(t), 1), 'lang': 'es'},
+                        {'score': length(regexp_replace(text, '[^一-鿿]', '', 'g')) * 1.0
+                            / greatest(length(text), 1), 'lang': 'zh'}
+                    ])[-1].lang AS lang_pred,
+                    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                    + len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))
+                    + len(regexp_extract_all(text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))
+                    + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                        AS n_pii
+                FROM s
+            ), g AS (
+                SELECT doc_id, lang_pred, n_tok,
+                    coalesce(array_to_string(list_filter([
+                        CASE WHEN lang_pred NOT IN ('en','de','fr','es') THEN 'lang' END,
+                        CASE WHEN n_pii > 0 THEN 'pii' END,
+                        CASE WHEN punct > 0.2 THEN 'punct' END,
+                        CASE WHEN dup2 > 0.5 THEN 'repetition_2gram' END,
+                        CASE WHEN toptok > 0.3 THEN 'repetition_top' END,
+                        CASE WHEN mean_tok_len < 2.0 OR mean_tok_len > 12.0 THEN 'token_len' END,
+                        CASE WHEN n_tok > 10000 THEN 'too_long' END,
+                        CASE WHEN n_tok < 20 THEN 'too_short' END
+                    ], x -> x IS NOT NULL), ','), '') AS reasons
+                FROM m
+            )
+            SELECT doc_id, lang_pred, n_tok::INT AS n_tokens,
+                   reasons = '' AS keep, reasons
+            FROM g
         """,
         "events_rollup": """
             SELECT event_type, hour(ts) AS hh,

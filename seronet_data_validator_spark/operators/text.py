@@ -294,3 +294,113 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         ).alias("dup_2gram_ratio"),
         F.round(run_state["best"] / F.greatest(n, F.lit(1)), 4).alias("top_token_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Document filter composite (C4/Gopher-style keep/drop with reasons)
+# ---------------------------------------------------------------------------
+FILTER_DEFAULTS: dict = {
+    "min_tokens": 20,
+    "max_tokens": 10_000,
+    "mean_tok_len": (2.0, 12.0),
+    "max_punct_ratio": 0.2,
+    "max_dup_2gram": 0.5,
+    "max_top_token": 0.3,
+    "lang_allow": ("en", "de", "fr", "es"),
+    "max_pii": 0,
+}
+
+
+def document_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **overrides,
+) -> DataFrame:
+    """Pretraining-corpus keep/drop verdict per document, combining the
+    public C4/Gopher rule families (length band, mean-token-length band,
+    punctuation ratio, duplicate-2gram and top-token repetition, stopword
+    language ID allowlist, structured-PII presence) into ONE fused
+    projection. Mirrors the validator's violation-row idiom: every failed
+    gate contributes a reason; `keep` = no reasons.
+
+    Scale shape: zero shuffle — every signal is a per-row Column expression
+    (array ops + regexp counts), so at corpus scale this is pure scan-side
+    work that pipelines with the parquet read; thresholds fold to literals.
+    Returns (id, lang_pred, n_tokens, keep, reasons) where `reasons` is the
+    comma-joined, name-sorted failed-gate list ('' when kept)."""
+    cfg = {**FILTER_DEFAULTS, **overrides}
+    toks = _tokens(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    mean_tok_len = (n_chars - (n_tok - 1)) / F.greatest(n_tok, F.lit(1))
+    punct = F.length(
+        F.regexp_replace(F.col(text_col), r"[^\.,;:!\?]", "")
+    ) / F.greatest(n_chars, F.lit(1))
+
+    grams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n_tok - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n_tok - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    n_g = F.size(grams)
+    dup_2gram = F.when(
+        n_g > 0, F.lit(1.0) - F.size(F.array_distinct(grams)) / n_g
+    ).otherwise(F.lit(0.0))
+    run_state = F.aggregate(
+        F.array_sort(toks),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    top_token = run_state["best"] / F.greatest(n_tok, F.lit(1))
+
+    def _hit(words: list[str]):
+        return lambda t: t.isin(*words)
+
+    lang_scores = []
+    for lang, words in STOPWORD_PROFILES.items():
+        if words:
+            ratio = F.size(F.filter(toks, _hit(words))) / F.greatest(n_tok, F.lit(1))
+        else:
+            cjk = F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", ""))
+            ratio = cjk / F.greatest(n_chars, F.lit(1))
+        lang_scores.append(F.struct(ratio.alias("score"), F.lit(lang).alias("lang")))
+    lang_pred = F.array_max(F.array(*lang_scores))["lang"]
+
+    n_pii = sum(
+        (F.regexp_count(F.col(text_col), F.lit(pat)) for _, pat in PII_PATTERNS),
+        F.lit(0),
+    )
+
+    lo, hi = cfg["mean_tok_len"]
+    gates = [  # (name, failed-condition) — names listed pre-sorted
+        ("lang", ~lang_pred.isin(*cfg["lang_allow"])),
+        ("pii", n_pii > cfg["max_pii"]),
+        ("punct", punct > cfg["max_punct_ratio"]),
+        ("repetition_2gram", dup_2gram > cfg["max_dup_2gram"]),
+        ("repetition_top", top_token > cfg["max_top_token"]),
+        ("token_len", (mean_tok_len < lo) | (mean_tok_len > hi)),
+        ("too_long", n_tok > cfg["max_tokens"]),
+        ("too_short", n_tok < cfg["min_tokens"]),
+    ]
+    reasons = F.concat_ws(
+        ",",
+        F.filter(
+            F.array(*[F.when(cond, F.lit(name)) for name, cond in gates]),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    return df.select(
+        id_col,
+        lang_pred.alias("lang_pred"),
+        n_tok.cast("int").alias("n_tokens"),
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"),
+    )

@@ -580,3 +580,33 @@ def test_repetition_stats(spark):
     assert out[3]["dup_2gram_ratio"] == pytest.approx(1 - 2 / 5, abs=1e-4)
     assert out[4]["n_tokens"] == 1 and out[4]["dup_2gram_ratio"] == 0.0
     assert out[2]["top_token_ratio"] == 0.25
+
+
+def test_document_filter_gates_and_reasons(spark):
+    keep_text = (
+        "the quick brown fox jumps over a lazy dog and runs to the old "
+        "mill in town for food today again"
+    )  # 21 tokens, en stopwords, no gate trips
+    rows = [
+        (1, keep_text),
+        (2, "hello world"),  # too short; no stopwords -> zh tie-break -> lang
+        (3, keep_text + " contact a@b.co"),  # pii only
+        (4, " ".join(["the"] * 25)),  # repetition gates, lang stays en
+        (5, " ".join("abcdefghijklmnopqrst")),  # 20 1-char tokens -> token_len
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.document_filter(df).collect()}
+    assert out[1]["keep"] and out[1]["reasons"] == ""
+    assert out[1]["lang_pred"] == "en" and out[1]["n_tokens"] == 21
+    # reasons are name-sorted and comma-joined
+    assert out[2]["reasons"] == "lang,repetition_top,too_short"
+    assert out[3]["reasons"] == "pii" and not out[3]["keep"]
+    assert out[4]["reasons"] == "repetition_2gram,repetition_top"
+    assert out[5]["reasons"] == "token_len"
+    # threshold overrides reach the gates
+    out2 = {
+        r["doc_id"]: r
+        for r in text.document_filter(df, min_tokens=1, max_pii=5).collect()
+    }
+    assert "too_short" not in out2[2]["reasons"]
+    assert out2[3]["keep"]
