@@ -949,6 +949,127 @@ def _minhash_oracle_sql(num_hashes: int = 32, seed: int = 7) -> str:
     """
 
 
+def q_minhash_neardup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END MinHash+LSH near-dup pipeline under full value oracle:
+    portable shingles → 32-lane signature → banded (8×4) candidate
+    generation → exact-Jaccard verify. Same operator chain as the
+    production `minhash_dedup` (dedup.py) with the Karp-Rabin hash family
+    swapped in, so DuckDB replays every stage — including the LSH banding,
+    expressed as band-slice equality (the xxhash64 bucket key in
+    minhash_lsh_candidates is injective on equal slices, so the candidate
+    sets coincide absent 64-bit collisions). Upgrades the pipeline itself,
+    not just its signatures, from rows-only to value-checked."""
+    from seronet_data_validator_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signature,
+        ngram_jaccard_pairs,
+        shingles_portable,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    signed = minhash_signature(shingles_portable(docs), num_hashes=32)
+    cands = minhash_lsh_candidates(signed, bands=8, rows_per_band=4)
+    return ngram_jaccard_pairs(signed, cands, threshold=0.5)
+
+
+def _minhash_pipeline_oracle_sql(num_hashes: int = 32, seed: int = 7) -> str:
+    """DuckDB replay of q_minhash_neardup_portable: shingle → sign (same
+    coefficient draw as _minhash_oracle_sql) → band by slice equality →
+    distinct a<b candidates → exact Jaccard ≥ 0.5 on the distinct shingle
+    sets."""
+    import random
+
+    p = (1 << 31) - 1
+    rnd = random.Random(seed)
+    coeffs = [
+        (rnd.randrange(1, p), rnd.randrange(0, p)) for _ in range(num_hashes)
+    ]
+    values = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(coeffs))
+    return rf"""
+        WITH docs AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+          FROM documents WHERE doc_id < 500
+        ), sh AS (
+          SELECT doc_id, list_distinct(
+            list_transform(
+              range(0, greatest(len(toks) - 3, 0) + 1),
+              i -> list_reduce(
+                     list_prepend(0::BIGINT,
+                       list_transform(toks[i+1:i+3], t ->
+                         list_reduce(
+                           list_prepend(0::BIGINT,
+                             list_transform(string_split(t, ''), c -> ord(c)::BIGINT)),
+                           (acc, c) -> (acc * 31 + c) % 1000000007))),
+                     (acc, h) -> (acc * 131 + h) % 1000000007)
+            )
+          ) AS shingles
+          FROM docs
+        ), e AS (
+          SELECT doc_id, unnest(shingles) AS h FROM sh
+        ), c(hash_idx, a, b) AS (VALUES {values}),
+        sig AS (
+          SELECT e.doc_id, c.hash_idx,
+                 min((c.a * e.h + c.b) % {p}) AS v
+          FROM e CROSS JOIN c
+          GROUP BY e.doc_id, c.hash_idx
+        ), bands AS (
+          SELECT doc_id, hash_idx // 4 AS band,
+                 string_agg(v::VARCHAR, ',' ORDER BY hash_idx) AS bkey
+          FROM sig GROUP BY doc_id, hash_idx // 4
+        ), cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM bands l JOIN bands r
+            ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+        ), verified AS (
+          SELECT id_a, id_b,
+                 round(len(list_intersect(a.shingles, b.shingles)) * 1.0
+                       / len(list_distinct(a.shingles || b.shingles)), 4)
+                   AS jaccard
+          FROM cand
+          JOIN sh a ON a.doc_id = id_a
+          JOIN sh b ON b.doc_id = id_b
+        )
+        SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
+    """
+
+
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: the LSH-verified pair set from
+    q_minhash_neardup_portable fed through dedup.connected_components
+    (pointer-jumping min-label propagation). First value oracle for the
+    iterative-graph operator — DuckDB replays the closure with a recursive
+    CTE over the same edges, so every (node, component-min) assignment is
+    hash-checked, not just row counts."""
+    from seronet_data_validator_spark.operators.dedup import connected_components
+
+    pairs = q_minhash_neardup_portable(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("component")
+    )
+
+
+def _neardup_components_oracle_sql() -> str:
+    """DuckDB replay of q_neardup_components: the full MinHash pipeline
+    oracle as the edge source, then min-reachable-label connected
+    components via a recursive CTE (UNION dedup terminates the walk)."""
+    inner = _minhash_pipeline_oracle_sql()
+    return f"""
+        WITH RECURSIVE pairs AS ({inner}),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs
+        ),
+        reach(node, r) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+        )
+        SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node
+    """
+
+
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable SimHash signatures (dedup.simhash_portable): token hash is
     the Karp-Rabin polynomial and each of the 64 bit lanes is the parity of
@@ -1315,6 +1436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": q_corpus_mix,
         "fingerprints": q_fingerprints,
         "minhash_signature": q_minhash_signature,
+        "minhash_neardup_portable": q_minhash_neardup_portable,
+        "neardup_components": q_neardup_components,
         "simhash_signatures": q_simhash_signatures,
         "simhash_neardup": q_simhash_neardup,
         "ivf_search": q_ivf_search,
@@ -2142,6 +2265,8 @@ def oracle_sql() -> dict[str, str]:
         # the full MinHash signature over portable shingles, recomputed
         # value-for-value (coefficients from the same seeded draw)
         "minhash_signature": _minhash_oracle_sql(),
+        "minhash_neardup_portable": _minhash_pipeline_oracle_sql(),
+        "neardup_components": _neardup_components_oracle_sql(),
         # portable SimHash: 64 parity lanes over seeded affine transforms of
         # the Karp-Rabin token hash, sign bit handled explicitly
         "simhash_signatures": _simhash_oracle_sql(),
