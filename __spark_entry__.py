@@ -959,17 +959,12 @@ def q_minhash_neardup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash_lsh_candidates is injective on equal slices, so the candidate
     sets coincide absent 64-bit collisions). Upgrades the pipeline itself,
     not just its signatures, from rows-only to value-checked."""
-    from seronet_data_validator_spark.operators.dedup import (
-        minhash_lsh_candidates,
-        minhash_signature,
-        ngram_jaccard_pairs,
-        shingles_portable,
-    )
+    from seronet_data_validator_spark.operators.dedup import minhash_dedup
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
-    signed = minhash_signature(shingles_portable(docs), num_hashes=32)
-    cands = minhash_lsh_candidates(signed, bands=8, rows_per_band=4)
-    return ngram_jaccard_pairs(signed, cands, threshold=0.5)
+    return minhash_dedup(
+        docs, num_hashes=32, bands=8, jaccard_threshold=0.5, portable=True
+    )
 
 
 def _minhash_pipeline_oracle_sql(num_hashes: int = 32, seed: int = 7) -> str:
@@ -1274,6 +1269,16 @@ def q_document_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return document_filter(inj)
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram LM scoring (text.unigram_logprob): corpus-trained
+    token frequencies → per-doc mean log-probability + perplexity. The
+    oracle retrains the same counts in DuckDB, so the whole train+score
+    round trip is value-checked."""
+    from seronet_data_validator_spark.operators.text import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 def q_spectral_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio DSP pass: spectral shape (dominant freq / centroid / bandwidth
     / rolloff / flatness, Welch power spectrum) joined with energy-VAD
@@ -1399,6 +1404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_audit": q_pii_audit,
         "repetition_profile": q_repetition_profile,
         "document_filter": q_document_filter,
+        "unigram_logprob": q_unigram_logprob,
         "spectral_profile": q_spectral_profile,
         "audio_neardup": q_audio_neardup,
         "similarity_topk": q_similarity_topk,
@@ -1649,6 +1655,26 @@ def oracle_sql() -> dict[str, str]:
                           u -> len(list_filter(t, v -> v = u))))
                       * 1.0 / greatest(len(t), 1), 4) AS top_token_ratio
             FROM toks
+        """,
+        "unigram_logprob": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           string_split_regex(trim(lower(text)), '\s+'),
+                           t -> t <> '')) AS token
+                FROM documents
+            ), counts AS (
+                SELECT token, count(*) AS c FROM tok GROUP BY token
+            ), tot AS (
+                SELECT sum(c) AS n FROM counts
+            ), lp AS (
+                SELECT token, ln(c * 1.0 / n) AS logp FROM counts, tot
+            )
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(avg(logp), 4) AS avg_logprob,
+                   round(exp(-avg(logp)), 4) AS perplexity
+            FROM tok JOIN lp USING (token)
+            GROUP BY doc_id
         """,
         "document_filter": r"""
             WITH inj AS (

@@ -221,15 +221,20 @@ def minhash_dedup(
     bands: int = 16,
     jaccard_threshold: float = 0.8,
     cache_handles: list | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """End-to-end MinHash+LSH near-dup: shingle → sign → band → candidates →
-    exact-Jaccard verify. Returns verified near-dup pairs.
+    exact-Jaccard verify. Returns verified near-dup pairs. ``portable=True``
+    swaps in the Karp-Rabin shingle hash (shingles_portable) so the whole
+    pipeline is recomputable outside Spark — the driver contract's DuckDB
+    oracle replays it stage by stage; keep the default xxhash64 on hot paths.
 
     Cache lifecycle: the intermediate signed frame is persisted (see below);
     pass ``cache_handles`` to receive it and ``unpersist()`` once the result
     is materialized — in a long-lived session the blocks otherwise live until
     eviction pressure."""
-    sh = shingles(
+    sh_fn = shingles_portable if portable else shingles
+    sh = sh_fn(
         _ensure_parallelism(df.select(id_col, text_col)), text_col, n=shingle_n
     )
     # one materialization point: the signed frame feeds the banded SELF-join
@@ -542,7 +547,19 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .persist()
     )
+    # The loop runs 2 shuffle joins + an agg + a convergence count PER
+    # ROUND; with the session's full shuffle width every one of those is
+    # dozens of near-empty tasks when the edge list is small (the common
+    # case: near-dup graphs are sparse). Size the shuffle to the data for
+    # the duration of the loop — ~100k edge rows per partition — and
+    # restore the session conf after. At billion-edge scale this leaves
+    # the width untouched.
+    spark = pairs.sparkSession
+    n_edges = edges.count()
+    prev_width = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_width = max(1, min(int(prev_width), n_edges // 100_000 + 1))
     try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_width))
         for _ in range(max_iter):
             # (a) smallest label among neighbors, min-merged with own label
             neighbor_min = (
@@ -599,6 +616,7 @@ def connected_components(
             cache_handles.append(labels)
         return labels
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_width)
         edges.unpersist()
 
 

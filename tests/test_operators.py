@@ -610,3 +610,19 @@ def test_document_filter_gates_and_reasons(spark):
     }
     assert "too_short" not in out2[2]["reasons"]
     assert out2[3]["keep"]
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in text.unigram_logprob(df).collect()}
+    # corpus counts: a=2 b=2 c=1, N=5
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["avg_logprob"] == pytest.approx(round(math.log(0.4), 4))
+    assert out[1]["perplexity"] == pytest.approx(2.5, abs=1e-4)
+    avg2 = (math.log(0.4) + math.log(0.2)) / 2
+    assert out[2]["avg_logprob"] == pytest.approx(round(avg2, 4))
+    assert out[2]["perplexity"] == pytest.approx(round(math.exp(-avg2), 4))
