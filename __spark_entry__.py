@@ -1269,6 +1269,19 @@ def q_document_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return document_filter(inj)
 
 
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle order (sampling.global_sort_rank): a
+    dense global rank in scrambled-hash order computed WITHOUT an
+    unpartitioned window — range-bucket counts + prefix-sum offsets +
+    per-bucket ranks. The oracle is the naive single-window row_number in
+    hash order, so the two-phase decomposition is proven value-identical
+    to the plan it replaces at scale."""
+    from seronet_data_validator_spark.operators.sampling import global_sort_rank
+
+    docs = _t(spark, sf_dir, "documents")
+    return global_sort_rank(docs).select("doc_id", "shuffle_rank")
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style unigram LM scoring (text.unigram_logprob): corpus-trained
     token frequencies → per-doc mean log-probability + perplexity. The
@@ -1405,6 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_profile": q_repetition_profile,
         "document_filter": q_document_filter,
         "unigram_logprob": q_unigram_logprob,
+        "corpus_shuffle": q_corpus_shuffle,
         "spectral_profile": q_spectral_profile,
         "audio_neardup": q_audio_neardup,
         "similarity_topk": q_similarity_topk,
@@ -1655,6 +1669,20 @@ def oracle_sql() -> dict[str, str]:
                           u -> len(list_filter(t, v -> v = u))))
                       * 1.0 / greatest(len(t), 1), 4) AS top_token_ratio
             FROM toks
+        """,
+        "corpus_shuffle": r"""
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY hkey, doc_id) AS shuffle_rank
+            FROM (
+              SELECT doc_id,
+                ((list_reduce(
+                    list_prepend(0::BIGINT,
+                      list_transform(string_split(doc_id::VARCHAR, ''),
+                                     c -> ord(c)::BIGINT)),
+                    (acc, c) -> (acc * 31 + c) % 1000000007)
+                  * 1103515245 + 12345) % 1000000007) AS hkey
+              FROM documents
+            )
         """,
         "unigram_logprob": r"""
             WITH tok AS (

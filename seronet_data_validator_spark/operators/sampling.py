@@ -163,3 +163,60 @@ def weighted_mix(
         .where(bucket < F.col("_rate") * _SPLIT_BUCKETS)
         .drop("_rate")
     )
+
+
+def global_sort_rank(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    rank_col: str = "shuffle_rank",
+) -> DataFrame:
+    """Deterministic corpus shuffle order: a dense 1-based global rank in
+    scrambled-hash order — the "shuffle the corpus once, reproducibly"
+    primitive for fixing a training data order.
+
+    The naive form (`row_number() OVER (ORDER BY hash)`) is an
+    unpartitioned window: every row flows through ONE task. This is the
+    scale-correct two-phase equivalent:
+
+      1. range-bucket each row by its scrambled hash (bucket = hkey //
+         width, so buckets are contiguous hash ranges and bucket order ==
+         global order),
+      2. count rows per bucket — ≤ ``buckets`` longs to the driver —
+         and prefix-sum the counts into per-bucket starting offsets,
+      3. rank = offset(bucket) + row_number within the bucket (a window
+         PARTITIONED by bucket: parallel, bounded state).
+
+    Rank is a pure function of the id set (Karp-Rabin hash + the same
+    affine scramble as deterministic_split; ties broken by id), so it is
+    partition-invariant and recomputable outside Spark — the driver
+    contract's DuckDB oracle replays it with a plain ordered row_number.
+
+    At the 10^12-row scale the driver holds ``buckets`` counts, each
+    window task holds one bucket (~N/buckets rows) — raise ``buckets`` so
+    a bucket fits an executor; hash uniformity keeps them balanced."""
+    p = 1_000_000_007
+    h = portable_token_hash(F.col(id_col).cast("string"))
+    hkey = (h * 1_103_515_245 + 12_345) % p
+    width = (p + buckets - 1) // buckets
+    keyed = df.withColumn("_hkey", hkey).withColumn(
+        "_bucket", (F.col("_hkey") / width).cast("long")
+    )
+    counts = keyed.groupBy("_bucket").count().collect()
+    offsets, acc = {}, 0
+    for row in sorted(counts, key=lambda r: r["_bucket"]):
+        offsets[row["_bucket"]] = acc
+        acc += row["count"]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(b, o) for b, o in offsets.items()], "_bucket long, _offset long"
+    )
+    w = Window.partitionBy("_bucket").orderBy(
+        F.col("_hkey").asc(), F.col(id_col).asc()
+    )
+    return (
+        keyed.join(F.broadcast(off_df), "_bucket")
+        .withColumn(rank_col, F.col("_offset") + F.row_number().over(w))
+        .drop("_hkey", "_bucket", "_offset")
+    )

@@ -626,3 +626,36 @@ def test_unigram_logprob_hand_computed(spark):
     avg2 = (math.log(0.4) + math.log(0.2)) / 2
     assert out[2]["avg_logprob"] == pytest.approx(round(avg2, 4))
     assert out[2]["perplexity"] == pytest.approx(round(math.exp(-avg2), 4))
+
+
+def test_global_sort_rank_matches_naive_window(spark):
+    from pyspark.sql import Window
+
+    from seronet_data_validator_spark.operators.sampling import global_sort_rank
+    from seronet_data_validator_spark.operators.text import portable_token_hash
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in global_sort_rank(df, buckets=7).collect()
+    }
+    # naive single-window reference on the same scrambled hash
+    hkey = (portable_token_hash(F.col("doc_id").cast("string"))
+            * 1_103_515_245 + 12_345) % 1_000_000_007
+    naive = {
+        r["doc_id"]: r["rk"]
+        for r in df.withColumn("_h", hkey)
+        .withColumn("rk", F.row_number().over(
+            Window.orderBy(F.col("_h"), F.col("doc_id"))))
+        .collect()
+    }
+    assert got == naive
+    assert sorted(got.values()) == list(range(1, 201))  # dense permutation
+    # partition invariance
+    got2 = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in global_sort_rank(df.repartition(13), buckets=7).collect()
+    }
+    assert got2 == got
