@@ -1044,6 +1044,20 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span profile (dedup.duplicate_spans):
+    per-document count/fraction of 8-token spans that occur more than once
+    in the corpus (Lee et al. 2022 dedup granularity). Portable Karp-Rabin
+    span hashes → the DuckDB oracle recomputes every span hash, the global
+    occurrence counts, and the per-doc rollup value-for-value. Generalizes
+    the reference's whole-cell duplicate value_counts scan
+    (Validation_Rules.py:145-156) to token-span granularity."""
+    from seronet_data_validator_spark.operators.dedup import duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    return duplicate_spans(docs, window=8, portable=True)
+
+
 def _neardup_components_oracle_sql() -> str:
     """DuckDB replay of q_neardup_components: the full MinHash pipeline
     oracle as the edge source, then min-reachable-label connected
@@ -1458,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": q_minhash_signature,
         "minhash_neardup_portable": q_minhash_neardup_portable,
         "neardup_components": q_neardup_components,
+        "duplicate_spans": q_duplicate_spans,
         "simhash_signatures": q_simhash_signatures,
         "simhash_neardup": q_simhash_neardup,
         "ivf_search": q_ivf_search,
@@ -2320,6 +2335,32 @@ def oracle_sql() -> dict[str, str]:
         # value-for-value (coefficients from the same seeded draw)
         "minhash_signature": _minhash_oracle_sql(),
         "minhash_neardup_portable": _minhash_pipeline_oracle_sql(),
+        # ExactSubstr duplicated-span profile: rolling 8-token Karp-Rabin
+        # span hashes (with multiplicity), global occurrence counts, per-doc
+        # rollup — every hash and count recomputed by DuckDB.
+        "duplicate_spans": r"""
+            WITH toksrc AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+              FROM documents WHERE doc_id < 150
+            ), spans AS (
+              SELECT doc_id, unnest(list_transform(range(0, greatest(len(toks) - 8, 0) + 1),
+                i -> list_reduce(list_prepend(0::BIGINT,
+                       list_transform(toks[i+1:i+8], t ->
+                         list_reduce(list_prepend(0::BIGINT,
+                           list_transform(string_split(t, ''), c -> ord(c)::BIGINT)),
+                           (acc, c) -> (acc * 31 + c) % 1000000007))),
+                     (acc, h) -> (acc * 131 + h) % 1000000007))) AS span
+              FROM toksrc
+            ), occ AS (
+              SELECT span, count(*) AS n_occ FROM spans GROUP BY span
+            )
+            SELECT s.doc_id,
+                   count(*)::BIGINT AS n_spans,
+                   sum(CASE WHEN o.n_occ > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_spans,
+                   (sum(CASE WHEN o.n_occ > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)) AS dup_frac
+            FROM spans s JOIN occ o USING (span)
+            GROUP BY s.doc_id
+        """,
         "neardup_components": _neardup_components_oracle_sql(),
         # portable SimHash: 64 parity lanes over seeded affine transforms of
         # the Karp-Rabin token hash, sign bit handled explicitly

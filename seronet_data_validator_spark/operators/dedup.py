@@ -684,3 +684,77 @@ def ngram_contamination(
         .groupBy("test_id", "train_id")
         .agg(F.count(F.lit(1)).alias("shared_ngrams"))
     )
+
+
+def span_hashes(
+    df: DataFrame, text_col: str = "text", *, window: int = 8, portable: bool = False
+) -> DataFrame:
+    """Per-position rolling gram hashes WITH multiplicity (unlike `shingles`,
+    which dedups): adds ``span_hashes: array<long>``, one entry per token
+    position. A doc shorter than ``window`` contributes its whole text as a
+    single short span (same clamp as `shingles` / `fingerprint_portable`,
+    so the DuckDB oracle's ``greatest(len-w,0)+1`` range mirrors it)."""
+    from seronet_data_validator_spark.operators.text import portable_gram_hash
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - window, F.lit(0)))
+    if portable:
+        grams = F.transform(idx, lambda i: portable_gram_hash(F.slice(toks, i + 1, window)))
+    else:
+        grams = F.transform(
+            idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window)))
+        )
+    return df.withColumn("span_hashes", grams)
+
+
+def duplicate_spans(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    portable: bool = False,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span profile (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for every
+    document, how many of its ``window``-token spans occur MORE THAN ONCE in
+    the whole corpus (within-doc repeats count — a span pasted twice in one
+    doc is duplication too). Returns (id, n_spans, dup_spans, dup_frac);
+    filter on ``dup_frac`` to drop boilerplate-heavy docs, or join the span
+    table back for span-level excision.
+
+    Shape: one projection computes all rolling hashes per doc (no shuffle),
+    explode to (id, span) rows, ONE shuffle on the 64-bit span key feeds a
+    count-over-span window (no ordering frame — a per-group count, not a
+    running one), then a groupBy id rollup. The expensive hash fold runs
+    exactly once: the naive count-then-join-back shape evaluates the
+    exploded subtree twice (Catalyst does not reuse the exchange across the
+    aggregate and join consumers) and tempts AQE into broadcasting the
+    occurrence table, which at corpus scale has one row per DISTINCT span —
+    not broadcastable. Span keys are high-cardinality so doc-length or
+    popularity skew cannot hot-spot a reducer, except a single
+    mega-duplicated boilerplate span; if one dominates, pre-filter known
+    boilerplate or salt the window with a two-level count. Reference analog:
+    the per-sheet duplicate-ID value_counts scan (seronet
+    Validation_Rules.py:145-156) generalized from whole-cell to token-span
+    granularity."""
+    hashed = span_hashes(
+        _ensure_parallelism(df.select(id_col, text_col)),
+        text_col,
+        window=window,
+        portable=portable,
+    )
+    # explode_outer, not explode: inner explode of a computed array lets
+    # InferFiltersFromGenerate clone the hash fold into a scan filter
+    # (PLANS.md §6); span_hashes is never empty by construction.
+    spans = hashed.select(id_col, F.explode_outer("span_hashes").alias("span"))
+    n_occ = F.count(F.lit(1)).over(Window.partitionBy("span"))
+    return (
+        spans.withColumn("n_occ", n_occ)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0)).alias("dup_spans"),
+        )
+        .withColumn("dup_frac", F.col("dup_spans") / F.col("n_spans"))
+    )

@@ -659,3 +659,38 @@ def test_global_sort_rank_matches_naive_window(spark):
         for r in global_sort_rank(df.repartition(13), buckets=7).collect()
     }
     assert got2 == got
+
+
+def test_duplicate_spans_semantics(spark):
+    """ExactSubstr profile: cross-doc shared spans, within-doc repeats, and
+    the short-doc single-span clamp all counted as designed."""
+    w = 4
+    rows = [
+        # docs 1 and 2 share their full text: every span duplicated
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),
+        # within-doc repeat: 'x1 x2 x3 x4' appears twice inside doc 3
+        (3, "x1 x2 x3 x4 q r s x1 x2 x3 x4"),
+        # short doc (< window tokens): one clamped span, unique
+        (4, "just three tokens"),
+        # fully unique doc
+        (5, "u1 u2 u3 u4 u5 u6 u7"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["n_spans"], r["dup_spans"])
+        for r in dedup.duplicate_spans(df, window=w).collect()
+    }
+    # 6 tokens, window 4 -> 3 spans each, all shared between docs 1 and 2
+    assert out[1] == (3, 3) and out[2] == (3, 3)
+    # doc 3: 11 tokens -> 8 spans; positions 0 and 7 both hash 'x1 x2 x3 x4'
+    n3, d3 = out[3]
+    assert n3 == 8 and d3 == 2
+    assert out[4] == (1, 0)
+    assert out[5] == (4, 0)
+    # portable variant agrees on the dup/unique verdict per doc
+    outp = {
+        r["doc_id"]: (r["n_spans"], r["dup_spans"])
+        for r in dedup.duplicate_spans(df, window=w, portable=True).collect()
+    }
+    assert outp == out
