@@ -1044,6 +1044,20 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (similarity.semantic_dedup_pairs): k-means-clustered
+    embedding space, within-cluster cosine pairs above threshold. The
+    centroid training is a driver-side numpy Lloyd over a bounded sample —
+    not SQL-expressible, so rows-only; test_semantic_dedup_pairs asserts
+    planted-dup recall and exact-cosine precision, and every within-cell
+    cosine is the same arithmetic the oracle-checked embedding_close_pairs
+    query verifies."""
+    from seronet_data_validator_spark.operators.similarity import semantic_dedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 400)
+    return semantic_dedup_pairs(emb, n_cells=8, threshold=0.3)
+
+
 def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style duplicated-span profile (dedup.duplicate_spans):
     per-document count/fraction of 8-token spans that occur more than once
@@ -1473,6 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup_portable": q_minhash_neardup_portable,
         "neardup_components": q_neardup_components,
         "duplicate_spans": q_duplicate_spans,
+        "semantic_dedup": q_semantic_dedup,
         "simhash_signatures": q_simhash_signatures,
         "simhash_neardup": q_simhash_neardup,
         "ivf_search": q_ivf_search,

@@ -193,3 +193,50 @@ def centroid_distances(
         .groupBy(id_col, group_col)
         .agg(F.round(F.sqrt(F.sum((F.col("val") - F.col("mean_val")) ** 2)), 4).alias("dist"))
     )
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    *,
+    n_cells: int = 16,
+    threshold: float = 0.9,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 17,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): k-means the embedding space,
+    compare pairs ONLY within a cluster, keep pairs with cosine >=
+    ``threshold``. Semantic near-dups (paraphrases, re-encodes, crops) that
+    no lexical hash catches. Returns (cell, id_a, id_b, cos_sim); feed to
+    dedup.dedup_keep_first / dedup.dedup_by_components to prune.
+
+    Scale shape: centroids train on a bounded sample (train_centroids);
+    assignment is a full-corpus narrow pass (literal centroid arrays — no
+    join, no shuffle). The pair stage is ONE self-equi-join on `cell`, so
+    the shuffle moves each vector exactly twice and only same-cell pairs
+    materialize — per-cluster all-pairs is the operator's DEFINITION, and
+    the paper's contract is n_cells grows with corpus size (they use ~10^4
+    clusters for 10^8 docs) keeping cluster population ~constant; the skew
+    guard is raising n_cells, not a second LSH tier. Row norms are computed
+    once per row BEFORE the join (N sqrt-folds, not N·pairs)."""
+    cents = train_centroids(
+        corpus, n_cells=n_cells, vec_col=vec_col, id_col=id_col, iters=iters, seed=seed
+    )
+    withc = assign_cells(corpus, cents, vec_col=vec_col).select(
+        F.col(id_col), F.col(vec_col), F.col("cell"), _norm(F.col(vec_col)).alias("nrm")
+    )
+    a = withc.select(
+        "cell", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("nrm").alias("_na")
+    )
+    b = withc.select(
+        "cell", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), F.col("nrm").alias("_nb")
+    )
+    sim = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    return (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("cell", "id_a", "id_b", F.round(sim, 4).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -694,3 +694,24 @@ def test_duplicate_spans_semantics(spark):
         for r in dedup.duplicate_spans(df, window=w, portable=True).collect()
     }
     assert outp == out
+
+
+def test_semantic_dedup_pairs(spark):
+    """SemDeDup: planted near-identical vectors are recovered; every
+    reported cosine matches an exact numpy recomputation."""
+    rng = np.random.RandomState(5)
+    base = rng.randn(40, 8)
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(base)]
+    for i in range(5):  # 100+i = tiny perturbation of i
+        v = base[i] + rng.randn(8) * 1e-3
+        rows.append((100 + i, [float(x) for x in v], 0))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = similarity.semantic_dedup_pairs(df, n_cells=4, threshold=0.99).collect()
+    found = {(r["id_a"], r["id_b"]) for r in out}
+    for i in range(5):
+        assert (i, 100 + i) in found, f"planted near-dup {i} missed"
+    vecs = {r[0]: np.asarray(r[1]) for r in rows}
+    for r in out:
+        a, b = vecs[r["id_a"]], vecs[r["id_b"]]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos >= 0.989 and abs(cos - r["cos_sim"]) < 1e-3
