@@ -674,3 +674,66 @@ def check_regex(pattern: str, *, message: str | None = None, skip_blank: bool = 
         ]
 
     return build
+
+
+def check_speech_rate(
+    duration_ms_column: str,
+    *,
+    max_wps: float,
+    min_wps: float | None = None,
+) -> CheckFn:
+    """C13b cross-modal rate invariant (beyond-reference audio analog of the
+    duration-vs-calendar math, File_Submission_Object.py:519-529 family):
+    words-per-second = word_count(transcript) / (duration_ms / 1000) must
+    not exceed ``max_wps`` (nor fall below ``min_wps`` when set) — the cheap
+    metadata-level screen for transcript/audio mispairings that the full
+    decoded-PCM pass (C13a) confirms at far higher cost. Blank and N/A
+    transcripts are skipped (C14/C10 own those); NULL or non-positive
+    durations are skipped (C9 owns those). Pure Column arithmetic inside
+    the fused pass — no tokenizer UDF."""
+
+    def build(c: Column) -> list[Emission]:
+        dur = as_number(F.col(duration_ms_column))
+        txt = F.trim(c)
+        applicable = (
+            c.isNotNull()
+            & (txt != "")
+            & (F.upper(txt) != "N/A")
+            & dur.isNotNull()
+            & (dur > 0)
+        )
+        words = F.size(F.split(txt, r"\s+"))
+        wps = words / (dur / F.lit(1000.0))
+        rate_str = F.round(wps, 1).cast("string")
+        ems = [
+            Emission.of(
+                applicable & (wps > max_wps),
+                SEVERITY_ERROR,
+                F.concat(
+                    F.lit("Speech rate "),
+                    rate_str,
+                    F.lit(
+                        f" words/sec exceeds {max_wps} "
+                        f"(transcript vs {duration_ms_column})"
+                    ),
+                ),
+            )
+        ]
+        if min_wps is not None:
+            ems.append(
+                Emission.of(
+                    applicable & (wps < min_wps),
+                    SEVERITY_ERROR,
+                    F.concat(
+                        F.lit("Speech rate "),
+                        rate_str,
+                        F.lit(
+                            f" words/sec below {min_wps} "
+                            f"(transcript vs {duration_ms_column})"
+                        ),
+                    ),
+                )
+            )
+        return ems
+
+    return build

@@ -13,6 +13,7 @@ from seronet_data_validator_spark.plans.rules import (
     check_in_list,
     check_number,
     check_required,
+    check_speech_rate,
     check_string,
 )
 from seronet_data_validator_spark.sources.clips import SAMPLE_RATES, SITES
@@ -48,5 +49,10 @@ def clips_ruleset(*, site_registry: list[str] | None = None) -> RuleSet:
     rs.add(Rule("C9.dur_ms_range", "dur_ms", check_number(lower=1, upper=600_000, int_only=True)))
     rs.add(Rule("C10.transcript_text", "transcript", check_string()))
     rs.add(Rule("C14.transcript_required", "transcript", check_required(required="Yes")))
+    # C13b: cross-modal metadata screen — transcript word count vs declared
+    # duration. The fixture's synthetic clips are 50-400 ms with 3-11 words
+    # (7.5-220 words/sec), so the band is calibrated to 240; real speech
+    # corpora would run ~0.5-6 wps.
+    rs.add(Rule("C13b.speech_rate", "transcript", check_speech_rate("dur_ms", max_wps=240.0)))
     rs.add(Rule("C14.codec_required", "codec", check_required(required="Yes")))
     return rs

@@ -128,7 +128,7 @@ def _corrupt(row: dict, rid: int, n_rows: int) -> dict:
     plus "valid-but-wrong" rows that ONLY the decoded-PCM invariant pass can
     catch (metadata passes every row rule; reality disagrees): 1 wrong-but-
     allowed sr_hz, 1 wrong-but-in-range dur_ms, 1 silently swapped
-    transcript, 1 truncated byte buffer.
+    transcript, 1 truncated byte buffer, 1 implausible speech-rate transcript.
     Disjoint id ranges keep the per-(rule,column) golden counts independent
     under the C22 first-writer-wins dedup (reference
     test_bad_submission.py:36-54 contract style).
@@ -160,6 +160,12 @@ def _corrupt(row: dict, rid: int, n_rows: int) -> dict:
         row["transcript"] = "silently swapped transcript words"
     elif rid < 24:
         row["bytes"] = row["bytes"][:-7]  # truncated payload, odd tail
+    elif rid < 25:
+        # transcript/audio mispairing: 200 words against a <=400 ms clip
+        # (>=500 words/sec) -> C13b.speech_rate; the C13a.transcript report
+        # for the same (row, column, value) is suppressed by the C22
+        # first-writer-wins dedup (row rules run before the audio pass).
+        row["transcript"] = " ".join(["rapid"] * 200)
     return row
 
 

@@ -79,6 +79,9 @@ def test_bad_fixture_golden_counts(bad_result):
     assert counts[("C13a.dur_mismatch", "dur_ms")] == 1   # in-range, wrong duration
     assert counts[("C13a.transcript", "transcript")] == 1  # silently swapped text
     assert counts[("C13a.decode", "bytes")] == 1           # truncated payload
+    # 200 words over a <=400 ms clip; the C13a.transcript report for the
+    # same (row, column, value) is suppressed by C22 first-writer-wins
+    assert counts[("C13b.speech_rate", "transcript")] == 1
     assert not bad_result.passed
 
 
@@ -87,7 +90,7 @@ def test_bad_fixture_no_unexpected_rules(bad_result):
         "C3.clip_id_format", "C4.dup_id", "C15.referential", "C9.dur_ms_range",
         "C14.transcript_required", "C10.transcript_text", "C13a.snr",
         "C6.sr_hz_allowed", "C13a.sr_mismatch", "C13a.dur_mismatch",
-        "C13a.transcript", "C13a.decode",
+        "C13a.transcript", "C13a.decode", "C13b.speech_rate",
     }
     assert {k[0] for k in error_counts(bad_result)} == expected_rules
 

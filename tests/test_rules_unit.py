@@ -209,3 +209,26 @@ def test_check_dictionary_na_disallowed_and_precondition(spark):
     got = {v["row_ref"]: v["severity"] for v in out}
     # row 1: gated in, N/A not allowed → Error; row 3: dep fails → Not Validated
     assert got == {"1": SEVERITY_ERROR, "3": SEVERITY_NOT_VALIDATED}
+
+
+def test_check_speech_rate_band_and_skips(spark):
+    from seronet_data_validator_spark.plans.rules import check_speech_rate
+
+    rows = [
+        ("1", "three short words", "1000"),   # 3 wps — in band
+        ("2", " ".join(["w"] * 50), "100"),   # 500 wps — above max
+        ("3", "slow", "10000"),               # 0.1 wps — below min
+        ("4", "", "100"),                     # blank: C14's problem, skipped
+        ("5", "N/A", "100"),                  # N/A: C10's problem, skipped
+        ("6", "words here", None),            # NULL duration: skipped
+        ("7", "words here", "0"),             # non-positive duration: skipped
+    ]
+    out = run_rule(
+        spark, rows, "id string, transcript string, dur_ms string",
+        Rule("C13b", "transcript",
+             check_speech_rate("dur_ms", max_wps=240.0, min_wps=0.5)),
+    )
+    got = {v["row_ref"]: v["message"] for v in out}
+    assert set(got) == {"2", "3"}
+    assert "exceeds 240.0" in got["2"] and "500.0" in got["2"]
+    assert "below 0.5" in got["3"] and "0.1" in got["3"]
