@@ -1044,6 +1044,33 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (sampling.stratified_sample):
+    keep 50% of 'en', all of 'zh', 25% of every other lang — membership a
+    pure function of the id's scrambled Karp-Rabin hash, so the DuckDB
+    oracle recomputes the exact kept set."""
+    from seronet_data_validator_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs,
+        strata_col="lang",
+        fractions={"en": 0.5, "zh": 1.0},
+        default_fraction=0.25,
+    )
+    return out.select("doc_id", "lang")
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2-pre-tokenizer token counts (text.token_count_bpe): the
+    engine-portable BPE segmentation regex, so the DuckDB oracle recomputes
+    every count with the same pattern."""
+    from seronet_data_validator_spark.operators.text import token_count_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_count_bpe(docs).select("doc_id", "n_tokens_bpe")
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (similarity.semantic_dedup_pairs): k-means-clustered
     embedding space, within-cluster cosine pairs above threshold. The
@@ -1488,6 +1515,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_components": q_neardup_components,
         "duplicate_spans": q_duplicate_spans,
         "semantic_dedup": q_semantic_dedup,
+        "bpe_token_count": q_bpe_token_count,
+        "stratified_sample": q_stratified_sample,
         "simhash_signatures": q_simhash_signatures,
         "simhash_neardup": q_simhash_neardup,
         "ivf_search": q_ivf_search,
@@ -2260,6 +2289,24 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
         """,
+        # per-stratum deterministic sample: same Karp-Rabin id hash as
+        # corpus_split but an independent affine scramble (69069, 1);
+        # keep iff bucket < stratum_fraction * 10000
+        "stratified_sample": r"""
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                ((list_reduce(
+                    list_prepend(0::BIGINT,
+                      list_transform(string_split(doc_id::VARCHAR, ''),
+                                     c -> ord(c)::BIGINT)),
+                    (acc, c) -> (acc * 31 + c) % 1000000007)
+                  * 69069 + 1) % 1000000007) % 10000 AS bucket
+              FROM documents
+            )
+            WHERE bucket < CASE lang WHEN 'en' THEN 5000
+                                     WHEN 'zh' THEN 10000
+                                     ELSE 2500 END
+        """,
         # per-source quota: 30 longest docs per source, ties by doc_id
         "source_quota": """
             SELECT doc_id, source, n_chars FROM (
@@ -2350,6 +2397,16 @@ def oracle_sql() -> dict[str, str]:
         # value-for-value (coefficients from the same seeded draw)
         "minhash_signature": _minhash_oracle_sql(),
         "minhash_neardup_portable": _minhash_pipeline_oracle_sql(),
+        # GPT-2 pre-tokenizer segment counts; the pattern is restricted to
+        # Java-regex ∩ RE2 constructs so both engines count identically
+        # (single quotes doubled for the SQL literal).
+        "bpe_token_count": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                     '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'
+                   ))::BIGINT AS n_tokens_bpe
+            FROM documents
+        """,
         # ExactSubstr duplicated-span profile: rolling 8-token Karp-Rabin
         # span hashes (with multiplicity), global occurrence counts, per-doc
         # rollup — every hash and count recomputed by DuckDB.

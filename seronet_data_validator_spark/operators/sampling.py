@@ -220,3 +220,36 @@ def global_sort_rank(
         .withColumn(rank_col, F.col("_offset") + F.row_number().over(w))
         .drop("_hkey", "_bucket", "_offset")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    *,
+    strata_col: str,
+    fractions: "dict[str, float]",
+    default_fraction: float = 0.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep each row with its stratum's
+    fraction (e.g. downsample boilerplate-heavy sources, keep all of a rare
+    language) — the per-GROUP rate lever next to ``deterministic_split``'s
+    global one. Strata absent from ``fractions`` use ``default_fraction``.
+
+    Like ``deterministic_split``, membership is a pure function of the id:
+    bucket = affine(KarpRabin(id)) mod 10000, keep iff bucket <
+    fraction*10000 — reproducible under reruns/repartitioning, auditable in
+    any engine, and a row KEPT at fraction f stays kept at every fraction
+    >= f (nested samples for ablations). The affine constants differ from
+    deterministic_split's so sample membership is independent of split
+    assignment. One narrow filter — no shuffle, no RNG, no sampleBy (whose
+    Bernoulli draw is partition-order dependent)."""
+    h = portable_token_hash(F.col(id_col).cast("string"))
+    bucket = ((h * 69_069 + 1) % 1_000_000_007) % _SPLIT_BUCKETS
+    thresh = None
+    for lab, frac in fractions.items():
+        cond = F.col(strata_col) == lab
+        t = F.lit(int(round(frac * _SPLIT_BUCKETS)))
+        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+    default_t = F.lit(int(round(default_fraction * _SPLIT_BUCKETS)))
+    thresh = default_t if thresh is None else thresh.otherwise(default_t)
+    return df.where(bucket < thresh)

@@ -470,3 +470,23 @@ def unigram_logprob(
             F.round(F.exp(-F.col("_avg")), 4).alias("perplexity"),
         )
     )
+
+
+# GPT-2-style pre-tokenizer regex (Radford et al. 2019, public BPE spec),
+# restricted to constructs both Java regex (Spark) and RE2 (DuckDB) support:
+# contractions, optional-space letter runs, digit runs, punctuation runs,
+# whitespace runs. The original's trailing-space lookahead is dropped — RE2
+# has no lookahead — which only re-buckets trailing whitespace, not counts.
+BPE_PRETOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def token_count_bpe(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token count under a real BPE-style pre-tokenization (the build
+    brief's "BPE-ish regex"), upgrading token_count's chars/4 estimate:
+    counts GPT-2 pre-tokenizer segments — each segment is >= 1 BPE token,
+    so this is the tight lower bound a byte-pair vocabulary can reach.
+    Pure `regexp_extract_all` Column expression — JVM-side, one projection,
+    no UDF; the pattern is engine-portable so DuckDB reproduces the counts
+    bit-for-bit."""
+    segs = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_PATTERN), 0)
+    return df.withColumn("n_tokens_bpe", F.size(segs).cast("long"))

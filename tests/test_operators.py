@@ -715,3 +715,31 @@ def test_semantic_dedup_pairs(spark):
         a, b = vecs[r["id_a"]], vecs[r["id_b"]]
         cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert cos >= 0.989 and abs(cos - r["cos_sim"]) < 1e-3
+
+
+def test_token_count_bpe_segmentation(spark):
+    from seronet_data_validator_spark.operators.text import token_count_bpe
+
+    rows = [(1, "don't stop"), (2, "hello world 123!"), (3, "a,b"), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["n_tokens_bpe"] for r in token_count_bpe(df).collect()}
+    # don | 't | ' stop'           -> 3
+    # hello | ' world' | ' 123' | ! -> 4
+    # a | , | b                    -> 3
+    assert out == {1: 3, 2: 4, 3: 3, 4: 0}
+
+
+def test_stratified_sample_deterministic_and_nested(spark):
+    from seronet_data_validator_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "en" if i % 2 else "de") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    half = stratified_sample(df, strata_col="lang", fractions={"en": 0.5}, default_fraction=0.2)
+    ids_half = {r["doc_id"] for r in half.collect()}
+    assert ids_half == {r["doc_id"] for r in half.collect()}  # deterministic
+    more = stratified_sample(df, strata_col="lang", fractions={"en": 0.8}, default_fraction=0.4)
+    assert ids_half <= {r["doc_id"] for r in more.collect()}  # nested samples
+    en = [i for i in ids_half if i % 2]
+    de = [i for i in ids_half if not i % 2]
+    # 200 per stratum at 50% / 20%: generous binomial-ish bands
+    assert 60 <= len(en) <= 140 and 10 <= len(de) <= 70
