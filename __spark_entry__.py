@@ -1071,6 +1071,32 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_count_bpe(docs).select("doc_id", "n_tokens_bpe")
 
 
+def q_ks_drift_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed two-sample KS (stats.ks_two_sample): purchase-event
+    value distribution vs all other events — high-cardinality (every value
+    distinct) drift path, complementing psi_drift's 11-bucket sketch shape.
+    Two-phase bucketed cumulative counts; no unpartitioned window."""
+    from seronet_data_validator_spark.operators.stats import ks_two_sample
+
+    ev = _t(spark, sf_dir, "events")
+    # buckets=64 at bench scale; the 1024 default is sized for 10^12 rows
+    return ks_two_sample(
+        ev, value_col="value", sample_a=F.col("event_type") == "purchase",
+        buckets=64,
+    )
+
+
+def q_editdist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup verify (dedup.editdist_verify): n-gram-Jaccard
+    blocked candidates upgraded with normalized Levenshtein similarity — the
+    order-sensitive confirm stage Jaccard can't provide."""
+    from seronet_data_validator_spark.operators.dedup import editdist_verify
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = q_ngram_jaccard(spark, sf_dir).where(F.col("jaccard") >= 0.1)
+    return editdist_verify(cands, docs).where(F.col("edit_sim") >= 0.05)
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (similarity.semantic_dedup_pairs): k-means-clustered
     embedding space, within-cluster cosine pairs above threshold. The
@@ -1517,6 +1543,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "bpe_token_count": q_bpe_token_count,
         "stratified_sample": q_stratified_sample,
+        "ks_drift_exact": q_ks_drift_exact,
+        "editdist_neardup": q_editdist_neardup,
         "simhash_signatures": q_simhash_signatures,
         "simhash_neardup": q_simhash_neardup,
         "ivf_search": q_ivf_search,
@@ -2397,6 +2425,54 @@ def oracle_sql() -> dict[str, str]:
         # value-for-value (coefficients from the same seeded draw)
         "minhash_signature": _minhash_oracle_sql(),
         "minhash_neardup_portable": _minhash_pipeline_oracle_sql(),
+        # exact two-sample KS over per-value counts: cumulative conditional
+        # sums in value order; DuckDB replays the full cumulative walk
+        "ks_drift_exact": """
+            WITH pv AS (
+              SELECT value AS v,
+                     sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ca,
+                     sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS cb
+              FROM events WHERE value IS NOT NULL GROUP BY value
+            ), c AS (
+              SELECT sum(ca) OVER (ORDER BY v) * 1.0
+                       / (SELECT sum(ca) FROM pv) AS fa,
+                     sum(cb) OVER (ORDER BY v) * 1.0
+                       / (SELECT sum(cb) FROM pv) AS fb
+              FROM pv
+            )
+            SELECT round(max(abs(fa - fb)), 4) AS ks_d,
+                   (SELECT sum(ca) FROM pv)::BIGINT AS n_a,
+                   (SELECT sum(cb) FROM pv)::BIGINT AS n_b
+            FROM c
+        """,
+        # Levenshtein confirm over the same n-gram blocking as ngram_jaccard;
+        # DuckDB recomputes the blocking, the distances, and the filter
+        "editdist_neardup": """
+            WITH g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(toks) - 2, 0) + 1),
+                           i -> array_to_string(toks[i:i+2], ' ')
+                       )) AS grams
+                FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
+                      FROM documents WHERE doc_id < 40)
+            ), cand AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM g a JOIN g b ON a.doc_id < b.doc_id
+                WHERE round(len(list_intersect(a.grams, b.grams)) * 1.0
+                            / (len(a.grams) + len(b.grams)
+                               - len(list_intersect(a.grams, b.grams))), 4) >= 0.1
+            )
+            SELECT id_a, id_b, edit_sim FROM (
+              SELECT id_a, id_b,
+                     round(1.0 - levenshtein(da.text, db.text) * 1.0
+                           / greatest(length(da.text), length(db.text), 1), 4)
+                       AS edit_sim
+              FROM cand
+              JOIN documents da ON da.doc_id = id_a
+              JOIN documents db ON db.doc_id = id_b
+            ) WHERE edit_sim >= 0.05
+        """,
         # GPT-2 pre-tokenizer segment counts; the pattern is restricted to
         # Java-regex ∩ RE2 constructs so both engines count identically
         # (single quotes doubled for the SQL literal).

@@ -211,6 +211,39 @@ def ngram_jaccard_pairs(
     )
 
 
+def editdist_verify(
+    candidates: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Normalized-Levenshtein verification of near-dup candidate pairs — the
+    fuzzy-dedup confirm stage for pipelines whose dup notion is "small edit",
+    not "shared shingles" (ads/boilerplate variants, OCR noise). Jaccard is
+    blind to token ORDER; edit similarity is not, so running this after any
+    blocking stage (LSH bands, n-gram Jaccard, SimHash) upgrades candidates
+    to a stronger claim.
+
+    edit_sim = 1 - levenshtein(a, b) / max(len_a, len_b): 1.0 iff equal,
+    0.0 iff disjoint. Built-in `levenshtein` — JVM-side, no UDF. Plan: two
+    hash joins keyed on the id to attach texts to (id_a, id_b); at scale the
+    candidate side is orders of magnitude smaller than the corpus, so both
+    joins broadcast the pairs. Levenshtein is O(len_a·len_b) per pair —
+    blocking quality, not this operator, bounds the cost; pairs gated by
+    `max_len_ratio` band filters first avoid degenerate long-vs-short work.
+    Returns (id_a, id_b, edit_sim) for ALL candidate pairs; callers apply
+    their threshold on the rounded value so engine and oracle agree."""
+    a = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
+    b = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
+    joined = candidates.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    dist = F.levenshtein("_ta", "_tb")
+    max_len = F.greatest(F.length("_ta"), F.length("_tb"), F.lit(1))
+    return joined.select(
+        "id_a", "id_b",
+        F.round(F.lit(1.0) - dist / max_len, 4).alias("edit_sim"),
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",

@@ -20,7 +20,7 @@ would be.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_QUANTILE_GRID = [i / 20.0 for i in range(1, 20)]  # 0.05 .. 0.95
@@ -101,6 +101,86 @@ def profile(
             )
         )
     return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def ks_two_sample(
+    df: DataFrame,
+    *,
+    value_col: str,
+    sample_a: Column,
+    buckets: int = 1024,
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic, distributed — the
+    precise counterpart to ``ks_from_quantiles``'s sketch approximation
+    (drift per SURVEY.md §4; reference drift semantics are whole-column
+    distribution checks, /root/reference/Validation_Rules.py:36-44).
+
+    D = max over observed values of |F_A(v) - F_B(v)| where A is the rows
+    matching ``sample_a`` and B is the rest. The naive form sorts all values
+    through one unpartitioned window; this is the scale-correct two-phase
+    plan:
+
+      1. ONE shuffle: groupBy(value) → per-value counts (ca, cb). Partial
+         aggregation collapses duplicates map-side; only distinct values
+         survive.
+      2. range-partition the distinct values into ``buckets`` contiguous
+         ranges (repartitionByRange, so bucket order == value order) and
+         collect per-bucket totals — ≤ ``buckets`` rows to the driver —
+         prefix-summed into per-bucket starting offsets for both samples.
+      3. cumulative counts = offset + windowed sum PARTITIONED by bucket
+         (parallel, bounded state), then a global max of |ca/n_a - cb/n_b|.
+
+    Returns one row (ks_d, n_a, n_b); ks_d is null if either sample is
+    empty. The distinct-value table is localCheckpoint'ed so the driver
+    totals pass and the final max share one computed shuffle."""
+    v = F.col(value_col).cast("double")
+    a_flag = F.when(sample_a, 1).otherwise(0)
+    per_value = (
+        df.where(v.isNotNull())
+        .select(v.alias("_v"), a_flag.alias("_a"))
+        .groupBy("_v")
+        .agg(
+            F.sum("_a").alias("_ca"),
+            F.sum(F.lit(1) - F.col("_a")).alias("_cb"),
+        )
+    )
+    parted = (
+        per_value.repartitionByRange(buckets, "_v")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = sorted(
+        parted.groupBy("_pid")
+        .agg(F.sum("_ca").alias("ta"), F.sum("_cb").alias("tb"))
+        .collect(),
+        key=lambda r: r["_pid"],
+    )
+    n_a = sum(r["ta"] for r in totals)
+    n_b = sum(r["tb"] for r in totals)
+    spark = df.sparkSession
+    if n_a == 0 or n_b == 0:
+        return spark.createDataFrame(
+            [(None, n_a, n_b)], "ks_d double, n_a long, n_b long"
+        )
+    rows, oa, ob = [], 0, 0
+    for r in totals:
+        rows.append((r["_pid"], oa, ob))
+        oa += r["ta"]
+        ob += r["tb"]
+    off_df = spark.createDataFrame(rows, "_pid int, _oa long, _ob long")
+    w = Window.partitionBy("_pid").orderBy("_v")
+    cum_a = F.col("_oa") + F.sum("_ca").over(w)
+    cum_b = F.col("_ob") + F.sum("_cb").over(w)
+    d = F.abs(cum_a / F.lit(float(n_a)) - cum_b / F.lit(float(n_b)))
+    return (
+        parted.join(F.broadcast(off_df), "_pid")
+        .select(d.alias("_d"))
+        .agg(
+            F.round(F.max("_d"), 4).alias("ks_d"),
+            F.lit(n_a).cast("long").alias("n_a"),
+            F.lit(n_b).cast("long").alias("n_b"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

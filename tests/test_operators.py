@@ -743,3 +743,41 @@ def test_stratified_sample_deterministic_and_nested(spark):
     de = [i for i in ids_half if not i % 2]
     # 200 per stratum at 50% / 20%: generous binomial-ish bands
     assert 60 <= len(en) <= 140 and 10 <= len(de) <= 70
+
+
+def test_ks_two_sample_exact(spark):
+    from pyspark.sql import functions as F
+    from seronet_data_validator_spark.operators.stats import ks_two_sample
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+            ("b", 2.0), ("b", 3.0), ("b", 4.0), ("b", 4.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = ks_two_sample(df, value_col="v", sample_a=F.col("grp") == "a").first()
+    # ECDFs: A={1,2,3}, B={2,3,4,4}; max gap at v=3: |1 - 0.5| = 0.5
+    assert out["ks_d"] == 0.5 and out["n_a"] == 3 and out["n_b"] == 4
+    # identical samples -> D = 0
+    same = spark.createDataFrame(
+        [("a", 1.0), ("b", 1.0), ("a", 7.0), ("b", 7.0)], "grp string, v double"
+    )
+    assert ks_two_sample(same, value_col="v", sample_a=F.col("grp") == "a").first()["ks_d"] == 0.0
+    # empty sample A -> null statistic, counts still reported
+    out = ks_two_sample(df, value_col="v", sample_a=F.lit(False)).first()
+    assert out["ks_d"] is None and out["n_a"] == 0 and out["n_b"] == 7
+
+
+def test_editdist_verify(spark):
+    from seronet_data_validator_spark.operators.dedup import editdist_verify
+
+    docs = spark.createDataFrame(
+        [(1, "kitten"), (2, "sitting"), (3, "kitten"), (4, "zzzzzz")],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long"
+    )
+    out = {(r["id_a"], r["id_b"]): r["edit_sim"]
+           for r in editdist_verify(cands, docs).collect()}
+    # lev(kitten, sitting)=3, maxlen 7 -> 1 - 3/7 = 0.5714
+    assert out[(1, 2)] == 0.5714
+    assert out[(1, 3)] == 1.0
+    assert out[(1, 4)] == 0.0
