@@ -1097,6 +1097,26 @@ def q_editdist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return editdist_verify(cands, docs).where(F.col("edit_sim") >= 0.05)
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character entropy per doc (text.char_entropy): the
+    gibberish/boilerplate quality screen — explode collapses map-side into
+    per-(doc,char) partial counts before the one shuffle."""
+    from seronet_data_validator_spark.operators.text import char_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    return char_entropy(docs)
+
+
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key skew diagnostic (stats.skew_report): top-20 heaviest
+    events.user_id keys with share and skew factor — the measurement stage
+    in front of the engine's salting/AQE skew mitigations."""
+    from seronet_data_validator_spark.operators.stats import skew_report
+
+    ev = _t(spark, sf_dir, "events")
+    return skew_report(ev, "user_id", top_n=20)
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (similarity.semantic_dedup_pairs): k-means-clustered
     embedding space, within-cluster cosine pairs above threshold. The
@@ -1545,6 +1565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "ks_drift_exact": q_ks_drift_exact,
         "editdist_neardup": q_editdist_neardup,
+        "char_entropy": q_char_entropy,
+        "key_skew": q_key_skew,
         "simhash_signatures": q_simhash_signatures,
         "simhash_neardup": q_simhash_neardup,
         "ivf_search": q_ivf_search,
@@ -2472,6 +2494,39 @@ def oracle_sql() -> dict[str, str]:
               JOIN documents da ON da.doc_id = id_a
               JOIN documents db ON db.doc_id = id_b
             ) WHERE edit_sim >= 0.05
+        """,
+        # Shannon char entropy: H = log2(n) - sum(c*log2 c)/n over per-char
+        # counts; DuckDB recomputes every histogram and the algebraic form
+        "char_entropy": """
+            SELECT doc_id,
+                   round(log2(n) - sum_clog / n, 4) AS char_entropy
+            FROM (
+              SELECT doc_id, sum(c)::DOUBLE AS n,
+                     sum(c * log2(c::DOUBLE)) AS sum_clog
+              FROM (
+                SELECT doc_id, ch, count(*)::DOUBLE AS c
+                FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+                      FROM documents)
+                WHERE ch <> '' GROUP BY doc_id, ch
+              ) GROUP BY doc_id
+            )
+        """,
+        # hot-key diagnostic: top-20 keys by count with share and n/mean
+        # skew factor, ties by key
+        "key_skew": """
+            WITH c AS (
+              SELECT user_id AS key, count(*) AS n_rows
+              FROM events GROUP BY user_id
+            ), t AS (
+              SELECT sum(n_rows)::DOUBLE AS total, avg(n_rows) AS mean FROM c
+            ), top AS (
+              SELECT * FROM c ORDER BY n_rows DESC, key LIMIT 20
+            )
+            SELECT key, n_rows,
+                   round(n_rows / total, 6) AS share,
+                   round(n_rows / mean, 4) AS skew_factor,
+                   row_number() OVER (ORDER BY n_rows DESC, key) AS rnk
+            FROM top, t
         """,
         # GPT-2 pre-tokenizer segment counts; the pattern is restricted to
         # Java-regex ∩ RE2 constructs so both engines count identically

@@ -183,6 +183,49 @@ def ks_two_sample(
     )
 
 
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    *,
+    top_n: int = 20,
+) -> DataFrame:
+    """Hot-key diagnostic for a prospective join/agg key — the measurement
+    step in front of the engine's skew mitigations (salted anti-join,
+    AQE skew split): the north rule names "explicit skew handling on hot
+    clip_id/codec keys", and you can't salt what you haven't measured.
+
+    Output: the ``top_n`` heaviest keys with (key, n_rows, share,
+    skew_factor, rnk) where share = n/total and skew_factor = n/mean —
+    skew_factor ≫ 1 marks keys that will straggle a hash-partitioned
+    stage. Plan: ONE shuffle (partial-agg groupBy count; only distinct
+    keys survive), totals via a broadcast one-row cross join (no
+    unpartitioned window over the counts), top-N via
+    TakeOrderedAndProject (rank materializes only after the limit prunes
+    to ``top_n`` rows). NULL keys count as a key — a null-heavy join
+    column is the most common real skew. Ties break by key for
+    determinism."""
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    totals = counts.agg(
+        F.sum("n_rows").alias("_total"),
+        F.avg("n_rows").alias("_mean"),
+    )
+    top = (
+        counts.orderBy(F.col("n_rows").desc(), F.col("key").asc())
+        .limit(top_n)
+        .crossJoin(F.broadcast(totals))
+    )
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("key").asc())
+    return top.select(
+        "key",
+        "n_rows",
+        F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+        F.round(F.col("n_rows") / F.col("_mean"), 4).alias("skew_factor"),
+        F.row_number().over(w).cast("long").alias("rnk"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Drift: KS / PSI over quantile sketches (post-aggregation column math).
 # ---------------------------------------------------------------------------

@@ -472,6 +472,31 @@ def unigram_logprob(
     )
 
 
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Shannon character entropy per document (bits/char) — the classic
+    gibberish/boilerplate screen: near-0 for repeated-character junk, ~4.1
+    for natural English, ~log2(alphabet) for random noise. A standard
+    pretraining quality gate next to `quality_score`'s ratio features.
+
+    Plan: explode to (doc, char) — the blowup is bounded by doc length and
+    collapses map-side, because groupBy(doc, char) partial-aggregates within
+    the input partition before the ONE shuffle (alphabet ≤ a few hundred per
+    doc survives, not the char stream). Second tiny agg per doc applies
+    H = log2(n) - Σ c·log2(c) / n — algebraically identical to
+    -Σ p·log2(p) but needs no per-row share column. All JVM-side; docs with
+    zero characters are omitted (no distribution to score).
+    """
+    chars = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("_ch")
+    ).where(F.col("_ch") != "")
+    counts = chars.groupBy(id_col, "_ch").agg(F.count(F.lit(1)).alias("_c"))
+    n = F.sum("_c")
+    h = F.log2(n) - F.sum(F.col("_c") * F.log2("_c")) / n
+    return counts.groupBy(id_col).agg(F.round(h, 4).alias("char_entropy"))
+
+
 # GPT-2-style pre-tokenizer regex (Radford et al. 2019, public BPE spec),
 # restricted to constructs both Java regex (Spark) and RE2 (DuckDB) support:
 # contractions, optional-space letter runs, digit runs, punctuation runs,

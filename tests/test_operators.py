@@ -781,3 +781,36 @@ def test_editdist_verify(spark):
     assert out[(1, 2)] == 0.5714
     assert out[(1, 3)] == 1.0
     assert out[(1, 4)] == 0.0
+
+
+def test_char_entropy_values(spark):
+    import math
+
+    from seronet_data_validator_spark.operators.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["char_entropy"] for r in char_entropy(docs).collect()}
+    assert out[1] == 0.0            # single symbol
+    assert out[2] == 1.0            # two equiprobable symbols
+    assert out[3] == 2.0            # four equiprobable symbols
+    assert 4 not in out             # empty doc: no distribution to score
+    mixed = spark.createDataFrame([(9, "aab")], "doc_id long, text string")
+    expect = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
+    got = char_entropy(mixed).first()["char_entropy"]
+    assert abs(got - expect) < 1e-4
+
+
+def test_skew_report_hot_keys(spark):
+    from seronet_data_validator_spark.operators.stats import skew_report
+
+    rows = [("hot",)] * 60 + [("warm",)] * 30 + [(f"k{i}",) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string")
+    out = skew_report(df, "k", top_n=3).collect()
+    assert [r["key"] for r in out] == ["hot", "warm", "k0"]
+    assert out[0]["n_rows"] == 60 and out[0]["share"] == 0.6
+    # 12 distinct keys, mean = 100/12 -> hot skew factor = 60/(100/12) = 7.2
+    assert out[0]["skew_factor"] == 7.2
+    assert [r["rnk"] for r in out] == [1, 2, 3]
