@@ -1044,6 +1044,18 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection (dedup.select_survivors): the APPLY step closing
+    the dedup story — LSH pairs → connected components → keep the longest
+    doc per cluster (ties by id). DuckDB replays the closure with the
+    recursive CTE and re-ranks every cluster."""
+    from seronet_data_validator_spark.operators.dedup import select_survivors
+
+    comp = q_neardup_components(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return select_survivors(comp, docs, score_col="n_chars")
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stratum deterministic sampling (sampling.stratified_sample):
     keep 50% of 'en', all of 'zh', 25% of every other lang — membership a
@@ -1567,6 +1579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "editdist_neardup": q_editdist_neardup,
         "char_entropy": q_char_entropy,
         "key_skew": q_key_skew,
+        "dedup_survivors": q_dedup_survivors,
         "simhash_signatures": q_simhash_signatures,
         "simhash_neardup": q_simhash_neardup,
         "ivf_search": q_ivf_search,
@@ -2565,6 +2578,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s.doc_id
         """,
         "neardup_components": _neardup_components_oracle_sql(),
+        # survivor selection over the same closure: longest doc per
+        # component survives, ties by id — every rank re-derived by DuckDB
+        "dedup_survivors": f"""
+            WITH comp AS ({_neardup_components_oracle_sql()})
+            SELECT doc_id, component, n_chars,
+                   (row_number() OVER (PARTITION BY component
+                                       ORDER BY n_chars DESC, doc_id) = 1)
+                     AS is_survivor
+            FROM comp JOIN documents USING (doc_id)
+        """,
         # portable SimHash: 64 parity lanes over seeded affine transforms of
         # the Karp-Rabin token hash, sign bit handled explicitly
         "simhash_signatures": _simhash_oracle_sql(),

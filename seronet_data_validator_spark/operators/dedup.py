@@ -244,6 +244,46 @@ def editdist_verify(
     )
 
 
+def select_survivors(
+    components: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    score_col: str,
+    component_col: str = "component",
+) -> DataFrame:
+    """Survivor selection — the APPLY step of near-dup dedup. Detection
+    (LSH), verification (Jaccard/edit), and clustering (connected
+    components) decide WHICH docs are mutual duplicates; this decides which
+    single doc per cluster survives: argmax ``score_col`` (ties → smallest
+    id, so the choice is deterministic under any partitioning). Feeding it
+    quality_score keeps the best-written variant; feeding it n_chars keeps
+    the longest (the common boilerplate-variant heuristic).
+
+    Input: ``components`` (id_col, component_col) from
+    ``connected_components``; ``scores`` (id_col, score_col) — any scoring
+    frame. Output: one row per CLUSTERED doc (id, component, score,
+    is_survivor); docs in no cluster never had a duplicate and are kept
+    implicitly. Downstream drop set = `where(~is_survivor)`, an anti-join
+    key list orders of magnitude smaller than the corpus.
+
+    Plan: one hash join keyed on the id (component side is the small one —
+    broadcast when it fits), then a window PARTITIONED by component —
+    bounded state, cluster-sized partitions, never an unpartitioned sort."""
+    j = components.select(id_col, component_col).join(
+        scores.select(id_col, score_col), id_col
+    )
+    w = Window.partitionBy(component_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return j.select(
+        id_col,
+        component_col,
+        score_col,
+        (F.row_number().over(w) == 1).alias("is_survivor"),
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",

@@ -814,3 +814,22 @@ def test_skew_report_hot_keys(spark):
     # 12 distinct keys, mean = 100/12 -> hot skew factor = 60/(100/12) = 7.2
     assert out[0]["skew_factor"] == 7.2
     assert [r["rnk"] for r in out] == [1, 2, 3]
+
+
+def test_select_survivors_keeps_best_per_cluster(spark):
+    from seronet_data_validator_spark.operators.dedup import select_survivors
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)],
+        "doc_id long, component long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (7, 5), (8, 5), (99, 1000)],
+        "doc_id long, n_chars long",
+    )
+    out = select_survivors(comp, scores, score_col="n_chars").collect()
+    keep = {r["doc_id"]: r["is_survivor"] for r in out}
+    # cluster 1: docs 2 and 3 tie on score -> smallest id (2) survives
+    assert keep == {1: False, 2: True, 3: False, 7: True, 8: False}
+    # unclustered doc 99 is not emitted (kept implicitly)
+    assert 99 not in keep
