@@ -8,6 +8,10 @@ micro-batch via foreachBatch (which also runs the table-level checks that
 need a batch view), plus watermarked windowed aggregation for event streams.
 """
 
+from seronet_data_validator_spark.streaming.stateful import (
+    sessionize_stream,
+    stream_sessionize,
+)
 from seronet_data_validator_spark.streaming.validate_stream import (
     stream_dedup_within_watermark,
     stream_validate_clips,
@@ -16,7 +20,9 @@ from seronet_data_validator_spark.streaming.validate_stream import (
 )
 
 __all__ = [
+    "sessionize_stream",
     "stream_dedup_within_watermark",
+    "stream_sessionize",
     "stream_validate_clips",
     "windowed_drift",
     "windowed_event_counts",

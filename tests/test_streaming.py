@@ -203,3 +203,55 @@ def test_windowed_drift_batch_and_stream_agree(spark, tmp_path):
     # the trailing window stays pending at stream end — everything emitted
     # must match the batch plan exactly
     assert got and got <= want and len(want) - len(got) <= 1
+
+
+def test_stream_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: inline gap-closure within a
+    batch, event-time-timeout closure once the watermark passes, per-key
+    state surviving a restart, and agreement with batch sessionize."""
+    import datetime
+
+    from seronet_data_validator_spark.operators.temporal import sessionize
+    from seronet_data_validator_spark.streaming import stream_sessionize
+
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    base = datetime.datetime(2024, 1, 1)
+    ts = lambda s: base + datetime.timedelta(seconds=s)  # noqa: E731
+    schema = "user_id long, ts timestamp"
+    rows1 = [(1, ts(0)), (1, ts(10)), (1, ts(2000)), (2, ts(5))]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(inp)
+    q = stream_sessionize(spark, inp, out, schema, gap_seconds=1800, watermark="1 seconds")
+    q.awaitTermination(120)
+    got = {(r["key"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+           for r in spark.read.parquet(out + "/sessions").collect()}
+    # user 1's first session closed INLINE by its own 2000s event; user 2's
+    # closed by event-time timeout (watermark 1999s > 5s + gap)
+    assert (1, "2024-01-01 00:00:00", "2024-01-01 00:00:10", 2) in got
+    assert (2, "2024-01-01 00:00:05", "2024-01-01 00:00:05", 1) in got
+    # user 1's session at 2000s is still OPEN (watermark has not passed it)
+    assert len(got) == 2
+
+    # restart from checkpoint with a far-future event: state is restored,
+    # the watermark advances, and the open session closes exactly once
+    spark.createDataFrame([(3, ts(100_000))], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    q2 = stream_sessionize(spark, inp, out, schema, gap_seconds=1800, watermark="1 seconds")
+    q2.awaitTermination(120)
+    sess = spark.read.parquet(out + "/sessions")
+    got2 = {(r["key"], str(r["session_start"]), r["n_events"]) for r in sess.collect()}
+    assert (1, "2024-01-01 00:33:20", 1) in got2
+    assert len(got2) == 3  # user 3's session is open, never emitted
+
+    # batch parity: closed streaming sessions == batch sessionize sessions
+    # for the users whose sessions have all closed (1 and 2)
+    batch = spark.createDataFrame(rows1, schema)
+    bs = (
+        sessionize(batch, key="user_id", ts_col="ts", gap_seconds=1800)
+        .groupBy("user_id", "session_idx")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"), F.count("*").alias("n"))
+    )
+    batch_set = {(r["user_id"], str(r["s"]), str(r["e"]), r["n"]) for r in bs.collect()}
+    stream_set = {(r["key"], str(r["session_start"]), str(r["session_end"]),
+                   r["n_events"]) for r in sess.where(F.col("key") < 3).collect()}
+    assert stream_set == batch_set
