@@ -1056,6 +1056,27 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return select_survivors(comp, docs, score_col="n_chars")
 
 
+def q_skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-split equi join (integrity.skew_split_join): hot keys broadcast,
+    cold keys shuffled, union — result must be row-identical to the plain
+    join, which is exactly what the plain-SQL oracle checks. Hot set pinned
+    (the measured path is unit-tested) so the oracle needs no side channel."""
+    from seronet_data_validator_spark.operators.integrity import skew_split_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = skew_split_join(
+        li,
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "l_orderkey",
+        hot_keys=[1, 2, 3, 32, 33],
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stratum deterministic sampling (sampling.stratified_sample):
     keep 50% of 'en', all of 'zh', 25% of every other lang — membership a
@@ -1580,6 +1601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "key_skew": q_key_skew,
         "dedup_survivors": q_dedup_survivors,
+        "skew_split_join": q_skew_split_join,
         "simhash_signatures": q_simhash_signatures,
         "simhash_neardup": q_simhash_neardup,
         "ivf_search": q_ivf_search,
@@ -2507,6 +2529,15 @@ def oracle_sql() -> dict[str, str]:
               JOIN documents da ON da.doc_id = id_a
               JOIN documents db ON db.doc_id = id_b
             ) WHERE edit_sim >= 0.05
+        """,
+        # skew-split join ≡ plain join: the oracle IS the plain SQL join —
+        # any row lost or duplicated by the hot/cold split breaks the hash
+        "skew_split_join": """
+            SELECT o_orderpriority,
+                   count(*)::BIGINT AS n_rows,
+                   round(sum(l_extendedprice), 2) AS sum_price
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
         """,
         # Shannon char entropy: H = log2(n) - sum(c*log2 c)/n over per-char
         # counts; DuckDB recomputes every histogram and the algebraic form

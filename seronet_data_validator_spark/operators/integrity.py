@@ -144,6 +144,58 @@ def salted_left_anti(
     return salted_fact.join(salted_dim, [key, "_salt"], "left_anti").drop("_salt")
 
 
+def skew_split_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    *,
+    how: str = "inner",
+    hot_keys: list | None = None,
+    top_n: int = 50,
+    skew_factor: float = 10.0,
+) -> DataFrame:
+    """Skew-split equi join — the explicit hot-key mitigation for the
+    engine's AQE-off default (AQE's runtime skew split only exists when
+    adaptive execution is on; this is the planner-level equivalent).
+
+    The classic two-path composition: rows whose key is HOT join via a
+    BROADCAST of the right side's hot slice (no shuffle touches the hot
+    keys — the straggler reducer never exists); everything else takes the
+    normal shuffled hash join; union the paths. Row-for-row identical to
+    the plain join for inner/left joins on an equi key.
+
+    ``hot_keys`` pins the hot set explicitly (feed it `skew_report`
+    output); otherwise the left side's top-``top_n`` keys with
+    count > ``skew_factor`` × mean are measured inline (one partial-agg
+    count + TakeOrdered — ≤ top_n keys to the driver, never the data).
+    The right side's hot slice must fit in a broadcast — true by
+    construction when skew comes from a hot FACT key hitting a normal
+    dimension; a key hot on BOTH sides is a cross-product no join
+    strategy fixes."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"skew_split_join supports inner/left, got {how!r}")
+    if hot_keys is None:
+        counts = left.groupBy(key).agg(F.count(F.lit(1)).alias("_n"))
+        mean = counts.agg(F.avg("_n").alias("_m"))
+        hot_rows = (
+            counts.crossJoin(F.broadcast(mean))
+            .where(F.col("_n") > F.lit(skew_factor) * F.col("_m"))
+            .orderBy(F.col("_n").desc())
+            .limit(top_n)
+            .select(key)
+            .collect()
+        )
+        hot_keys = [r[key] for r in hot_rows]
+    if not hot_keys:
+        return left.join(right, key, how)
+    is_hot = F.col(key).isin(hot_keys)
+    hot = left.where(is_hot).join(F.broadcast(right.where(is_hot)), key, how)
+    cold = left.where(~is_hot | F.col(key).isNull()).join(
+        right.where(~is_hot), key, how
+    )
+    return hot.unionByName(cold)
+
+
 def presence_matrix(tables: dict[str, DataFrame], id_column: str) -> DataFrame:
     """C17 get_cross_sheet_ID (File_Submission_Object.py:624-708), Spark-first:
     union tagged key projections → one groupBy(id) presence aggregation.

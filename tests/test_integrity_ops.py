@@ -238,3 +238,32 @@ def test_normalize_headers_and_blank_rows(spark):
     # row 4 keeps: one non-blank cell is content
     kept = drop_blank_rows(out).collect()
     assert sorted(r["Dur"] for r in kept) == ["a", "b"]
+
+
+def test_skew_split_join_matches_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from seronet_data_validator_spark.operators.integrity import skew_split_join
+
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(200)] + [(f"k{i}", i) for i in range(20)]
+        + [(None, 999)],
+        "k string, v int",
+    )
+    right = spark.createDataFrame(
+        [("hot", "H"), ("k3", "A"), ("k7", "B"), ("zzz", "Z")], "k string, t string"
+    )
+    for how in ("inner", "left"):
+        plain = left.join(right, "k", how)
+        split = skew_split_join(left, right, "k", how=how)
+        key = lambda t: tuple(map(repr, t))  # noqa: E731 — None-safe ordering
+        assert sorted(map(tuple, split.collect()), key=key) == sorted(
+            map(tuple, plain.collect()), key=key
+        )
+    # auto-detection finds the hot key and routes it through a broadcast join
+    split = skew_split_join(left, right, "k", how="inner")
+    plan = split._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # pinned hot set: no measurement pass
+    pinned = skew_split_join(left, right, "k", how="inner", hot_keys=["hot"])
+    assert pinned.count() == left.join(right, "k", "inner").count()
