@@ -1077,6 +1077,31 @@ def q_skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram with declared bounds (stats.numeric_histogram):
+    one partial-agg pass, explicit under/overflow bins — the report view
+    next to the quantile sketch."""
+    from seronet_data_validator_spark.operators.stats import numeric_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    return numeric_histogram(ev, "value", lo=0.0, hi=80.0, bins=8)
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON flatten (functions/casts.flatten_json): events.props
+    parsed against a DECLARED schema (no inference scan), then a per-type
+    rollup of the extracted field — the semi-structured ingestion path."""
+    from seronet_data_validator_spark.functions.casts import flatten_json
+
+    ev = _t(spark, sf_dir, "events")
+    flat = flatten_json(ev, "props", "k long")
+    return flat.groupBy("event_type").agg(
+        F.count("k").alias("n_parsed"),
+        F.sum("k").alias("sum_k"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stratum deterministic sampling (sampling.stratified_sample):
     keep 50% of 'en', all of 'zh', 25% of every other lang — membership a
@@ -1602,6 +1627,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew": q_key_skew,
         "dedup_survivors": q_dedup_survivors,
         "skew_split_join": q_skew_split_join,
+        "json_props": q_json_props,
+        "value_histogram": q_value_histogram,
         "simhash_signatures": q_simhash_signatures,
         "simhash_neardup": q_simhash_neardup,
         "ivf_search": q_ivf_search,
@@ -2529,6 +2556,32 @@ def oracle_sql() -> dict[str, str]:
               JOIN documents da ON da.doc_id = id_a
               JOIN documents db ON db.doc_id = id_b
             ) WHERE edit_sim >= 0.05
+        """,
+        # fixed-bin histogram: identical bin arithmetic, under/overflow rows
+        "value_histogram": """
+            WITH b AS (
+              SELECT CASE WHEN value < 0 THEN -1
+                          WHEN value >= 80 THEN 8
+                          ELSE floor(value / 10.0)::BIGINT END AS bin
+              FROM events WHERE value IS NOT NULL
+            )
+            SELECT bin,
+                   CASE WHEN bin BETWEEN 0 AND 7
+                        THEN round(bin * 10.0, 6) END AS bin_lo,
+                   CASE WHEN bin BETWEEN 0 AND 7
+                        THEN round((bin + 1) * 10.0, 6) END AS bin_hi,
+                   count(*)::BIGINT AS n_rows
+            FROM b GROUP BY bin
+        """,
+        # typed JSON flatten: DuckDB re-extracts the field with its own
+        # JSON parser; count(k) also checks the malformed→NULL contract
+        "json_props": """
+            SELECT event_type,
+                   count(json_extract(props, '$.k')) AS n_parsed,
+                   sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+                   round(avg(json_extract(props, '$.k')::BIGINT), 4) AS avg_k
+            FROM events
+            GROUP BY event_type
         """,
         # skew-split join ≡ plain join: the oracle IS the plain SQL join —
         # any row lost or duplicated by the hot/cold split breaks the hash

@@ -54,3 +54,23 @@ def is_date(c: Column) -> Column:
     """True when the cell parses as a date AND is not a bare number
     (the reference tries float() first, so '2021' is a number, not a date)."""
     return as_timestamp(c).isNotNull() & as_number(c).isNull()
+
+
+def flatten_json(df, json_col: str, schema: str, *, prefix: str = ""):
+    """Typed flatten of a JSON string column (sidecar metadata, event
+    payloads): ``from_json`` with a DECLARED schema — the schema contract
+    applies to semi-structured fields exactly as C21 applies to columns;
+    fields that fail the declared type parse to NULL, feeding the same
+    null-presence rules as any typed column. JVM Jackson parse inside
+    codegen — no Python, no schema inference scan (inference reads the
+    whole column once and is forbidden on the 10^12-row path).
+
+    Returns df plus one typed column per schema field (``prefix`` guards
+    collisions). Keep the raw string column for quarantine/auditing."""
+    from pyspark.sql.types import StructType
+
+    struct = StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    out = df.withColumn("_j", F.from_json(F.col(json_col), struct))
+    for field in struct.fields:
+        out = out.withColumn(f"{prefix}{field.name}", F.col(f"_j.{field.name}"))
+    return out.drop("_j")

@@ -183,6 +183,47 @@ def ks_two_sample(
     )
 
 
+def numeric_histogram(
+    df: DataFrame,
+    value_col: str,
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 20,
+) -> DataFrame:
+    """Fixed-bin histogram with DECLARED bounds — the distribution view a
+    validation report pairs with the quantile sketch (`profile`): equal-width
+    bins over [lo, hi), plus explicit underflow (bin -1) and overflow (bin
+    ``bins``) rows, so out-of-range mass is visible instead of silently
+    clipped — the same philosophy as the range rules' severity rows.
+
+    Declared bounds make it ONE pass (no min/max pre-scan): a single
+    partial-agg groupBy over ≤ bins+2 surviving groups, the cheapest
+    distribution query that exists at 10^12 rows. NULLs are excluded (the
+    null-rate belongs to `profile`). Only non-empty bins are returned —
+    join against a `sequence` frame if a dense axis is needed."""
+    v = F.col(value_col).cast("double")
+    width = (hi - lo) / bins
+    bin_ = (
+        F.when(v < lo, F.lit(-1))
+        .when(v >= hi, F.lit(bins))
+        .otherwise(F.floor((v - F.lit(lo)) / F.lit(width)))
+        .cast("long")
+    )
+    out = (
+        df.where(v.isNotNull())
+        .groupBy(bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    in_range = (F.col("bin") >= 0) & (F.col("bin") < bins)
+    return out.select(
+        "bin",
+        F.when(in_range, F.round(F.lit(lo) + F.col("bin") * width, 6)).alias("bin_lo"),
+        F.when(in_range, F.round(F.lit(lo) + (F.col("bin") + 1) * width, 6)).alias("bin_hi"),
+        "n_rows",
+    )
+
+
 def skew_report(
     df: DataFrame,
     key_col: str,

@@ -833,3 +833,20 @@ def test_select_survivors_keeps_best_per_cluster(spark):
     assert keep == {1: False, 2: True, 3: False, 7: True, 8: False}
     # unclustered doc 99 is not emitted (kept implicitly)
     assert 99 not in keep
+
+
+def test_numeric_histogram_bins_and_overflow(spark):
+    from seronet_data_validator_spark.operators.stats import numeric_histogram
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (9.99,), (10.0,), (55.0,), (80.0,), (999.0,), (None,)],
+        "v double",
+    )
+    out = {r["bin"]: (r["bin_lo"], r["bin_hi"], r["n_rows"])
+           for r in numeric_histogram(df, "v", lo=0.0, hi=80.0, bins=8).collect()}
+    assert out[-1] == (None, None, 1)        # underflow
+    assert out[0] == (0.0, 10.0, 2)          # [0, 10): 0.0 and 9.99
+    assert out[1] == (10.0, 20.0, 1)         # boundary lands in upper bin
+    assert out[5] == (50.0, 60.0, 1)
+    assert out[8] == (None, None, 2)         # overflow: 80.0 and 999.0
+    assert sum(v[2] for v in out.values()) == 7  # NULL excluded

@@ -232,3 +232,22 @@ def test_check_speech_rate_band_and_skips(spark):
     assert set(got) == {"2", "3"}
     assert "exceeds 240.0" in got["2"] and "500.0" in got["2"]
     assert "below 0.5" in got["3"] and "0.1" in got["3"]
+
+
+def test_flatten_json_typed_and_malformed(spark):
+    from pyspark.sql import functions as F
+
+    from seronet_data_validator_spark.functions.casts import flatten_json
+
+    df = spark.createDataFrame(
+        [('{"k": 7, "tags": ["a","b"]}',), ('{"k": "not-an-int"}',),
+         ("not json at all",), (None,)],
+        "props string",
+    )
+    out = flatten_json(df, "props", "k long, tags array<string>").collect()
+    assert out[0]["k"] == 7 and out[0]["tags"] == ["a", "b"]
+    assert out[1]["k"] is None          # declared-type failure -> NULL
+    assert out[2]["k"] is None          # malformed JSON -> NULL
+    assert out[3]["k"] is None
+    # raw column retained for quarantine
+    assert "props" in {f.name for f in flatten_json(df, "props", "k long").schema.fields}
