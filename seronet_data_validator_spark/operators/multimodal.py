@@ -133,6 +133,75 @@ def audio_resample(clips: DataFrame, target_sr: int, *, id_col: str = "clip_id")
     return src.mapInArrow(run, schema=RESAMPLED_SCHEMA)
 
 
+TRIMMED_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("sr_hz", T.IntegerType()),
+        T.StructField("trimmed_head_ms", T.IntegerType()),
+        T.StructField("trimmed_tail_ms", T.IntegerType()),
+    ]
+)
+
+
+def audio_trim_silence(
+    clips: DataFrame,
+    *,
+    frame_ms: int = 25,
+    rms_threshold: float = 0.01,
+    id_col: str = "clip_id",
+) -> DataFrame:
+    """Strip leading/trailing silence — the standard speech-dataset prep
+    step before training (silence carries no transcript signal and skews
+    the duration/speech-rate invariants). Frames of ``frame_ms`` whose RMS
+    is below ``rms_threshold`` (full-scale fraction) are silence; the clip
+    is cut to [first active frame, last active frame], re-encoded as WAV,
+    and the removed head/tail durations are reported so the declared
+    ``dur_ms`` can be re-validated downstream. An all-silent clip keeps
+    one frame rather than emitting zero-length audio.
+
+    Same execution shape as `audio_resample`: narrow mapInArrow (no
+    shuffle), zero-copy byte views in, vectorized numpy per clip —
+    per-partition cost is pure decode+frame-RMS arithmetic, so the stage
+    scales with executors like every other payload pass."""
+    src = clips.select(id_col, "bytes")
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids, blobs, srs, heads, tails = [], [], [], [], []
+            for _, cid, pcm, sr in _decoded_rows(batch, id_col):
+                ids.append(cid)
+                if pcm is None:
+                    blobs.append(None); srs.append(None)
+                    heads.append(None); tails.append(None)
+                    continue
+                flen = max(1, int(sr * frame_ms / 1000))
+                n_frames = max(1, len(pcm) // flen)
+                usable = pcm[: n_frames * flen]
+                frames = usable.reshape(n_frames, flen)
+                rms = np.sqrt(np.mean(frames.astype(np.float64) ** 2, axis=1))
+                active = np.nonzero(rms >= rms_threshold)[0]
+                if len(active) == 0:
+                    first, last = 0, 0
+                else:
+                    first, last = int(active[0]), int(active[-1])
+                # tail keeps the remainder samples after the last full frame
+                end = len(pcm) if last == n_frames - 1 else (last + 1) * flen
+                out = pcm[first * flen : end]
+                blobs.append(wav_bytes((out * 32767).astype(np.int16), sr))
+                srs.append(sr)
+                heads.append(int(first * flen * 1000 / sr))
+                tails.append(int((len(pcm) - end) * 1000 / sr))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.string()), pa.array(blobs, pa.binary()),
+                 pa.array(srs, pa.int32()), pa.array(heads, pa.int32()),
+                 pa.array(tails, pa.int32())],
+                ["clip_id", "bytes", "sr_hz", "trimmed_head_ms", "trimmed_tail_ms"],
+            )
+
+    return src.mapInArrow(run, schema=TRIMMED_SCHEMA)
+
+
 FRAME_SAMPLE_SCHEMA = T.StructType(
     [
         T.StructField("clip_id", T.StringType()),

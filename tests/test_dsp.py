@@ -152,3 +152,32 @@ def test_audio_near_duplicates_param_validation(spark):
         audio_near_duplicates(df, n_bands_lsh=7)
     with pytest.raises(ValueError, match="pigeonhole"):
         audio_near_duplicates(df, max_hamming=16, n_bands_lsh=16)
+
+
+def test_audio_trim_silence(spark):
+    from seronet_data_validator_spark.operators.multimodal import audio_trim_silence
+    from seronet_data_validator_spark.sources.clips import decode_wav
+
+    sr = 8000
+    silence = np.zeros(int(sr * 0.2), dtype=np.float32)          # 200 ms
+    tone = _tone(440, sr, 500, amp=0.6, noise=0.0)               # 500 ms
+    clip = np.concatenate([silence, tone, silence, silence])     # 200|500|400
+    df = _clips_df(spark, [("c1", _wav(clip, sr)), ("c2", _wav(silence, sr))])
+
+    out = {r["clip_id"]: r for r in audio_trim_silence(df, frame_ms=25).collect()}
+    c1 = out["c1"]
+    # 200 ms head and 400 ms tail removed, to 25 ms frame resolution
+    assert abs(c1["trimmed_head_ms"] - 200) <= 25
+    assert abs(c1["trimmed_tail_ms"] - 400) <= 25
+    pcm, sr2 = decode_wav(bytes(c1["bytes"]))
+    assert sr2 == sr
+    kept_ms = len(pcm) * 1000 / sr
+    assert abs(kept_ms - 500) <= 50
+    # trimmed audio is the loud part: RMS close to the tone's
+    # (decode_wav returns [-1, 1] floats)
+    rms = float(np.sqrt(np.mean(np.asarray(pcm, dtype=np.float64) ** 2)))
+    assert rms > 0.3
+    # an all-silent clip keeps one frame instead of zero-length audio
+    c2 = out["c2"]
+    pcm2, _ = decode_wav(bytes(c2["bytes"]))
+    assert len(pcm2) >= int(sr * 0.025)
