@@ -298,3 +298,32 @@ def audio_violations(
             )
 
     return proj.mapInArrow(check_batches, schema=VIOLATION_SCHEMA)
+
+
+def transcript_cer(
+    clips: DataFrame,
+    reference: DataFrame,
+    *,
+    id_col: str = "clip_id",
+    text_col: str = "transcript",
+) -> DataFrame:
+    """Character error rate vs the reference transcript — the GRADED
+    companion to the pass/fail transcript-equality invariant
+    (/root/reference has only exact comparison; a triage queue needs to
+    rank mismatches): cer = levenshtein / len(reference), 0.0 for exact
+    matches, >1 possible for insert-heavy hypotheses (standard CER
+    convention). Column-only (`levenshtein` is JVM codegen, no UDF); ONE
+    equi join which is zero-Exchange on the staged bucketed tables exactly
+    like the invariant pass's reference join. Run it over the mismatch
+    subset (post-filter) when only failures need ranking — the join then
+    carries violation-sized input, not the corpus."""
+    obs = clips.select(id_col, F.col(text_col).alias("_obs"))
+    ref = reference.select(id_col, F.col(text_col).alias("_ref"))
+    j = obs.join(ref, id_col)
+    dist = F.levenshtein("_obs", "_ref")
+    cer = dist / F.greatest(F.length("_ref"), F.lit(1))
+    return j.select(
+        id_col,
+        F.round(cer, 4).alias("cer"),
+        (dist == 0).alias("exact_match"),
+    )

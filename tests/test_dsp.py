@@ -181,3 +181,20 @@ def test_audio_trim_silence(spark):
     c2 = out["c2"]
     pcm2, _ = decode_wav(bytes(c2["bytes"]))
     assert len(pcm2) >= int(sr * 0.025)
+
+
+def test_transcript_cer(spark):
+    from seronet_data_validator_spark.operators.audio import transcript_cer
+
+    clips = spark.createDataFrame(
+        [("a", "the cat sat"), ("b", "the cut sat"), ("c", "")],
+        "clip_id string, transcript string",
+    )
+    refs = spark.createDataFrame(
+        [("a", "the cat sat"), ("b", "the cat sat"), ("c", "hello")],
+        "clip_id string, transcript string",
+    )
+    out = {r["clip_id"]: r for r in transcript_cer(clips, refs).collect()}
+    assert out["a"]["cer"] == 0.0 and out["a"]["exact_match"]
+    assert out["b"]["cer"] == round(1 / 11, 4) and not out["b"]["exact_match"]
+    assert out["c"]["cer"] == 1.0  # all 5 ref chars deleted
