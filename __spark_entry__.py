@@ -1077,6 +1077,18 @@ def q_skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_psi_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group PSI attribution (stats.psi_by_group): which event_type's
+    value distribution drifts from the global one — the WHERE query after
+    psi_drift's IF alarm. One partial-agg shuffle; dense group×bin grid."""
+    from seronet_data_validator_spark.operators.stats import psi_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    return psi_by_group(
+        ev, group_col="event_type", value_col="value", lo=0.0, hi=80.0, bins=8
+    )
+
+
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-bin histogram with declared bounds (stats.numeric_histogram):
     one partial-agg pass, explicit under/overflow bins — the report view
@@ -1629,6 +1641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_split_join": q_skew_split_join,
         "json_props": q_json_props,
         "value_histogram": q_value_histogram,
+        "psi_by_group": q_psi_by_group,
         "simhash_signatures": q_simhash_signatures,
         "simhash_neardup": q_simhash_neardup,
         "ivf_search": q_ivf_search,
@@ -2556,6 +2569,31 @@ def oracle_sql() -> dict[str, str]:
               JOIN documents da ON da.doc_id = id_a
               JOIN documents db ON db.doc_id = id_b
             ) WHERE edit_sim >= 0.05
+        """,
+        # per-group PSI vs the global distribution: dense group×bin grid
+        # (zero-mass bins included), eps-clamped masses, same bin math
+        "psi_by_group": """
+            WITH c AS (
+              SELECT event_type AS grp,
+                     least(greatest(floor(value / 10.0), 0), 7)::BIGINT AS bin,
+                     count(*)::DOUBLE AS c
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+            ), g AS (
+              SELECT bin, sum(c) AS gc FROM c GROUP BY bin
+            ), gt AS (SELECT sum(gc) AS t FROM g),
+            gn AS (SELECT grp, sum(c) AS n FROM c GROUP BY grp),
+            dense AS (
+              SELECT gn.grp, gn.n, g.bin,
+                     g.gc / (SELECT t FROM gt) AS p_glob,
+                     coalesce(c.c, 0) / gn.n AS p_g
+              FROM gn CROSS JOIN g
+              LEFT JOIN c ON c.grp = gn.grp AND c.bin = g.bin
+            )
+            SELECT grp AS event_type, n::BIGINT AS n_rows,
+                   round(sum((greatest(p_g, 1e-6) - greatest(p_glob, 1e-6))
+                             * ln(greatest(p_g, 1e-6)
+                                  / greatest(p_glob, 1e-6))), 6) AS psi
+            FROM dense GROUP BY grp, n
         """,
         # fixed-bin histogram: identical bin arithmetic, under/overflow rows
         "value_histogram": """

@@ -224,6 +224,65 @@ def numeric_histogram(
     )
 
 
+def psi_by_group(
+    df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-group PSI against the GLOBAL distribution — "which site/codec is
+    the drifted one?", the attribution query that follows a whole-column
+    drift alarm (`psi_drift` answers IF, this answers WHERE). Declared
+    [lo, hi) equal-width bins (same contract as `numeric_histogram`,
+    under/overflow folded into the edge bins so every observation counts).
+
+    Plan: ONE shuffle — groupBy(group, bin) partial-agg counts (≤ groups ×
+    (bins+2) survivors). Everything after is arithmetic on that tiny frame:
+    global bin masses re-aggregated from the counts (not a second scan),
+    broadcast back, per-group masses via a window partitioned by group, and
+    PSI = Σ (p_g − p_glob)·ln(p_g/p_glob) with eps-clamped masses (the
+    same convention as `psi_from_quantiles`). Output: (group, n_rows, psi),
+    psi sorted-free — threshold downstream."""
+    v = F.col(value_col).cast("double")
+    width = (hi - lo) / bins
+    bin_ = F.least(
+        F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(bins - 1),
+    ).cast("long")
+    counts = (
+        df.where(v.isNotNull())
+        .groupBy(F.col(group_col).alias("grp"), bin_.alias("_bin"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    glob = counts.groupBy("_bin").agg(F.sum("_c").alias("_gc"))
+    glob_tot = glob.agg(F.sum("_gc").alias("_gt"))
+    glob = glob.crossJoin(F.broadcast(glob_tot)).select(
+        "_bin", (F.col("_gc") / F.col("_gt")).alias("_p_glob")
+    )
+    # dense (group × bin) grid: a bin where the group has ZERO mass still
+    # contributes (eps − p_glob)·ln(eps/p_glob) — dropping it (the sparse
+    # join) understates exactly the strongest drift signal
+    gn = counts.groupBy("grp").agg(F.sum("_c").alias("_n"))
+    dense = gn.crossJoin(F.broadcast(glob)).join(
+        counts, ["grp", "_bin"], "left"
+    )
+    pg = F.greatest(F.coalesce(F.col("_c"), F.lit(0)) / F.col("_n"), F.lit(eps))
+    pr = F.greatest(F.col("_p_glob"), F.lit(eps))
+    term = (pg - pr) * F.log(pg / pr)
+    return (
+        dense.groupBy("grp")
+        .agg(
+            F.max("_n").alias("n_rows"),
+            F.round(F.sum(term), 6).alias("psi"),
+        )
+        .select(F.col("grp").alias(group_col), "n_rows", "psi")
+    )
+
+
 def skew_report(
     df: DataFrame,
     key_col: str,

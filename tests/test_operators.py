@@ -850,3 +850,31 @@ def test_numeric_histogram_bins_and_overflow(spark):
     assert out[5] == (50.0, 60.0, 1)
     assert out[8] == (None, None, 2)         # overflow: 80.0 and 999.0
     assert sum(v[2] for v in out.values()) == 7  # NULL excluded
+
+
+def test_psi_by_group_attribution(spark):
+    import math
+
+    from seronet_data_validator_spark.operators.stats import psi_by_group
+
+    rows = [("A", i + 0.5) for i in range(10)] + [("B", 0.5)] * 10
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = {r["grp"]: r for r in
+           psi_by_group(df, group_col="grp", value_col="v", lo=0.0, hi=10.0,
+                        bins=10).collect()}
+
+    # numpy replay of the definition (dense bins, eps clamp)
+    eps = 1e-6
+    p_glob = [11 / 20] + [1 / 20] * 9
+    def psi(p_g):
+        s = 0.0
+        for a, b in zip(p_g, p_glob):
+            a, b = max(a, eps), max(b, eps)
+            s += (a - b) * math.log(a / b)
+        return round(s, 6)
+
+    assert out["A"]["n_rows"] == 10 and out["B"]["n_rows"] == 10
+    assert abs(out["A"]["psi"] - psi([0.1] * 10)) < 1e-5
+    assert abs(out["B"]["psi"] - psi([1.0] + [0.0] * 9)) < 1e-5
+    # the concentrated group is the drifted one, by a wide margin
+    assert out["B"]["psi"] > 3 * out["A"]["psi"]
