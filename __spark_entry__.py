@@ -1077,6 +1077,35 @@ def q_skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff (integrity.snapshot_diff): two deterministic
+    snapshots derived from orders (10% dropped / 1-in-7 added / price and
+    status mutations), classified added/removed/changed/unchanged plus
+    per-column change counts — the re-validate-the-changed-slice primitive.
+    Value mutation is +1.0 (exact IEEE op in both engines), no rounding."""
+    from seronet_data_validator_spark.operators.integrity import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    old = orders.where(k % 10 != 0)
+    new = (
+        orders.where(k % 7 != 3)
+        .withColumn(
+            "o_orderstatus",
+            F.when(k % 11 == 0, F.lit("X")).otherwise(F.col("o_orderstatus")),
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(k % 5 == 0, F.col("o_totalprice") + 1.0).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+    )
+    return snapshot_diff(old, new, "o_orderkey")
+
+
 def q_psi_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group PSI attribution (stats.psi_by_group): which event_type's
     value distribution drifts from the global one — the WHERE query after
@@ -1642,6 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": q_json_props,
         "value_histogram": q_value_histogram,
         "psi_by_group": q_psi_by_group,
+        "snapshot_diff": q_snapshot_diff,
         "simhash_signatures": q_simhash_signatures,
         "simhash_neardup": q_simhash_neardup,
         "ivf_search": q_ivf_search,
@@ -2569,6 +2599,39 @@ def oracle_sql() -> dict[str, str]:
               JOIN documents da ON da.doc_id = id_a
               JOIN documents db ON db.doc_id = id_b
             ) WHERE edit_sim >= 0.05
+        """,
+        # snapshot diff: DuckDB rebuilds both snapshots, the full-outer
+        # join, the null-safe per-column compares, and every class count
+        "snapshot_diff": """
+            WITH o AS (
+              SELECT o_orderkey, o_orderstatus, o_totalprice
+              FROM orders WHERE o_orderkey % 10 <> 0
+            ), n AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 11 = 0 THEN 'X'
+                          ELSE o_orderstatus END AS o_orderstatus,
+                     CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                          ELSE o_totalprice END AS o_totalprice
+              FROM orders WHERE o_orderkey % 7 <> 3
+            ), j AS (
+              SELECT o.o_orderkey IS NOT NULL AS io,
+                     n.o_orderkey IS NOT NULL AS inn,
+                     o.o_orderstatus IS DISTINCT FROM n.o_orderstatus AS chs,
+                     o.o_totalprice IS DISTINCT FROM n.o_totalprice AS chp
+              FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+            )
+            SELECT 'row' AS kind, 'added' AS name,
+                   sum(CASE WHEN NOT io AND inn THEN 1 ELSE 0 END)::BIGINT AS n_rows FROM j
+            UNION ALL SELECT 'row', 'removed',
+                   sum(CASE WHEN io AND NOT inn THEN 1 ELSE 0 END)::BIGINT FROM j
+            UNION ALL SELECT 'row', 'changed',
+                   sum(CASE WHEN io AND inn AND (chs OR chp) THEN 1 ELSE 0 END)::BIGINT FROM j
+            UNION ALL SELECT 'row', 'unchanged',
+                   sum(CASE WHEN io AND inn AND NOT (chs OR chp) THEN 1 ELSE 0 END)::BIGINT FROM j
+            UNION ALL SELECT 'column_changed', 'o_orderstatus',
+                   sum(CASE WHEN io AND inn AND chs THEN 1 ELSE 0 END)::BIGINT FROM j
+            UNION ALL SELECT 'column_changed', 'o_totalprice',
+                   sum(CASE WHEN io AND inn AND chp THEN 1 ELSE 0 END)::BIGINT FROM j
         """,
         # per-group PSI vs the global distribution: dense group×bin grid
         # (zero-mass bins included), eps-clamped masses, same bin math

@@ -196,6 +196,75 @@ def skew_split_join(
     return hot.unionByName(cold)
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Dataset-version diff — the regression check between two runs of the
+    same pipeline (did the new extraction add/drop/mutate rows, and in
+    which columns?). The reference's update flow re-validates whole files;
+    at 10^12 rows you diff snapshots and re-validate the CHANGED slice.
+
+    One full-outer join on ``key`` (zero-Exchange when both snapshots are
+    bucketed on it — the staged-table layout), then ONE aggregation
+    producing the long-form report: (kind, name, n_rows) with kinds
+    ``row`` (name ∈ added/removed/changed/unchanged — partitions the key
+    union) and ``column_changed`` (name = column, count of matched rows
+    whose value differs). Comparison is NULL-SAFE (`eqNullSafe`: NULL→NULL
+    is unchanged, NULL→value is a change). No per-row output materializes
+    — re-validate by joining the changed keys back when needed."""
+    compare_cols = compare_cols or [
+        c for c in old.columns if c != key and c in set(new.columns)
+    ]
+    # presence flags must not rely on a data column being non-null: tag sides
+    o = old.select(
+        key, F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        key, F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+    )
+    j = o.join(n, key, "full_outer")
+    changed_col = [
+        (~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))).alias(f"_ch_{c}")
+        for c in compare_cols
+    ]
+    flags = j.select(
+        F.coalesce(F.col("_in_old"), F.lit(False)).alias("_io"),
+        F.coalesce(F.col("_in_new"), F.lit(False)).alias("_in"),
+        *changed_col,
+    )
+    both = F.col("_io") & F.col("_in")
+    any_ch = F.col(f"_ch_{compare_cols[0]}")
+    for c in compare_cols[1:]:
+        any_ch = any_ch | F.col(f"_ch_{c}")
+    agg = flags.agg(
+        F.sum(F.when(~F.col("_io") & F.col("_in"), 1).otherwise(0)).alias("added"),
+        F.sum(F.when(F.col("_io") & ~F.col("_in"), 1).otherwise(0)).alias("removed"),
+        F.sum(F.when(both & any_ch, 1).otherwise(0)).alias("changed"),
+        F.sum(F.when(both & ~any_ch, 1).otherwise(0)).alias("unchanged"),
+        *[
+            F.sum(F.when(both & F.col(f"_ch_{c}"), 1).otherwise(0)).alias(
+                f"col_{c}"
+            )
+            for c in compare_cols
+        ],
+    )
+    rows = [
+        F.struct(F.lit("row").alias("kind"), F.lit(m).alias("name"),
+                 F.col(m).alias("n_rows"))
+        for m in ("added", "removed", "changed", "unchanged")
+    ] + [
+        F.struct(F.lit("column_changed").alias("kind"), F.lit(c).alias("name"),
+                 F.col(f"col_{c}").alias("n_rows"))
+        for c in compare_cols
+    ]
+    return agg.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
 def presence_matrix(tables: dict[str, DataFrame], id_column: str) -> DataFrame:
     """C17 get_cross_sheet_ID (File_Submission_Object.py:624-708), Spark-first:
     union tagged key projections → one groupBy(id) presence aggregation.

@@ -267,3 +267,31 @@ def test_skew_split_join_matches_plain_join(spark):
     # pinned hot set: no measurement pass
     pinned = skew_split_join(left, right, "k", how="inner", hot_keys=["hot"])
     assert pinned.count() == left.join(right, "k", "inner").count()
+
+
+def test_snapshot_diff_report(spark):
+    from seronet_data_validator_spark.operators.integrity import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None), (4, "d", 40)],
+        "k long, s string, v int",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10),        # unchanged
+         (2, "B", 20),        # s changed
+         (3, "c", 30),        # v changed (NULL -> value is a change)
+         (5, "e", 50)],       # added; key 4 removed
+        "k long, s string, v int",
+    )
+    out = {(r["kind"], r["name"]): r["n_rows"]
+           for r in snapshot_diff(old, new, "k").collect()}
+    assert out[("row", "added")] == 1
+    assert out[("row", "removed")] == 1
+    assert out[("row", "changed")] == 2
+    assert out[("row", "unchanged")] == 1
+    assert out[("column_changed", "s")] == 1
+    assert out[("column_changed", "v")] == 1
+    # single-column compare path
+    out_s = {(r["kind"], r["name"]): r["n_rows"]
+             for r in snapshot_diff(old, new, "k", compare_cols=["s"]).collect()}
+    assert out_s[("row", "changed")] == 1 and out_s[("row", "unchanged")] == 2
