@@ -52,6 +52,32 @@ from seronet_data_validator_spark.model import SEVERITY_ERROR, VIOLATION_SCHEMA
 _SNR_DB_MIN = 30.0
 _SNR_CHUNK = 16384  # samples per dot-product chunk (128 KB of float32 scratch)
 
+# --- G.711 companded-codec expansion tables (ITU-T G.711, public spec) ----
+# WAV format codes: 1 = PCM, 6 = A-law, 7 = µ-law. Both log codecs expand
+# 8-bit codes to 16-bit linear via a 256-entry gather — fully vectorized,
+# built once at import from the CCITT reference arithmetic.
+_WAVE_PCM, _WAVE_ALAW, _WAVE_MULAW = 1, 6, 7
+
+
+def _build_g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    codes = np.arange(256, dtype=np.int32)
+    u = (~codes) & 0xFF  # µ-law transmits complemented codes
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    ulaw = np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+    a = codes ^ 0x55  # A-law transmits even bits inverted
+    seg = (a & 0x70) >> 4
+    base = (a & 0x0F) << 4
+    t = np.where(
+        seg == 0,
+        base + 8,
+        (base + 0x108) << np.maximum(seg - 1, 0),
+    )
+    alaw = np.where(a & 0x80, t, -t).astype(np.int16)
+    return ulaw, alaw
+
+
+_ULAW_TABLE, _ALAW_TABLE = _build_g711_tables()
+
 
 def snr_db(ref: np.ndarray, test: np.ndarray, scratch: tuple[np.ndarray, np.ndarray] | None = None) -> float:
     """SNR of ``test`` against ``ref`` in dB: 10·log10(P_ref / P_noise).
@@ -116,33 +142,48 @@ _RIFF = np.frombuffer(b"RIFF", dtype=np.uint8)
 _WAVE = np.frombuffer(b"WAVE", dtype=np.uint8)
 
 
-def _parse_header(seg: np.ndarray | None, payload_len: int) -> tuple[int, int]:
-    """Validate the RIFF/WAVE PCM16 header of a uint8 view → (n_samples, sr).
+def _parse_header(seg: np.ndarray | None, payload_len: int) -> tuple[int, int, int]:
+    """Validate a canonical RIFF/WAVE mono header of a uint8 view →
+    (n_samples, sr, wav_format). Accepted formats: PCM16 (code 1) and the
+    G.711 companded codecs A-law/µ-law (codes 6/7, 8-bit — ITU-T G.711);
+    anything else raises, which the invariant pass reports as C13a.decode.
 
     ``payload_len`` is the FULL blob length (the view may be just the
     header). A declared data-chunk size exceeding the actual payload (a
-    truncated upload) or an odd payload is a decode ERROR, not something to
-    silently clamp — truncation must surface even when dur_ms is NULL."""
+    truncated upload) or an odd PCM16 payload is a decode ERROR, not
+    something to silently clamp — truncation must surface even when dur_ms
+    is NULL."""
     if seg is None or len(seg) < 44 or not (
         np.array_equal(seg[:4], _RIFF) and np.array_equal(seg[8:12], _WAVE)
     ):
         raise ValueError("not a RIFF/WAVE buffer")
+    fmt = int.from_bytes(seg[20:22].tobytes(), "little")
+    bits = int.from_bytes(seg[34:36].tobytes(), "little")
     sr = int.from_bytes(seg[24:28].tobytes(), "little")
     n = int.from_bytes(seg[40:44].tobytes(), "little")
     if n > payload_len - 44:
         raise ValueError(
             f"truncated: declared data chunk {n} B exceeds payload {payload_len - 44} B"
         )
-    if n % 2:
-        raise ValueError(f"odd PCM16 data length {n}")
-    return n // 2, sr
+    if fmt == _WAVE_PCM and bits == 16:
+        if n % 2:
+            raise ValueError(f"odd PCM16 data length {n}")
+        return n // 2, sr, fmt
+    if fmt in (_WAVE_ALAW, _WAVE_MULAW) and bits == 8:
+        return n, sr, fmt
+    raise ValueError(f"unsupported WAV format code {fmt} / {bits}-bit")
 
 
 def _decode_view(seg: np.ndarray | None) -> tuple[np.ndarray, int]:
-    """Parse a FULL RIFF/WAVE PCM16 mono blob from a uint8 view → (int16
-    view, sr). Same layout contract as sources/clips.decode_wav."""
-    n_samples, sr = _parse_header(seg, len(seg) if seg is not None else 0)
-    return seg[44 : 44 + n_samples * 2].view("<i2"), sr
+    """Parse a FULL RIFF/WAVE mono blob from a uint8 view → (int16 samples,
+    sr). PCM16 is a zero-copy view; A-law/µ-law expand through the G.711
+    tables (one vectorized gather). Same layout contract as
+    sources/clips.decode_wav."""
+    n_samples, sr, fmt = _parse_header(seg, len(seg) if seg is not None else 0)
+    if fmt == _WAVE_PCM:
+        return seg[44 : 44 + n_samples * 2].view("<i2"), sr
+    table = _ULAW_TABLE if fmt == _WAVE_MULAW else _ALAW_TABLE
+    return table[seg[44 : 44 + n_samples]], sr
 
 
 def audio_violations(
@@ -265,7 +306,7 @@ def audio_violations(
                         pcm, sr = _decode_view(seg)
                         n_samples = len(pcm)
                     else:
-                        n_samples, sr = _parse_header(seg, int(blen[i]))
+                        n_samples, sr, _fmt = _parse_header(seg, int(blen[i]))
                 except ValueError as e:
                     emit(i, "bytes", f"<{int(blen[i])}B>",
                          "C13a.decode", f"audio buffer failed to decode: {e}")

@@ -198,3 +198,59 @@ def test_transcript_cer(spark):
     assert out["a"]["cer"] == 0.0 and out["a"]["exact_match"]
     assert out["b"]["cer"] == round(1 / 11, 4) and not out["b"]["exact_match"]
     assert out["c"]["cer"] == 1.0  # all 5 ref chars deleted
+
+
+def _g711_wav(codes: bytes, sr: int, fmt: int) -> bytearray:
+    import struct
+
+    n = len(codes)
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, fmt, 1, sr, sr, 1, 8)
+        + b"data" + struct.pack("<I", n)
+    )
+    return bytearray(hdr + codes)
+
+
+def test_g711_tables_itu_anchors():
+    """ITU-T G.711 anchor values (the CCITT reference arithmetic) and the
+    sign-bit symmetry both codecs guarantee."""
+    from seronet_data_validator_spark.operators.audio import _ALAW_TABLE, _ULAW_TABLE
+
+    assert _ULAW_TABLE[0xFF] == 0 and _ULAW_TABLE[0x7F] == 0
+    assert _ULAW_TABLE[0x00] == -32124 and _ULAW_TABLE[0x80] == 32124
+    assert _ALAW_TABLE[0x55] == -8 and _ALAW_TABLE[0xD5] == 8
+    for c in range(128):
+        assert _ULAW_TABLE[c] == -_ULAW_TABLE[c ^ 0x80]
+        assert _ALAW_TABLE[c] == -_ALAW_TABLE[c ^ 0x80]
+    # decoded magnitudes are monotone along each µ-law segment
+    mags = [-int(_ULAW_TABLE[c]) for c in range(0, 0x80)]
+    assert mags == sorted(mags, reverse=True)
+
+
+def test_g711_wav_decode_end_to_end(spark):
+    """µ-law / A-law WAV blobs decode through the same operators as PCM16:
+    feature extraction sees the expanded 16-bit samples."""
+    from seronet_data_validator_spark.operators.audio import (
+        _ALAW_TABLE,
+        _ULAW_TABLE,
+        _decode_view,
+    )
+    from seronet_data_validator_spark.operators.multimodal import audio_features
+
+    codes = bytes(range(256))
+    for fmt, table in ((7, _ULAW_TABLE), (6, _ALAW_TABLE)):
+        blob = _g711_wav(codes, 8000, fmt)
+        pcm, sr = _decode_view(np.frombuffer(bytes(blob), dtype=np.uint8))
+        assert sr == 8000
+        assert np.array_equal(pcm, table[np.frombuffer(codes, np.uint8)])
+    df = _clips_df(
+        spark,
+        [("u", _g711_wav(codes, 8000, 7)), ("a", _g711_wav(codes, 8000, 6)),
+         ("f32", _g711_wav(codes, 8000, 3))],  # IEEE float: unsupported
+    )
+    out = {r["clip_id"]: r for r in audio_features(df).collect()}
+    assert out["u"]["n_samples"] == 256 and out["u"]["sr_hz"] == 8000
+    assert out["u"]["peak"] > 0.9          # full-scale codes present
+    assert out["a"]["n_samples"] == 256
+    assert out["f32"]["rms"] is None       # unsupported format -> decode fail
