@@ -1077,6 +1077,31 @@ def q_skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-order QA (temporal.out_of_order_events): events replayed in
+    a scrambled arrival order (affine permutation of event_id — SQL-
+    replayable) to measure how far event time runs backwards per user —
+    the measurement behind a watermark-delay choice."""
+    from seronet_data_validator_spark.operators.temporal import out_of_order_events
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "arrival_seq", (F.col("event_id") * 48271) % 1000003
+    )
+    return out_of_order_events(ev, seq_col="arrival_seq").select(
+        "user_id", "arrival_seq", "ts", "prev_ts", "late_by_sec"
+    )
+
+
+def q_time_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage-gap QA (temporal.time_gaps): per-user silent intervals
+    longer than a day — the dual of sessionize for feeds promising
+    periodic data."""
+    from seronet_data_validator_spark.operators.temporal import time_gaps
+
+    ev = _t(spark, sf_dir, "events")
+    return time_gaps(ev, min_gap_seconds=86_400)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-version diff (integrity.snapshot_diff): two deterministic
     snapshots derived from orders (10% dropped / 1-in-7 added / price and
@@ -1672,6 +1697,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "psi_by_group": q_psi_by_group,
         "snapshot_diff": q_snapshot_diff,
+        "out_of_order": q_out_of_order,
+        "time_gaps": q_time_gaps,
         "simhash_signatures": q_simhash_signatures,
         "simhash_neardup": q_simhash_neardup,
         "ivf_search": q_ivf_search,
@@ -2599,6 +2626,34 @@ def oracle_sql() -> dict[str, str]:
               JOIN documents da ON da.doc_id = id_a
               JOIN documents db ON db.doc_id = id_b
             ) WHERE edit_sim >= 0.05
+        """,
+        # out-of-order measurement under a scrambled arrival permutation:
+        # DuckDB replays the permutation, the lag, and every lateness value
+        "out_of_order": """
+            SELECT user_id, arrival_seq, ts, prev_ts,
+                   round((epoch_us(prev_ts) - epoch_us(ts)) / 1e6, 6)
+                     AS late_by_sec
+            FROM (
+              SELECT user_id, (event_id * 48271) % 1000003 AS arrival_seq, ts,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY (event_id * 48271) % 1000003)
+                       AS prev_ts
+              FROM events
+            ) WHERE ts < prev_ts
+        """,
+        # per-user coverage gaps over a day: lag + filter, replayed exactly
+        "time_gaps": """
+            SELECT user_id, gap_start, gap_end,
+                   round((epoch_us(gap_end) - epoch_us(gap_start)) / 1e6, 6)
+                     AS gap_sec
+            FROM (
+              SELECT user_id,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       AS gap_start,
+                     ts AS gap_end
+              FROM events
+            )
+            WHERE (epoch_us(gap_end) - epoch_us(gap_start)) / 1e6 > 86400
         """,
         # snapshot diff: DuckDB rebuilds both snapshots, the full-outer
         # join, the null-safe per-column compares, and every class count

@@ -166,3 +166,59 @@ def asof_join(
         *[F.col(c) for c in left.columns if c != on],
         *[F.col("_m")[c].alias(f"{prefix}{c}") for c in carried],
     )
+
+
+def out_of_order_events(
+    df: DataFrame,
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Sequence-order QA: rows whose event time goes BACKWARDS relative to
+    the previous event of the same key in arrival order (``seq_col`` — an
+    ingest-assigned monotone id). Out-of-order arrival is the thing
+    watermarks bound; this measures how much of it the pipeline actually
+    sees, per key, before choosing a watermark delay.
+
+    One keyed window (shuffle on the key, per-key sort — the same cost
+    profile as sessionize); emits (key, seq, ts, prev_ts, late_by_sec).
+    """
+    w = Window.partitionBy(key).orderBy(seq_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    out = df.select(
+        F.col(key),
+        F.col(seq_col),
+        F.col(ts_col),
+        prev.alias("prev_ts"),
+    ).where(F.col(ts_col) < F.col("prev_ts"))
+    # cast: parquet NTZ timestamps are fine — unix_micros wants TIMESTAMP
+    micros = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    late = (micros(F.col("prev_ts")) - micros(F.col(ts_col))) / 1e6
+    return out.withColumn("late_by_sec", F.round(late, 6))
+
+
+def time_gaps(
+    df: DataFrame,
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    min_gap_seconds: float,
+) -> DataFrame:
+    """Coverage-gap QA: per-key intervals longer than ``min_gap_seconds``
+    with no events — the dual of sessionize (a session boundary IS a gap;
+    this reports the gap itself, for feeds that promise periodic data).
+    Emits (key, gap_start, gap_end, gap_sec); one keyed window."""
+    w = Window.partitionBy(key).orderBy(ts_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    micros = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    gap = (micros(F.col(ts_col)) - micros(prev)) / 1e6
+    return (
+        df.select(
+            F.col(key),
+            prev.alias("gap_start"),
+            F.col(ts_col).alias("gap_end"),
+            F.round(gap, 6).alias("gap_sec"),
+        )
+        .where(F.col("gap_sec") > min_gap_seconds)
+    )

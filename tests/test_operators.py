@@ -878,3 +878,29 @@ def test_psi_by_group_attribution(spark):
     assert abs(out["B"]["psi"] - psi([1.0] + [0.0] * 9)) < 1e-5
     # the concentrated group is the drifted one, by a wide margin
     assert out["B"]["psi"] > 3 * out["A"]["psi"]
+
+
+def test_out_of_order_and_time_gaps(spark):
+    import datetime
+
+    from seronet_data_validator_spark.operators.temporal import (
+        out_of_order_events,
+        time_gaps,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    ts = lambda s: base + datetime.timedelta(seconds=s)  # noqa: E731
+    rows = [  # user 1: arrival order 1,2,3 but event 2 goes back in time
+        (1, 1, ts(100)), (1, 2, ts(40)), (1, 3, ts(200)),
+        (2, 4, ts(0)), (2, 5, ts(5000)),  # a 5000 s silent gap
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    ooo = out_of_order_events(df).collect()
+    assert len(ooo) == 1
+    assert ooo[0]["event_id"] == 2 and ooo[0]["late_by_sec"] == 60.0
+    gaps = time_gaps(df, min_gap_seconds=1000).collect()
+    assert len(gaps) == 1
+    assert gaps[0]["user_id"] == 2 and gaps[0]["gap_sec"] == 5000.0
+    # user 1's 160 s spread stays under the threshold; backwards steps are
+    # not gaps (lag is over ts order, not arrival order)
+    assert time_gaps(df, min_gap_seconds=10_000).count() == 0
