@@ -1077,6 +1077,20 @@ def q_skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile report (stats.group_quantiles, exact mode for
+    value parity — Spark `percentile` interpolates exactly like DuckDB
+    `quantile_cont`; the production default is the mergeable
+    percentile_approx sketch)."""
+    from seronet_data_validator_spark.operators.stats import group_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return group_quantiles(
+        li, "l_returnflag", "l_extendedprice", probs=(0.25, 0.5, 0.95),
+        exact=True,
+    )
+
+
 def q_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-order QA (temporal.out_of_order_events): events replayed in
     a scrambled arrival order (affine permutation of event_id — SQL-
@@ -1697,6 +1711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "psi_by_group": q_psi_by_group,
         "snapshot_diff": q_snapshot_diff,
+        "group_quantiles": q_group_quantiles,
         "out_of_order": q_out_of_order,
         "time_gaps": q_time_gaps,
         "simhash_signatures": q_simhash_signatures,
@@ -2626,6 +2641,16 @@ def oracle_sql() -> dict[str, str]:
               JOIN documents da ON da.doc_id = id_a
               JOIN documents db ON db.doc_id = id_b
             ) WHERE edit_sim >= 0.05
+        """,
+        # exact per-group quantiles: percentile == quantile_cont (linear
+        # interpolation on order statistics) — value-for-value
+        "group_quantiles": """
+            SELECT l_returnflag,
+                   count(l_extendedprice)::BIGINT AS n_rows,
+                   round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+            FROM lineitem GROUP BY l_returnflag
         """,
         # out-of-order measurement under a scrambled arrival permutation:
         # DuckDB replays the permutation, the lag, and every lateness value

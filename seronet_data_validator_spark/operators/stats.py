@@ -183,6 +183,36 @@ def ks_two_sample(
     )
 
 
+def group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    *,
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group quantile report — the drill-down companion to `profile`'s
+    whole-column sketch (per-site latency percentiles, per-codec duration
+    spread). Default is `percentile_approx` (Greenwald-Khanna: mergeable,
+    bounded memory — the only viable mode at 10^12 rows); ``exact=True``
+    switches to the exact interpolating `percentile` (linear interpolation
+    on order statistics, the same definition as SQL ``quantile_cont``) for
+    small groups and oracle parity — it buffers each group's values, so
+    keep it off hot paths. One partial-agg shuffle either way."""
+    aggs = []
+    for p in probs:
+        col = (
+            F.percentile(F.col(value_col), F.lit(p))
+            if exact
+            else F.percentile_approx(F.col(value_col), p, accuracy)
+        )
+        aggs.append(F.round(col, 4).alias(f"p{int(round(p * 100))}"))
+    return df.groupBy(group_col).agg(
+        F.count(F.col(value_col)).alias("n_rows"), *aggs
+    )
+
+
 def numeric_histogram(
     df: DataFrame,
     value_col: str,

@@ -904,3 +904,18 @@ def test_out_of_order_and_time_gaps(spark):
     # user 1's 160 s spread stays under the threshold; backwards steps are
     # not gaps (lag is over ts order, not arrival order)
     assert time_gaps(df, min_gap_seconds=10_000).count() == 0
+
+
+def test_group_quantiles_exact_vs_approx(spark):
+    from seronet_data_validator_spark.operators.stats import group_quantiles
+
+    rows = [("g", float(i)) for i in range(1, 101)] + [("h", 5.0), ("h", None)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    ex = {r["grp"]: r for r in
+          group_quantiles(df, "grp", "v", probs=(0.5,), exact=True).collect()}
+    # exact interpolating median of 1..100 = 50.5; NULLs excluded from count
+    assert ex["g"]["p50"] == 50.5 and ex["g"]["n_rows"] == 100
+    assert ex["h"]["p50"] == 5.0 and ex["h"]["n_rows"] == 1
+    ap = {r["grp"]: r for r in
+          group_quantiles(df, "grp", "v", probs=(0.5,)).collect()}
+    assert abs(ap["g"]["p50"] - 50.5) <= 1.0  # sketch lands on a sample
