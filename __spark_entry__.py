@@ -1077,6 +1077,15 @@ def q_skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford leading-digit conformity (stats.benford_profile) over order
+    totals — the fabricated-data screen; digit from pure column math."""
+    from seronet_data_validator_spark.operators.stats import benford_profile
+
+    orders = _t(spark, sf_dir, "orders")
+    return benford_profile(orders, "o_totalprice")
+
+
 def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group quantile report (stats.group_quantiles, exact mode for
     value parity — Spark `percentile` interpolates exactly like DuckDB
@@ -1712,6 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_by_group": q_psi_by_group,
         "snapshot_diff": q_snapshot_diff,
         "group_quantiles": q_group_quantiles,
+        "benford": q_benford,
         "out_of_order": q_out_of_order,
         "time_gaps": q_time_gaps,
         "simhash_signatures": q_simhash_signatures,
@@ -2641,6 +2651,25 @@ def oracle_sql() -> dict[str, str]:
               JOIN documents da ON da.doc_id = id_a
               JOIN documents db ON db.doc_id = id_b
             ) WHERE edit_sim >= 0.05
+        """,
+        # Benford profile: same digit/log arithmetic, every share and
+        # deviation recomputed
+        "benford": """
+            WITH c AS (
+              SELECT floor(abs(o_totalprice)
+                           / pow(10.0, floor(log10(abs(o_totalprice)))))::BIGINT
+                       AS digit,
+                     count(*)::BIGINT AS n_rows
+              FROM orders
+              WHERE o_totalprice IS NOT NULL AND abs(o_totalprice) > 0
+              GROUP BY 1
+            ), t AS (SELECT sum(n_rows)::DOUBLE AS tot FROM c)
+            SELECT digit, n_rows,
+                   round(n_rows / tot, 6) AS share,
+                   round(log10(1.0 + 1.0 / digit), 6) AS expected,
+                   round(abs(n_rows / tot - log10(1.0 + 1.0 / digit)), 6)
+                     AS deviation
+            FROM c, t
         """,
         # exact per-group quantiles: percentile == quantile_cont (linear
         # interpolation on order statistics) — value-for-value

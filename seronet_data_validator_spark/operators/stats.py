@@ -313,6 +313,40 @@ def psi_by_group(
     )
 
 
+def benford_profile(df: DataFrame, value_col: str) -> DataFrame:
+    """Leading-digit profile vs Benford's law — the classic fabricated-or-
+    truncated-data screen for naturally-spanning numeric columns (amounts,
+    durations, counts): organic multi-magnitude data follows
+    P(d) = log10(1 + 1/d); manual entry, capped fields, and synthetic
+    padding do not. A per-digit report, not a verdict — the deviation
+    column feeds whatever threshold the caller's domain justifies (MAD
+    > 0.015 is the common audit rule of thumb).
+
+    One partial-agg shuffle over ≤ 9 surviving groups (digit from pure
+    column math: d = floor(v / 10^floor(log10 v)) — no string casts), then
+    share/expected/deviation arithmetic on the 9-row frame. Zeros and
+    NULLs are excluded (no leading digit). Output: (digit, n_rows, share,
+    expected, deviation)."""
+    v = F.abs(F.col(value_col).cast("double"))
+    mag = F.floor(F.log10(v))
+    digit = F.floor(v / F.pow(F.lit(10.0), mag)).cast("long")
+    counts = (
+        df.where(v.isNotNull() & (v > 0))
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    total = counts.agg(F.sum("n_rows").alias("_t"))
+    share = F.col("n_rows") / F.col("_t")
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n_rows",
+        F.round(share, 6).alias("share"),
+        F.round(expected, 6).alias("expected"),
+        F.round(F.abs(share - expected), 6).alias("deviation"),
+    )
+
+
 def skew_report(
     df: DataFrame,
     key_col: str,

@@ -919,3 +919,22 @@ def test_group_quantiles_exact_vs_approx(spark):
     ap = {r["grp"]: r for r in
           group_quantiles(df, "grp", "v", probs=(0.5,)).collect()}
     assert abs(ap["g"]["p50"] - 50.5) <= 1.0  # sketch lands on a sample
+
+
+def test_benford_profile_shares(spark):
+    import math
+
+    from seronet_data_validator_spark.operators.stats import benford_profile
+
+    # values engineered for known leading digits: 1 x10, 2 x5, 9 x5; plus
+    # excluded zero/NULL rows
+    rows = ([(float(10 ** (i % 3)),) for i in range(10)]
+            + [(2.5 * 10 ** (i % 2),) for i in range(5)]
+            + [(9.0,), (90.0,), (900.0,), (9.5,), (95.0,)]
+            + [(0.0,), (None,)])
+    df = spark.createDataFrame(rows, "v double")
+    out = {r["digit"]: r for r in benford_profile(df, "v").collect()}
+    assert out[1]["n_rows"] == 10 and out[2]["n_rows"] == 5 and out[9]["n_rows"] == 5
+    assert out[1]["share"] == 0.5
+    assert abs(out[1]["expected"] - math.log10(2)) < 1e-6
+    assert out[9]["deviation"] == round(abs(0.25 - math.log10(10 / 9)), 6)
