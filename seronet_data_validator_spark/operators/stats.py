@@ -283,10 +283,15 @@ def psi_by_group(
         F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)),
         F.lit(bins - 1),
     ).cast("long")
+    # one materialization point: counts (≤ groups × bins rows by
+    # construction) feeds FOUR consumers (global masses, global total,
+    # per-group totals, the dense-grid join) — without the stage boundary
+    # each consumer re-scans and re-aggregates the full input.
     counts = (
         df.where(v.isNotNull())
         .groupBy(F.col(group_col).alias("grp"), bin_.alias("_bin"))
         .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=True)
     )
     glob = counts.groupBy("_bin").agg(F.sum("_c").alias("_gc"))
     glob_tot = glob.agg(F.sum("_gc").alias("_gt"))
@@ -330,10 +335,12 @@ def benford_profile(df: DataFrame, value_col: str) -> DataFrame:
     v = F.abs(F.col(value_col).cast("double"))
     mag = F.floor(F.log10(v))
     digit = F.floor(v / F.pow(F.lit(10.0), mag)).cast("long")
+    # ≤ 9 rows; the boundary stops the totals branch re-scanning the input
     counts = (
         df.where(v.isNotNull() & (v > 0))
         .groupBy(digit.alias("digit"))
         .agg(F.count(F.lit(1)).alias("n_rows"))
+        .localCheckpoint(eager=True)
     )
     total = counts.agg(F.sum("n_rows").alias("_t"))
     share = F.col("n_rows") / F.col("_t")
