@@ -251,3 +251,70 @@ def test_flatten_json_typed_and_malformed(spark):
     assert out[3]["k"] is None
     # raw column retained for quarantine
     assert "props" in {f.name for f in flatten_json(df, "props", "k long").schema.fields}
+
+
+def test_ruleset_from_json_compiles_and_matches_programmatic(spark):
+    import json as _json
+
+    from seronet_data_validator_spark.plans.compile import compile_ruleset
+    from seronet_data_validator_spark.plans.config import (
+        ruleset_from_dict,
+        ruleset_from_json,
+    )
+    from seronet_data_validator_spark.plans.rules import (
+        Precondition,
+        Rule,
+        RuleSet,
+        check_in_list,
+        check_number,
+    )
+
+    pack = {
+        "table": "t",
+        "row_ref": "id",
+        "rules": [
+            {"rule_id": "C6.lang", "column": "lang", "check": "in_list",
+             "params": {"values": ["en", "de"]}},
+            {"rule_id": "C9.n", "column": "n", "check": "number",
+             "params": {"lower": 0, "upper": 10, "int_only": True},
+             "depends_on": {"column": "has_n", "values": ["Yes"]}},
+        ],
+    }
+    df = spark.createDataFrame(
+        [("1", "en", "3", "Yes"), ("2", "xx", "3", "Yes"),
+         ("3", "en", "11", "Yes"), ("4", "en", "11", "No")],
+        "id string, lang string, n string, has_n string",
+    )
+    declared = compile_ruleset(df, ruleset_from_dict(pack))
+    got = {(r["row_ref"], r["rule_id"]) for r in declared.collect()}
+    prog_rs = RuleSet(table_name="t", row_ref_column="id")
+    prog_rs.add(Rule("C6.lang", "lang", check_in_list(("en", "de"))))
+    prog_rs.add(Rule("C9.n", "n", check_number(lower=0, upper=10, int_only=True),
+                     precondition=Precondition(column="has_n", values=("Yes",))))
+    prog = {(r["row_ref"], r["rule_id"]) for r in compile_ruleset(df, prog_rs).collect()}
+    assert got == prog
+    assert ("2", "C6.lang") in got and ("3", "C9.n") in got
+    # row 4 fails the dependency -> the C2 'Not Validated' emission fires
+    # under the same rule_id, not the range violation
+    msgs = {r["row_ref"]: r["message"] for r in declared.collect()
+            if r["rule_id"] == "C9.n"}
+    assert "Unable to validate" in msgs["4"]
+    assert "Unable to validate" not in msgs["3"]
+    # json string round-trip
+    rs2 = ruleset_from_json(_json.dumps(pack))
+    got2 = {(r["row_ref"], r["rule_id"]) for r in compile_ruleset(df, rs2).collect()}
+    assert got2 == got
+
+
+def test_ruleset_from_dict_fails_fast_on_bad_packs():
+    import pytest as _pytest
+
+    from seronet_data_validator_spark.plans.config import ruleset_from_dict
+
+    with _pytest.raises(ValueError, match="unknown check"):
+        ruleset_from_dict({"table": "t", "rules": [
+            {"rule_id": "X", "column": "c", "check": "nope"}]})
+    with _pytest.raises(ValueError, match="bad params"):
+        ruleset_from_dict({"table": "t", "rules": [
+            {"rule_id": "X", "column": "c", "check": "number",
+             "params": {"lower": 0}}]})  # missing upper
