@@ -49,6 +49,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--run-id", required=True)
     p.add_argument("--partition-column", default="site")
     p.add_argument("--skip-audio", action="store_true", help="skip the decoded-PCM invariant pass")
+    p.add_argument("--rule-pack",
+                   help="JSON rule pack (path or inline JSON) replacing the "
+                        "built-in clips ruleset — config-driven authoring, "
+                        "compiled into the same fused rules pass")
     p.add_argument("--presence-pass", action="store_true",
                    help="C17: flag clips absent from --reference (Error) and "
                         "reference ids with no clip (Warning)")
@@ -75,9 +79,15 @@ def main(argv: list[str] | None = None) -> int:
             declared=_read(spark, args.declared_sites),
             group_col=args.partition_column,
         )
+    ruleset = None
+    if args.rule_pack:
+        from seronet_data_validator_spark.plans.config import ruleset_from_json
+
+        ruleset = ruleset_from_json(args.rule_pack)
     res = validate_clips(
         spark,
         _read(spark, args.input),
+        ruleset=ruleset,
         codec_registry=_read(spark, args.codec_registry) if args.codec_registry else None,
         reference_clips=_read(spark, args.reference) if args.reference else None,
         manifest=_read(spark, args.manifest) if args.manifest else None,

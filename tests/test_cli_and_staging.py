@@ -167,3 +167,40 @@ def test_derived_refs_table_single_file_buckets(spark, tmp_path):
         assert len(files) == 4, sorted(files)
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+
+def test_run_validation_cli_rule_pack(spark, tmp_path):
+    """--rule-pack: a JSON pack replaces the built-in ruleset and drives the
+    verdict — a pack that bans the generator's hot codec fails the run, the
+    permissive pack passes it."""
+    import json
+
+    inp = str(tmp_path / "in.parquet")
+    generate_clips(spark, 200, seed=7).write.parquet(inp)
+
+    strict = {
+        "table": "clips",
+        "row_ref": "clip_id",
+        "rules": [
+            {"rule_id": "P.codec", "column": "codec", "check": "in_list",
+             "params": {"values": ["flac"], "case_insensitive": False}},
+        ],
+    }
+    pack_path = str(tmp_path / "pack.json")
+    with open(pack_path, "w") as f:
+        json.dump(strict, f)
+    rc = run_validation.main(
+        ["--input", inp, "--output-root", str(tmp_path / "o1"),
+         "--run-id", "p1", "--skip-audio", "--rule-pack", pack_path]
+    )
+    assert rc == 1  # pcm_s16le clips violate the flac-only pack
+    loose = dict(strict)
+    loose["rules"] = [
+        {"rule_id": "P.codec", "column": "codec", "check": "in_list",
+         "params": {"values": ["flac", "pcm_s16le", "opus", "mp3", "aac"]}},
+    ]
+    rc2 = run_validation.main(
+        ["--input", inp, "--output-root", str(tmp_path / "o2"),
+         "--run-id", "p2", "--skip-audio", "--rule-pack", json.dumps(loose)]
+    )
+    assert rc2 == 0
