@@ -116,3 +116,25 @@ def test_drift_stats_identity_and_shift(qs):
     shifted = [x + 10 * span for x in q]
     assert ks_from_quantiles(shifted, q) > 0.9
     assert psi_from_quantiles(shifted, q) > 0.2
+
+
+def test_g711_tables_exhaustive_vs_reconstruction_formula():
+    """All 256 codes of both G.711 tables against the INDEPENDENT
+    segment/mantissa reconstruction formulas (ITU-T G.711 tables 1-2):
+    µ-law |x| = 4·(((2m+33)<<seg) − 33); A-law |x| = 8·(2m+1) for seg 0,
+    8·(2m+33)·2^(seg−1) otherwise — a different derivation than the
+    CCITT shift arithmetic that builds the tables."""
+    from seronet_data_validator_spark.operators.audio import _ALAW_TABLE, _ULAW_TABLE
+
+    for code in range(256):
+        u = (~code) & 0xFF
+        seg, m = (u & 0x70) >> 4, u & 0x0F
+        mag = 4 * ((((2 * m) + 33) << seg) - 33)
+        expect = -mag if (u & 0x80) else mag
+        assert int(_ULAW_TABLE[code]) == expect, f"ulaw {code:#x}"
+    for code in range(256):
+        a = code ^ 0x55
+        seg, m = (a & 0x70) >> 4, a & 0x0F
+        mag = 8 * (2 * m + 1) if seg == 0 else 8 * (2 * m + 33) * (1 << (seg - 1))
+        expect = mag if (a & 0x80) else -mag
+        assert int(_ALAW_TABLE[code]) == expect, f"alaw {code:#x}"
