@@ -938,3 +938,44 @@ def test_benford_profile_shares(spark):
     assert out[1]["share"] == 0.5
     assert abs(out[1]["expected"] - math.log10(2)) < 1e-6
     assert out[9]["deviation"] == round(abs(0.25 - math.log10(10 / 9)), 6)
+
+
+def test_tdigest_accuracy_and_merge_invariance(spark):
+    import numpy as np
+
+    from seronet_data_validator_spark.operators.sketch import (
+        TDigest,
+        tdigest_quantiles,
+    )
+
+    rng = np.random.default_rng(11)
+    data = rng.lognormal(0.0, 1.0, 200_000)  # heavy tail: the hard case
+    probs = [0.01, 0.25, 0.5, 0.75, 0.99, 0.999]
+
+    def rank_err(estimates):
+        # the t-digest guarantee is QUANTILE-SPACE error: |F(est) - p|
+        return np.array([abs((data < e).mean() - p)
+                         for e, p in zip(estimates, probs)])
+
+    est = TDigest(200).add(data).quantile(probs)
+    assert np.all(rank_err(est) < 2e-3), rank_err(est)
+    # mid-range value-space accuracy is also tight
+    exact = np.quantile(data, probs)
+    mid_rel = np.abs(np.array(est[1:5]) - exact[1:5]) / exact[1:5]
+    assert np.all(mid_rel < 0.01), mid_rel
+
+    # merge invariance: union digest ≈ merged partition digests
+    a, b = data[:100_000], data[100_000:]
+    da = TDigest(200).add(a).compress()
+    db = TDigest(200).add(b).compress()
+    merged = TDigest(200).merge_from(da).merge_from(db)
+    assert np.all(rank_err(merged.quantile(probs)) < 3e-3)
+
+    # distributed path: partition digests -> driver merge, NULLs excluded
+    sub = data[:20_000]
+    rows = [(float(v),) for v in sub] + [(None,)] * 50
+    df = spark.createDataFrame(rows, "v double").repartition(8)
+    d_est = tdigest_quantiles(df, "v", probs)
+    sub_rank = np.array([abs((sub < e).mean() - p)
+                         for e, p in zip(d_est, probs)])
+    assert np.all(sub_rank < 3e-3), sub_rank
