@@ -1077,6 +1077,21 @@ def q_skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tdigest_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable t-digest quantiles (operators/sketch.tdigest_quantiles):
+    per-partition digests over events.value merged driver-side. Sketch
+    output is approximate by design → rows-only contract; the rank-error
+    and merge-invariance guarantees are pytest-asserted."""
+    from seronet_data_validator_spark.operators.sketch import tdigest_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    q = tdigest_quantiles(ev, "value", [0.5, 0.95, 0.99])
+    return spark.createDataFrame(
+        [(round(q[0], 2), round(q[1], 2), round(q[2], 2))],
+        "p50 double, p95 double, p99 double",
+    )
+
+
 def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford leading-digit conformity (stats.benford_profile) over order
     totals — the fabricated-data screen; digit from pure column math."""
@@ -1724,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "group_quantiles": q_group_quantiles,
         "benford": q_benford,
+        "tdigest_profile": q_tdigest_profile,
         "out_of_order": q_out_of_order,
         "time_gaps": q_time_gaps,
         "simhash_signatures": q_simhash_signatures,
