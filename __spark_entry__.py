@@ -1077,6 +1077,17 @@ def q_skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressibility quality signal (text.compression_ratio): deflate
+    ratio per doc — repetitive boilerplate collapses, natural prose does
+    not. zlib has no DuckDB equivalent → rows-only; the separation
+    property is pytest-asserted."""
+    from seronet_data_validator_spark.operators.text import compression_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    return compression_ratio(docs).select("doc_id", "n_bytes", "ratio")
+
+
 def q_tdigest_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable t-digest quantiles (operators/sketch.tdigest_quantiles):
     per-partition digests over events.value merged driver-side. Sketch
@@ -1740,6 +1751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_quantiles": q_group_quantiles,
         "benford": q_benford,
         "tdigest_profile": q_tdigest_profile,
+        "compression_ratio": q_compression_ratio,
         "out_of_order": q_out_of_order,
         "time_gaps": q_time_gaps,
         "simhash_signatures": q_simhash_signatures,

@@ -515,3 +515,53 @@ def token_count_bpe(df: DataFrame, text_col: str = "text") -> DataFrame:
     bit-for-bit."""
     segs = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_PATTERN), 0)
     return df.withColumn("n_tokens_bpe", F.size(segs).cast("long"))
+
+
+def compression_ratio(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, level: int = 6
+) -> DataFrame:
+    """Compressibility quality signal: deflate(text)/len(text) — repetitive
+    boilerplate and template spam compress far below natural prose (the
+    signal behind "compression filtering" in public corpus-curation
+    pipelines; complements char_entropy, which sees character FREQUENCIES
+    but not repeated PHRASES). Low ratio → repetitive; ~1 → already-random
+    (or encrypted/minified) content — both tails are suspect.
+
+    zlib is C-speed and the pass is a narrow mapInArrow (no shuffle, no
+    Python-per-row overhead beyond the per-doc compress call, which is the
+    operator's actual work). Empty docs are excluded (no ratio to
+    compute). Output: (id, n_bytes, ratio)."""
+    import zlib
+    from typing import Iterator
+
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("ratio", T.DoubleType()),
+        ]
+    )
+    src = df.select(id_col, text_col)
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            oi, ob, orr = [], [], []
+            for i, t in zip(ids, texts):
+                if not t:
+                    continue
+                raw = t.encode("utf-8")
+                oi.append(i)
+                ob.append(len(raw))
+                orr.append(round(len(zlib.compress(raw, level)) / len(raw), 4))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(oi, pa.int64()), pa.array(ob, pa.int64()),
+                 pa.array(orr, pa.float64())],
+                [id_col, "n_bytes", "ratio"],
+            )
+
+    return src.mapInArrow(run, schema=out_schema)

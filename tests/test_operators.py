@@ -979,3 +979,19 @@ def test_tdigest_accuracy_and_merge_invariance(spark):
     sub_rank = np.array([abs((sub < e).mean() - p)
                          for e, p in zip(d_est, probs)])
     assert np.all(sub_rank < 3e-3), sub_rank
+
+
+def test_compression_ratio_separates_repetition(spark):
+    from seronet_data_validator_spark.operators.text import compression_ratio
+
+    rows = [
+        (1, "spam " * 400),                       # pure repetition
+        (2, " ".join(f"w{i}x{i * 7 % 997}" for i in range(400))),  # high-entropy
+        (3, ""),                                  # excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    assert out[1]["ratio"] < 0.05          # boilerplate collapses
+    assert out[2]["ratio"] > 3 * out[1]["ratio"]
+    assert 3 not in out
+    assert out[1]["n_bytes"] == 2000
