@@ -1077,6 +1077,24 @@ def q_skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_null_rates_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group completeness (stats.null_rates_by_group): deterministic
+    null/blank injection into events (SQL-replayable), then the
+    which-feed-sends-the-nulls matrix in one partial-agg pass."""
+    from seronet_data_validator_spark.operators.stats import null_rates_by_group
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("value"),
+        F.when(F.col("event_id") % 13 == 0, F.lit("")).otherwise(
+            F.col("props")
+        ).alias("props"),
+    )
+    return null_rates_by_group(ev, "event_type", ["value", "props"])
+
+
 def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressibility quality signal (text.compression_ratio): deflate
     ratio per doc — repetitive boilerplate collapses, natural prose does
@@ -1752,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford": q_benford,
         "tdigest_profile": q_tdigest_profile,
         "compression_ratio": q_compression_ratio,
+        "null_rates_by_group": q_null_rates_by_group,
         "out_of_order": q_out_of_order,
         "time_gaps": q_time_gaps,
         "simhash_signatures": q_simhash_signatures,
@@ -2681,6 +2700,28 @@ def oracle_sql() -> dict[str, str]:
               JOIN documents da ON da.doc_id = id_a
               JOIN documents db ON db.doc_id = id_b
             ) WHERE edit_sim >= 0.05
+        """,
+        # per-group completeness with injected nulls/blanks: every count
+        # and rate recomputed
+        "null_rates_by_group": """
+            WITH ev AS (
+              SELECT event_type,
+                     CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value,
+                     CASE WHEN event_id % 13 = 0 THEN '' ELSE props END AS props
+              FROM events
+            ), w AS (
+              SELECT event_type, count(*)::BIGINT AS n,
+                     sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT AS nv,
+                     sum(CASE WHEN value::VARCHAR = '' THEN 1 ELSE 0 END)::BIGINT AS bv,
+                     sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)::BIGINT AS np,
+                     sum(CASE WHEN props = '' THEN 1 ELSE 0 END)::BIGINT AS bp
+              FROM ev GROUP BY event_type
+            )
+            SELECT event_type, 'value' AS column_name, n AS n_rows,
+                   nv AS n_null, bv AS n_blank, round(nv * 1.0 / n, 6) AS null_rate
+            FROM w
+            UNION ALL
+            SELECT event_type, 'props', n, np, bp, round(np * 1.0 / n, 6) FROM w
         """,
         # Benford profile: same digit/log arithmetic, every share and
         # deviation recomputed

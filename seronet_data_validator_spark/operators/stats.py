@@ -318,6 +318,46 @@ def psi_by_group(
     )
 
 
+def null_rates_by_group(
+    df: DataFrame, group_col: str, columns: list[str]
+) -> DataFrame:
+    """Per-group completeness matrix — the drill-down behind `profile`'s
+    whole-column null_rate: WHICH site/feed sends the nulls (and blanks).
+    The reference reports missingness per submission file
+    (File_Submission_Object.py:590-622); partitioned tables report it per
+    partition key instead.
+
+    ONE partial-agg shuffle (conditional sums fold map-side); long-form
+    output (group, column_name, n_rows, n_null, n_blank, null_rate) via
+    the literal-struct explode — no second pass, no pivot job."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in columns:
+        col = F.col(c)
+        aggs.append(
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"_null_{c}")
+        )
+        aggs.append(
+            F.sum(F.when(col.cast("string") == "", 1).otherwise(0)).alias(
+                f"_blank_{c}"
+            )
+        )
+    wide = df.groupBy(F.col(group_col).alias("grp")).agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"_null_{c}").alias("n_null"),
+            F.col(f"_blank_{c}").alias("n_blank"),
+            F.round(F.col(f"_null_{c}") / F.col("_n"), 6).alias("null_rate"),
+        )
+        for c in columns
+    ]
+    return (
+        wide.select(F.col("grp").alias(group_col), F.explode(F.array(*structs)).alias("p"))
+        .select(group_col, "p.*")
+    )
+
+
 def benford_profile(df: DataFrame, value_col: str) -> DataFrame:
     """Leading-digit profile vs Benford's law — the classic fabricated-or-
     truncated-data screen for naturally-spanning numeric columns (amounts,

@@ -995,3 +995,15 @@ def test_compression_ratio_separates_repetition(spark):
     assert out[2]["ratio"] > 3 * out[1]["ratio"]
     assert 3 not in out
     assert out[1]["n_bytes"] == 2000
+
+
+def test_null_rates_by_group(spark):
+    from seronet_data_validator_spark.operators.stats import null_rates_by_group
+
+    rows = [("a", None, ""), ("a", 1.0, "x"), ("a", None, "y"), ("b", 2.0, None)]
+    df = spark.createDataFrame(rows, "site string, v double, s string")
+    out = {(r["site"], r["column_name"]): r
+           for r in null_rates_by_group(df, "site", ["v", "s"]).collect()}
+    assert out[("a", "v")]["n_null"] == 2 and out[("a", "v")]["null_rate"] == round(2 / 3, 6)
+    assert out[("a", "s")]["n_blank"] == 1 and out[("a", "s")]["n_null"] == 0
+    assert out[("b", "s")]["n_null"] == 1 and out[("b", "v")]["null_rate"] == 0.0
