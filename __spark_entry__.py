@@ -708,6 +708,27 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "quality_score")
 
 
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining-data prep chain in ONE declarative plan:
+    curation (quality ∧ lang ∧ exact-dedup, = corpus_curation) →
+    per-language stratified downsampling (keep half of 'en', 80% of the
+    rest) → deterministic global shuffle rank (the fixed training order).
+    Every stage is individually oracle-checked; this composite proves they
+    COMPOSE — the DuckDB oracle replays the whole chain end-to-end,
+    including the two-phase rank's value-identity to a naive global
+    window over the sampled survivors."""
+    from seronet_data_validator_spark.operators.sampling import (
+        global_sort_rank,
+        stratified_sample,
+    )
+
+    kept = q_corpus_curation(spark, sf_dir)
+    sampled = stratified_sample(
+        kept, strata_col="lang", fractions={"en": 0.5}, default_fraction=0.8
+    )
+    return global_sort_rank(sampled).select("doc_id", "lang", "shuffle_rank")
+
+
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (operators/temporal.sessionize, 30-min gap)
     aggregated to per-session stats. One shuffle + one sort for the whole
@@ -1737,6 +1758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_na_policy": q_date_na_policy,
         "windowed_drift": q_windowed_drift,
         "corpus_curation": q_corpus_curation,
+        "corpus_prep": q_corpus_prep,
         "asof_last_click": q_asof_last_click,
         "user_sessions": q_user_sessions,
         "views_after_error": q_views_after_error,
@@ -2399,6 +2421,54 @@ def oracle_sql() -> dict[str, str]:
             WHERE quality_score >= 0.75
               AND lang IN ('en', 'de', 'fr', 'es')
               AND doc_id NOT IN (SELECT doc_id FROM drops)
+        """,
+        # the full prep chain: curation CTE (as corpus_curation) -> the
+        # stratified keep (KR hash, affine 69069/1) -> naive global
+        # row_number in scrambled-hash order (affine 1103515245/12345)
+        "corpus_prep": r"""
+            WITH q AS (
+                SELECT doc_id, lang,
+                       round((
+                         (CASE WHEN len(string_split(trim(text), ' '))
+                               BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
+                         (CASE WHEN (length(text) - (len(string_split(trim(text), ' ')) - 1)) * 1.0
+                               / greatest(len(string_split(trim(text), ' ')), 1)
+                               BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+                         (CASE WHEN len(list_distinct(string_split(trim(lower(text)), ' '))) * 1.0
+                               / greatest(len(string_split(trim(text), ' ')), 1)
+                               >= 0.2 THEN 1.0 ELSE 0.0 END) +
+                         (CASE WHEN length(regexp_replace(text, '[^\.,;:!\?]', '', 'g')) * 1.0
+                               / greatest(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.0 END)
+                       ) / 4.0, 4) AS quality_score
+                FROM documents
+            ), d AS (
+                SELECT md5(text) AS h, min(doc_id) AS keep
+                FROM documents GROUP BY 1 HAVING count(*) > 1
+            ), drops AS (
+                SELECT dd.doc_id FROM documents dd
+                JOIN d ON md5(dd.text) = d.h WHERE dd.doc_id <> d.keep
+            ), kept AS (
+                SELECT doc_id, lang FROM q
+                WHERE quality_score >= 0.75
+                  AND lang IN ('en', 'de', 'fr', 'es')
+                  AND doc_id NOT IN (SELECT doc_id FROM drops)
+            ), kr AS (
+                SELECT doc_id, lang,
+                       list_reduce(
+                         list_prepend(0::BIGINT,
+                           list_transform(string_split(doc_id::VARCHAR, ''),
+                                          c -> ord(c)::BIGINT)),
+                         (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+                FROM kept
+            ), samp AS (
+                SELECT doc_id, lang, ((h * 1103515245 + 12345) % 1000000007) AS hkey
+                FROM kr
+                WHERE ((h * 69069 + 1) % 1000000007) % 10000
+                      < CASE lang WHEN 'en' THEN 5000 ELSE 8000 END
+            )
+            SELECT doc_id, lang,
+                   row_number() OVER (ORDER BY hkey, doc_id) AS shuffle_rank
+            FROM samp
         """,
         # corpus mix: keep rate r_g = w_g*K/n_g with K = min(n_g/w_g);
         # keep when the salted affine hash bucket of the id < r_g*10000
