@@ -254,3 +254,29 @@ def test_g711_wav_decode_end_to_end(spark):
     assert out["u"]["peak"] > 0.9          # full-scale codes present
     assert out["a"]["n_samples"] == 256
     assert out["f32"]["rms"] is None       # unsupported format -> decode fail
+
+
+def test_video_frames_y4m(spark):
+    from seronet_data_validator_spark.operators.multimodal import (
+        video_frames,
+        y4m_bytes,
+    )
+
+    # 10 frames, 8x6, frame k has constant luma 10k (exact mean, zero std)
+    frames = np.stack([np.full((6, 8), 10 * k, np.uint8) for k in range(10)])
+    rows = [
+        ("v1", bytearray(y4m_bytes(frames))),
+        ("mp4", bytearray(b"\x00\x00\x00\x18ftypmp42 not decodable")),
+        ("junk", bytearray(b"xx")),
+    ]
+    df = spark.createDataFrame(rows, "item_id string, bytes binary")
+    out = [r.asDict() for r in video_frames(df, max_frames=4).collect()]
+    got = {(r["item_id"], r["frame_idx"]): r for r in out}
+    # evenly spaced: 0, 3, 6, 9
+    assert sorted(k[1] for k in got) == [0, 3, 6, 9]
+    for fi in (0, 3, 6, 9):
+        r = got[("v1", fi)]
+        assert (r["width"], r["height"], r["n_frames"]) == (8, 6, 10)
+        assert r["mean_luma"] == 10.0 * fi and r["std_luma"] == 0.0
+    # compressed/garbage items are skipped, not crashed
+    assert all(k[0] == "v1" for k in got)
