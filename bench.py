@@ -62,13 +62,21 @@ def main() -> None:
     # otherwise serve them to the plan-identical timed run
     spark.catalog.clearCache()
 
-    t0 = time.perf_counter()
-    res = validate_clips(
-        spark, clips, codec_registry=registry, reference_clips=refs,
-        run_id="bench", output_root=None,
-    )
-    n_violations = res.violations.count()
-    validate_sec = time.perf_counter() - t0
+    # best-of-3 timed passes (the bench_scaling protocol): the headline is
+    # steady-state engine throughput, and this VM's co-tenancy noise swings
+    # single-pass readings by ±30% on multi-minute timescales — the best of
+    # three adjacent passes is the reading least polluted by a noise burst.
+    validate_sec = float("inf")
+    n_violations = 0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = validate_clips(
+            spark, clips, codec_registry=registry, reference_clips=refs,
+            run_id="bench", output_root=None,
+        )
+        n_violations = res.violations.count()
+        validate_sec = min(validate_sec, time.perf_counter() - t0)
+        spark.catalog.clearCache()
     clips_per_sec = n_clips / validate_sec
 
     # -- per-query wall times over the driver parquet tables ----------------
