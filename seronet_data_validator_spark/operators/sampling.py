@@ -203,6 +203,11 @@ def global_sort_rank(
     keyed = df.withColumn("_hkey", hkey).withColumn(
         "_bucket", (F.col("_hkey") / width).cast("long")
     )
+    # stage boundary: the bucket-count pass AND the ranked output both read
+    # `keyed` — without it the whole upstream plan (possibly a multi-join
+    # curation pipeline) executes twice. The materialization costs one
+    # shuffle-write-equivalent, the same boundary a sort would create.
+    keyed = keyed.localCheckpoint(eager=True)
     counts = keyed.groupBy("_bucket").count().collect()
     offsets, acc = {}, 0
     for row in sorted(counts, key=lambda r: r["_bucket"]):
