@@ -708,6 +708,30 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "quality_score")
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-line removal (dedup.line_dedup): documents
+    have no newlines, so 'lines' are synthesized as 8-token chunks — the
+    same deterministic slicing the oracle replays — then every chunk seen
+    twice corpus-wide is dropped and docs reassembled in order. Output is
+    (doc_id, md5, length) so the value hash covers every rebuilt text."""
+    from seronet_data_validator_spark.operators.dedup import line_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    n_chunks = F.greatest(F.ceil(F.size(toks) / 8).cast("int"), F.lit(1))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * 8 + 1, 8)),
+    )
+    nl = docs.select("doc_id", F.concat_ws("\n", chunks).alias("text"))
+    out = line_dedup(nl, min_line_chars=10, min_count=2)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full pretraining-data prep chain in ONE declarative plan:
     curation (quality ∧ lang ∧ exact-dedup, = corpus_curation) →
@@ -1759,6 +1783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_drift": q_windowed_drift,
         "corpus_curation": q_corpus_curation,
         "corpus_prep": q_corpus_prep,
+        "line_dedup": q_line_dedup,
         "asof_last_click": q_asof_last_click,
         "user_sessions": q_user_sessions,
         "views_after_error": q_views_after_error,
@@ -2421,6 +2446,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE quality_score >= 0.75
               AND lang IN ('en', 'de', 'fr', 'es')
               AND doc_id NOT IN (SELECT doc_id FROM drops)
+        """,
+        # line dedup over synthesized 8-token chunks: DuckDB replays the
+        # chunking, the corpus-wide counts, the drop, and every rebuilt doc
+        "line_dedup": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+            ), lines AS (
+              SELECT doc_id, i AS pos,
+                     array_to_string(t[(i*8)+1 : (i*8)+8], ' ') AS line
+              FROM toks,
+                   UNNEST(range(0, greatest(CAST(ceil(len(t) / 8.0) AS BIGINT), 1)))
+                     AS u(i)
+            ), c AS (
+              SELECT line FROM lines WHERE length(line) >= 10
+              GROUP BY line HAVING count(*) >= 2
+            ), kept AS (
+              SELECT l.doc_id, l.pos, l.line
+              FROM lines l LEFT JOIN c ON l.line = c.line
+              WHERE length(l.line) < 10 OR c.line IS NULL
+            ), rebuilt AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+              FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   md5(coalesce(r.text, '')) AS text_md5,
+                   length(coalesce(r.text, ''))::BIGINT AS n_chars
+            FROM documents d LEFT JOIN rebuilt r USING (doc_id)
         """,
         # the full prep chain: curation CTE (as corpus_curation) -> the
         # stratified keep (KR hash, affine 69069/1) -> naive global

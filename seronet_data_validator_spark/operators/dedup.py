@@ -244,6 +244,63 @@ def editdist_verify(
     )
 
 
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    delimiter: str = "\n",
+    min_line_chars: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-level duplicated-LINE removal — the C4/RefinedWeb boilerplate
+    pass, the missing granularity between whole-document dedup and
+    `duplicate_spans`' profile: navigation chrome, cookie banners, and
+    template footers repeat across documents line-for-line; every copy of a
+    line seen ≥ ``min_count`` times corpus-wide is dropped and the document
+    reassembled in original line order. Lines shorter than
+    ``min_line_chars`` are exempt (kept verbatim AND not counted) — they
+    are punctuation/headers whose "duplication" is natural language, and
+    exempting them also keeps ultra-common short strings out of the
+    groupBy, the classic hot-key source for this operator.
+
+    Plan: posexplode → count duplicated lines only (partial-agg shuffle;
+    the ≥min_count filter means ONLY actually-duplicated lines survive the
+    agg — a small set by Zipf) → join back on the line (broadcast when the
+    dup set is small; feed `skew_split_join` if one banner dominates) →
+    per-doc ordered reassembly via array_sort(collect_list(struct)) — an
+    in-memory sort of ONE document's lines, never a global one. Documents
+    whose every line was dropped return '' (kept, auditable), via the
+    left join back to the id set."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delimiter)).alias("_pos", "_line"),
+    )
+    eligible = F.length(F.col("_line")) >= min_line_chars
+    dup_lines = (
+        lines.where(eligible)
+        .groupBy("_line")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= min_count)
+        .select("_line", F.lit(True).alias("_dup"))
+    )
+    marked = lines.join(dup_lines, "_line", "left")
+    kept = marked.where(~eligible | F.col("_dup").isNull())
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            delimiter,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+        ).alias(text_col)
+    )
+    ids = df.select(id_col)
+    return ids.join(rebuilt, id_col, "left").select(
+        id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
+    )
+
+
 def select_survivors(
     components: DataFrame,
     scores: DataFrame,

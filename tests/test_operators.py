@@ -1007,3 +1007,23 @@ def test_null_rates_by_group(spark):
     assert out[("a", "v")]["n_null"] == 2 and out[("a", "v")]["null_rate"] == round(2 / 3, 6)
     assert out[("a", "s")]["n_blank"] == 1 and out[("a", "s")]["n_null"] == 0
     assert out[("b", "s")]["n_null"] == 1 and out[("b", "v")]["null_rate"] == 0.0
+
+
+def test_line_dedup_drops_corpus_wide_boilerplate(spark):
+    from seronet_data_validator_spark.operators.dedup import line_dedup
+
+    banner = "accept all cookies to continue reading"
+    rows = [
+        (1, f"{banner}\nunique alpha content line one\nok"),
+        (2, f"{banner}\nunique beta content line two\nok"),
+        (3, "a standalone document with no repeats"),
+        (4, banner),  # only a banner: reassembles to ''
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in line_dedup(df).collect()}
+    # the banner is dropped from EVERY doc; short 'ok' lines are exempt
+    assert out[1] == "unique alpha content line one\nok"
+    assert out[2] == "unique beta content line two\nok"
+    assert out[3] == "a standalone document with no repeats"
+    assert out[4] == ""
+    assert set(out) == {1, 2, 3, 4}  # fully-dropped docs stay auditable
