@@ -683,6 +683,26 @@ def q_windowed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_windowed_drift_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(window, event_type) PSI drift attribution — windowed_drift's
+    group_col dimension: WHICH feed drifted in the hour, the streaming
+    analog of psi_by_group, same single watermarked aggregation."""
+    from seronet_data_validator_spark.streaming import windowed_drift
+
+    ev = _t(spark, sf_dir, "events")
+    probs = [i / 10.0 for i in range(1, 10)]
+    out = windowed_drift(
+        ev, _DRIFT_EDGES, probs=probs, window="7 days", group_col="event_type"
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start_s"),
+        "event_type",
+        "n",
+        "psi",
+        "drifted",
+    )
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation: quality-gate (Gopher-style score ≥
     0.75) ∧ allowed language ∧ exact-dedup (keep the lowest doc_id per
@@ -1781,6 +1801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conditional_required": q_conditional_required,
         "date_na_policy": q_date_na_policy,
         "windowed_drift": q_windowed_drift,
+        "windowed_drift_by_group": q_windowed_drift_by_group,
         "corpus_curation": q_corpus_curation,
         "corpus_prep": q_corpus_prep,
         "line_dedup": q_line_dedup,
@@ -1830,9 +1851,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _drift_oracle_sql() -> str:
+def _drift_oracle_sql(group_by: "str | None" = None) -> str:
     """DuckDB replica of streaming.windowed_drift's smoothed PSI with the
-    fixed _DRIFT_EDGES decile bins (alpha=0.5, B=10, eps=1e-6)."""
+    fixed _DRIFT_EDGES decile bins (alpha=0.5, B=10, eps=1e-6); with
+    ``group_by``, one row per (window, group) — the attribution variant."""
     bucket = " + ".join(
         f"(CASE WHEN value > {e} THEN 1 ELSE 0 END)" for e in _DRIFT_EDGES
     )
@@ -1849,14 +1871,15 @@ def _drift_oracle_sql() -> str:
     return f"""
         WITH rows_b AS (
             SELECT CAST(floor(epoch(ts) / 604800) * 604800 AS BIGINT) AS window_start_s,
+                   {(group_by + ",") if group_by else ""}
                    ({bucket}) AS bucket
             FROM events
         ), agg AS (
-            SELECT window_start_s, COUNT(*) AS n,
+            SELECT window_start_s, {(group_by + ",") if group_by else ""} COUNT(*) AS n,
                {counts}
-            FROM rows_b GROUP BY window_start_s
+            FROM rows_b GROUP BY {"window_start_s, " + group_by if group_by else "window_start_s"}
         )
-        SELECT window_start_s, n,
+        SELECT window_start_s, {(group_by + ",") if group_by else ""} n,
                ROUND({terms}, 6) AS psi,
                ({terms}) > 0.2 AS drifted
         FROM agg
@@ -2419,6 +2442,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE event_id % 11 = 0 AND event_id % 7 <> 0
         """,
         "windowed_drift": _drift_oracle_sql(),
+        "windowed_drift_by_group": _drift_oracle_sql(group_by="event_type"),
         "corpus_curation": """
             WITH q AS (
                 SELECT doc_id, lang,

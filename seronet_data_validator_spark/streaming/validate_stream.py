@@ -312,6 +312,7 @@ def windowed_drift(
     psi_threshold: float = 0.2,
     eps: float = 1e-6,
     alpha: float = 0.5,
+    group_col: "str | None" = None,
 ) -> DataFrame:
     """Per-window PSI drift against a static reference profile — the
     Structured-Streaming extension of the north-rule drift check
@@ -326,7 +327,11 @@ def windowed_drift(
     expressions. One stateful operator, streaming-legal in append mode, and
     the identical plan runs on a batch DataFrame (asserted in tests).
 
-    Returns (window_start, window_end, n, psi, drifted).
+    Returns (window_start, window_end, n, psi, drifted); with
+    ``group_col`` set, one row per (window, group) — the streaming analog
+    of stats.psi_by_group's drift ATTRIBUTION (which feed drifted, not
+    just whether the hour did), at zero extra state shape: the same single
+    watermarked aggregation keyed by (window, group).
     """
     import numpy as np
 
@@ -354,7 +359,10 @@ def windowed_drift(
         # valid for both batch and streaming inputs
         .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         .withWatermark(ts_col, watermark)
-        .groupBy(F.window(F.col(ts_col), window).alias("win"))
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("win"),
+            *([F.col(group_col)] if group_col else []),
+        )
         .agg(F.count(F.lit(1)).alias("n"), *counts)
     )
     # Laplace-smoothed current mass: (n_b + α) / (n + αB). A window holds
@@ -370,6 +378,7 @@ def windowed_drift(
     return agg.select(
         F.col("win.start").alias("window_start"),
         F.col("win.end").alias("window_end"),
+        *([F.col(group_col)] if group_col else []),
         F.col("n"),
         F.round(psi, 6).alias("psi"),
         (psi > F.lit(psi_threshold)).alias("drifted"),
