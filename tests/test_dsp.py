@@ -280,3 +280,40 @@ def test_video_frames_y4m(spark):
         assert r["mean_luma"] == 10.0 * fi and r["std_luma"] == 0.0
     # compressed/garbage items are skipped, not crashed
     assert all(k[0] == "v1" for k in got)
+
+
+def test_image_resize_nearest_and_bilinear(spark):
+    from seronet_data_validator_spark.operators.multimodal import (
+        _decode_image,
+        image_resize,
+        ppm_bytes,
+    )
+
+    # 2x2 checkerboard: nearest upscale 4x4 keeps exact quadrant blocks
+    rgb = np.zeros((2, 2, 3), np.uint8)
+    rgb[0, 1] = rgb[1, 0] = 255
+    rows = [("a", bytearray(ppm_bytes(rgb))), ("bad", bytearray(b"\x89PNG..."))]
+    df = spark.createDataFrame(rows, "item_id string, bytes binary")
+
+    out = {r["item_id"]: r for r in
+           image_resize(df, 4, 4, method="nearest").collect()}
+    w, h, px = _decode_image(bytes(out["a"]["bytes"]))
+    assert (w, h) == (4, 4)
+    assert np.array_equal(px[:2, :2], np.zeros((2, 2, 3), np.uint8))
+    assert np.array_equal(px[:2, 2:], np.full((2, 2, 3), 255, np.uint8))
+    assert out["bad"]["bytes"] is None        # quarantine, ids preserved
+
+    # bilinear downscale of a constant image stays constant (no ringing);
+    # a horizontal ramp downsamples to its midpoints
+    const = np.full((8, 8, 3), 77, np.uint8)
+    ramp = np.tile(np.arange(0, 256, 32, dtype=np.uint8)[None, :, None], (8, 1, 3))
+    df2 = spark.createDataFrame(
+        [("c", bytearray(ppm_bytes(const))), ("r", bytearray(ppm_bytes(ramp)))],
+        "item_id string, bytes binary",
+    )
+    out2 = {r["item_id"]: r for r in image_resize(df2, 4, 4).collect()}
+    _, _, pc = _decode_image(bytes(out2["c"]["bytes"]))
+    assert np.all(pc == 77)
+    _, _, pr = _decode_image(bytes(out2["r"]["bytes"]))
+    # ramp columns 0,32,64,... pair-averaged -> 16, 80, 144, 208
+    assert list(pr[0, :, 0]) == [16, 80, 144, 208]
