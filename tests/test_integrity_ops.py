@@ -309,3 +309,27 @@ def test_schema_diff_reports_evolution(spark):
     typed = {r["column"]: (r["old_type"], r["new_type"]) for r in out}
     assert typed["v"] == ("double", "int")
     assert schema_diff(old, old) == []
+
+
+def test_g711_clip_through_invariant_pass(spark):
+    """A µ-law WAV rides the full decoded-PCM invariant suite: header
+    sample-count math (1 byte/sample) feeds the dur check, and a wrong
+    declared duration flags C13a.dur_mismatch exactly as for PCM16."""
+    import struct
+
+    codes = bytes(range(256)) * 32  # 8192 samples @ 8 kHz = 1024 ms
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(codes)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 7, 1, 8000, 8000, 1, 8)
+        + b"data" + struct.pack("<I", len(codes))
+    )
+    blob = bytearray(hdr + codes)
+    rows = [
+        ("ok", blob, 8000, 1024, "hello"),
+        ("bad_dur", blob, 8000, 500, "hello"),
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, transcript string"
+    )
+    got = {(r["row_ref"], r["rule_id"]) for r in audio_violations(df).collect()}
+    assert got == {("bad_dur", "C13a.dur_mismatch")}
