@@ -99,3 +99,49 @@ def test_portable_signatures_partition_invariant(spark):
         sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash_portable(d).collect()}
         outs.append((fp, mh, sh))
     assert outs[0] == outs[1]
+
+
+def test_round3_operators_partition_invariant(spark):
+    """The round-3 additions with any shuffle/driver interplay: exact KS
+    (driver bucket offsets), global shuffle rank (two-phase offsets),
+    line dedup (corpus-wide counts + reassembly), stratified sample (pure
+    hash), survivor selection (window) — all must be pure functions of the
+    data under arbitrary partitioning."""
+    from seronet_data_validator_spark.operators.dedup import line_dedup, select_survivors
+    from seronet_data_validator_spark.operators.sampling import (
+        global_sort_rank,
+        stratified_sample,
+    )
+    from seronet_data_validator_spark.operators.stats import ks_two_sample
+
+    rows = [(i, f"grp{i % 3}", float((i * 37) % 101)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, v double")
+    docs = spark.createDataFrame(
+        [(i, ("shared boilerplate banner line\nunique line %d\nok" % i)
+          if i % 2 else "shared boilerplate banner line\nonly this")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    comp = spark.createDataFrame(
+        [(i, i // 4) for i in range(40)], "doc_id long, component long"
+    )
+    scores = spark.createDataFrame(
+        [(i, (i * 13) % 29) for i in range(40)], "doc_id long, n_chars long"
+    )
+
+    def snapshots(n_parts):
+        d = df.repartition(n_parts)
+        ks = ks_two_sample(d, value_col="v",
+                           sample_a=F.col("lang") == "grp0", buckets=8).first()
+        rank = sorted((r["doc_id"], r["shuffle_rank"])
+                      for r in global_sort_rank(d).collect())
+        samp = sorted(r["doc_id"] for r in stratified_sample(
+            d, strata_col="lang", fractions={"grp0": 0.5},
+            default_fraction=0.3).collect())
+        ld = sorted((r["doc_id"], r["text"])
+                    for r in line_dedup(docs.repartition(n_parts)).collect())
+        surv = sorted((r["doc_id"], r["is_survivor"]) for r in select_survivors(
+            comp.repartition(n_parts), scores, score_col="n_chars").collect())
+        return (ks["ks_d"], ks["n_a"], ks["n_b"]), rank, samp, ld, surv
+
+    assert snapshots(1) == snapshots(13)
