@@ -1755,57 +1755,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry ORDER is part of the external contract: the correctness driver
+    # verifies the first 50 entries per round. Round 3 verified the 50 queries
+    # that then sat at positions 0-49; round 4 rotates the remaining 42 (plus
+    # this round's new/changed queries) into the window so that over two
+    # rounds every entry has a driver-green record. Long-stable round-1
+    # sentinels sit past the cutoff — their regression net is
+    # tests/test_entry_contract.py (all queries vs DuckDB) + pytest.
     return {
-        "pricing_summary": q_pricing_summary,
-        "revenue_by_nation": q_revenue_by_nation,
-        "dup_keys": q_dup_keys,
-        "anti_join_orphans": q_anti_join_orphans,
-        "presence_matrix": q_presence_matrix,
-        "range_violations": q_range_violations,
-        "regex_format": q_regex_format,
-        "membership": q_membership,
-        "keep_last": q_keep_last,
-        "count_reconciliation": q_count_reconciliation,
-        "stats_profile": q_stats_profile,
-        "dedup_exact": q_dedup_exact,
-        "token_count": q_token_count,
-        "text_quality": q_text_quality,
-        "events_hourly": q_events_hourly,
-        "events_rollup": q_events_rollup,
-        "event_pivot": q_event_pivot,
-        "pii_audit": q_pii_audit,
-        "repetition_profile": q_repetition_profile,
-        "document_filter": q_document_filter,
-        "unigram_logprob": q_unigram_logprob,
-        "corpus_shuffle": q_corpus_shuffle,
-        "spectral_profile": q_spectral_profile,
-        "audio_neardup": q_audio_neardup,
-        "similarity_topk": q_similarity_topk,
-        "quality_scores": q_quality_scores,
-        "ngram_jaccard": q_ngram_jaccard,
-        "embedding_close_pairs": q_embedding_close_pairs,
-        "lang_id_confusion": q_lang_id_confusion,
-        "declared_length_check": q_declared_length_check,
-        "psi_drift": q_psi_drift,
-        "running_total": q_running_total,
-        "hour_decimal": q_hour_decimal,
-        "date_range_check": q_date_range_check,
-        "consistency_check": q_consistency_check,
-        "suppressed_orphans": q_suppressed_orphans,
-        "presence_violations": q_presence_violations,
-        "dictionary_check": q_dictionary_check,
-        "not_validated_gate": q_not_validated_gate,
-        "parent_containment": q_parent_containment,
-        "interpretation_check": q_interpretation_check,
-        "duration_triplet": q_duration_triplet,
-        "conditional_required": q_conditional_required,
-        "date_na_policy": q_date_na_policy,
-        "windowed_drift": q_windowed_drift,
-        "windowed_drift_by_group": q_windowed_drift_by_group,
-        "corpus_curation": q_corpus_curation,
-        "corpus_prep": q_corpus_prep,
-        "line_dedup": q_line_dedup,
-        "asof_last_click": q_asof_last_click,
+        # -- positions 0-41: the round-3 additions the driver has not seen --
         "user_sessions": q_user_sessions,
         "views_after_error": q_views_after_error,
         "corpus_split": q_corpus_split,
@@ -1848,6 +1806,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "image_features": q_image_features,
         "clips_validation": q_clips_validation,
+        # -- positions 42-49: round-4 new queries + queries whose
+        # implementation changed this round (driver must re-verify) --
+        "date_na_policy": q_date_na_policy,
+        "duration_triplet": q_duration_triplet,
+        "lang_id_confusion": q_lang_id_confusion,
+        "embedding_close_pairs": q_embedding_close_pairs,
+        "pricing_summary": q_pricing_summary,
+        "dup_keys": q_dup_keys,
+        "psi_drift": q_psi_drift,
+        "similarity_topk": q_similarity_topk,
+        # -- past the driver cutoff: round 1-2 sentinels, all driver-green in
+        # CORRECTNESS_r01-r03; regression net = local oracle replica --
+        "revenue_by_nation": q_revenue_by_nation,
+        "anti_join_orphans": q_anti_join_orphans,
+        "presence_matrix": q_presence_matrix,
+        "range_violations": q_range_violations,
+        "regex_format": q_regex_format,
+        "membership": q_membership,
+        "keep_last": q_keep_last,
+        "count_reconciliation": q_count_reconciliation,
+        "stats_profile": q_stats_profile,
+        "dedup_exact": q_dedup_exact,
+        "token_count": q_token_count,
+        "text_quality": q_text_quality,
+        "events_hourly": q_events_hourly,
+        "events_rollup": q_events_rollup,
+        "event_pivot": q_event_pivot,
+        "pii_audit": q_pii_audit,
+        "repetition_profile": q_repetition_profile,
+        "document_filter": q_document_filter,
+        "unigram_logprob": q_unigram_logprob,
+        "corpus_shuffle": q_corpus_shuffle,
+        "spectral_profile": q_spectral_profile,
+        "audio_neardup": q_audio_neardup,
+        "quality_scores": q_quality_scores,
+        "ngram_jaccard": q_ngram_jaccard,
+        "declared_length_check": q_declared_length_check,
+        "running_total": q_running_total,
+        "hour_decimal": q_hour_decimal,
+        "date_range_check": q_date_range_check,
+        "consistency_check": q_consistency_check,
+        "suppressed_orphans": q_suppressed_orphans,
+        "presence_violations": q_presence_violations,
+        "dictionary_check": q_dictionary_check,
+        "not_validated_gate": q_not_validated_gate,
+        "parent_containment": q_parent_containment,
+        "interpretation_check": q_interpretation_check,
+        "conditional_required": q_conditional_required,
+        "windowed_drift": q_windowed_drift,
+        "windowed_drift_by_group": q_windowed_drift_by_group,
+        "corpus_curation": q_corpus_curation,
+        "corpus_prep": q_corpus_prep,
+        "line_dedup": q_line_dedup,
+        "asof_last_click": q_asof_last_click,
     }
 
 
