@@ -305,18 +305,31 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_close_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup semantics, exact pair subset (the at-scale
     path is LSH-bucketed — operators/dedup.embedding_near_duplicates)."""
+    # Norms are per-VECTOR, so compute them on the 200-row side BEFORE the
+    # pair join (200 evaluations each instead of 40k per pair side); the
+    # where() goes on the JOINED frame's computed column, and keeping the
+    # per-pair expression down to one dot-product fold both halves the
+    # re-evaluation cost when the predicate is pushed below the projection
+    # and keeps first-execution codegen small.
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    nrm = F.sqrt(
+        F.aggregate(
+            "embedding", F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+    emb = emb.select("vec_id", "embedding", nrm.alias("norm"))
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), F.col("norm").alias("na")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), F.col("norm").alias("nb")
+    )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0), lambda acc, v: acc + v,
     )
-    nrm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
-    )
-    sim = dot / (nrm(F.col("va")) * nrm(F.col("vb")))
+    sim = dot / (F.col("na") * F.col("nb"))
     return pairs.select("id_a", "id_b", F.round(sim, 3).alias("cos_sim")).where(
         F.col("cos_sim") >= 0.3
     )

@@ -80,6 +80,23 @@ def main() -> None:
     clips_per_sec = n_clips / validate_sec
 
     # -- per-query wall times over the driver parquet tables ----------------
+    # Untimed JVM warm-up of the interpreted-expression paths the suite
+    # leans on (HOF lambdas, regexp, timestamp parse): long-lived cluster
+    # executors have these C2-JIT-compiled already; a fresh local JVM bills
+    # several seconds of one-time compilation to whichever query runs first
+    # (measured: lang_id_confusion 3.8s first execution, 0.6s steady).
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    spark.range(300_000).select(
+        F.expr(
+            "size(filter(split(repeat('a b c the of d ', 4), ' '),"
+            " t -> t IN ('the','of','x','y','z','w')))"
+        ),
+        F.expr("aggregate(sequence(1, 8), 0L, (acc, x) -> acc + x)"),
+        F.expr("length(regexp_replace(concat('ab', id), '[0-9]', ''))"),
+        F.expr("try_to_timestamp(concat('2021-01-0', (id % 9) + 1), 'yyyy-MM-dd')"),
+    ).write.format("noop").mode("overwrite").save()
+
     per_query: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
         if name == "clips_validation":

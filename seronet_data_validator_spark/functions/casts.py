@@ -39,14 +39,20 @@ def as_timestamp(c: Column) -> Column:
     try_to_timestamp coalesce chain — declarative, codegen'd.
     """
     c = F.trim(c.cast("string"))
-    return F.coalesce(
-        F.try_to_timestamp(c, F.lit("yyyy-MM-dd")),
-        F.try_to_timestamp(c, F.lit("yyyy-MM-dd HH:mm:ss")),
-        F.try_to_timestamp(c, F.lit("M/d/yyyy")),
-        F.try_to_timestamp(c, F.lit("M/d/yyyy H:mm")),
-        F.try_to_timestamp(c, F.lit("M/d/yy")),
-        F.try_to_timestamp(c, F.lit("HH:mm:ss")),
-        F.try_to_timestamp(c, F.lit("H:mm")),
+    # Digit guard: a cell with no digit can never parse, and non-date text is
+    # the COMMON case in a failing column — without the guard every such cell
+    # pays 7 exception-throwing formatter attempts; with it, one regex scan.
+    return F.when(
+        c.rlike("[0-9]"),
+        F.coalesce(
+            F.try_to_timestamp(c, F.lit("yyyy-MM-dd")),
+            F.try_to_timestamp(c, F.lit("yyyy-MM-dd HH:mm:ss")),
+            F.try_to_timestamp(c, F.lit("M/d/yyyy")),
+            F.try_to_timestamp(c, F.lit("M/d/yyyy H:mm")),
+            F.try_to_timestamp(c, F.lit("M/d/yy")),
+            F.try_to_timestamp(c, F.lit("HH:mm:ss")),
+            F.try_to_timestamp(c, F.lit("H:mm")),
+        ),
     )
 
 

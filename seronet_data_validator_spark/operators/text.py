@@ -67,23 +67,38 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic language ID: argmax of per-language stopword hit-ratio;
     CJK-character ratio handles no-space scripts. Adds `lang_pred` and
-    `lang_score`."""
-    toks = _tokens(text_col)
-    n_tok = F.greatest(F.size(toks), F.lit(1))
-    def hit(words: list[str]):
-        return lambda t: t.isin(*words)
+    `lang_score`.
 
+    The token split and the argmax struct are each staged as a real column
+    (not inlined): the split would otherwise repeat once per language filter
+    and the argmax once per extracted field — both a per-row re-evaluation
+    and a codegen-size blowup (first-execution latency is dominated by
+    compiling the duplicated tree)."""
+    # Built as ONE SQL expression string: the per-language struct/filter
+    # tree is ~500 Column-API calls, and each is a driver↔JVM roundtrip —
+    # measured at >1s of pure plan-construction latency per invocation.
+    # expr() parses the same Catalyst tree in a single roundtrip.
     scores = []
     for lang, words in STOPWORD_PROFILES.items():
         if words:
-            ratio = F.size(F.filter(toks, hit(words))) / n_tok
+            lst = ", ".join(f"'{w}'" for w in words)
+            ratio = (
+                f"size(filter(_lid_toks, t -> t IN ({lst})))"
+                f" / greatest(size(_lid_toks), 1)"
+            )
         else:  # zh: CJK codepoint ratio
-            cjk = F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", ""))
-            ratio = cjk / F.greatest(F.length(F.col(text_col)), F.lit(1))
-        scores.append(F.struct(ratio.alias("score"), F.lit(lang).alias("lang")))
-    best = F.array_max(F.array(*scores))
-    return df.withColumn("lang_pred", best["lang"]).withColumn(
-        "lang_score", F.round(best["score"], 4)
+            ratio = (
+                f"length(regexp_replace({text_col}, '[^一-鿿]', ''))"
+                f" / greatest(length({text_col}), 1)"
+            )
+        scores.append(f"struct({ratio} AS score, '{lang}' AS lang)")
+    best = f"array_max(array({', '.join(scores)}))"
+    return (
+        df.withColumn("_lid_toks", _tokens(text_col))
+        .withColumn("_lid_best", F.expr(best))
+        .withColumn("lang_pred", F.expr("_lid_best.lang"))
+        .withColumn("lang_score", F.expr("round(_lid_best.score, 4)"))
+        .drop("_lid_toks", "_lid_best")
     )
 
 
@@ -132,12 +147,29 @@ def fingerprint_portable(
     the driver contract checks exactly that. Use `fingerprint` (xxhash64,
     whole-stage-codegen hash) on the hot path; use this variant when the
     signature must be recomputable outside Spark."""
-    gram_hash = lambda gram: portable_gram_hash(gram, mod)  # noqa: E731
-    toks = _tokens(text_col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - window, F.lit(0)))
-    grams = F.transform(idx, lambda i: gram_hash(F.slice(toks, i + 1, window)))
-    return df.withColumn("fingerprint", F.array_min(grams)).withColumn(
-        "content_md5", F.md5(F.col(text_col))
+    # Hoist the per-token hash array to a projected column: inlined, the
+    # token split + per-token fold would sit inside the per-gram lambda and
+    # re-run for every gram — each token re-hashed `window` times (adjacent
+    # grams overlap). Hoisted, each token hashes once and the grams fold
+    # over slices of the hash array. Same values bit-for-bit.
+    th = F.col("_fp_th")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(th) - window, F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.aggregate(
+            F.slice(th, i + 1, window),
+            F.lit(0).cast("long"),
+            lambda acc, h: (acc * 131 + h) % mod,
+        ),
+    )
+    return (
+        df.withColumn(
+            "_fp_th",
+            F.transform(_tokens(text_col), lambda t: portable_token_hash(t, mod)),
+        )
+        .withColumn("fingerprint", F.array_min(grams))
+        .withColumn("content_md5", F.md5(F.col(text_col)))
+        .drop("_fp_th")
     )
 
 

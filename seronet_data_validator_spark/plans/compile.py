@@ -131,10 +131,32 @@ def compile_ruleset(
                 .drop(key)
             )
 
+    # PreparedCheck hoist: project each rule's declared expensive
+    # sub-expressions (parse chains) to real columns BEFORE the fused lane
+    # projection, so a 7-way try_to_timestamp coalesce runs once per row, not
+    # once per emission lane. CollapseProject never inlines a non-cheap alias
+    # referenced more than once, so this staging projection survives
+    # optimization (verified: one try_to_timestamp per format in the C8
+    # plan's first Project, lanes reference the attribute — PLANS.md §1).
+    prep_exprs: dict[str, Column] = {}
+    prepared_by_rule: dict[int, dict[str, Column]] = {}
+    for i, rule in enumerate(runnable):
+        prep_fn = getattr(rule.check, "prep", None)
+        if callable(prep_fn):
+            target = F.col(rule.column).cast("string")
+            refs: dict[str, Column] = {}
+            for name, expr in prep_fn(target).items():
+                alias = f"_prep_{i}_{name}"
+                prep_exprs[alias] = expr
+                refs[name] = F.col(alias)
+            prepared_by_rule[i] = refs
+    if prep_exprs:
+        df = df.withColumns(prep_exprs)
+
     structs: list[Column] = []
-    for rule in runnable:
+    for i, rule in enumerate(runnable):
         value_col = F.col(rule.column)
-        for em in rule.emissions():
+        for em in rule.emissions(prepared_by_rule.get(i)):
             structs.append(
                 F.when(
                     F.coalesce(em.condition, F.lit(False)),
@@ -151,11 +173,20 @@ def compile_ruleset(
             )
 
     if structs:
+        # explode_outer, NOT where(size>0)+explode: an inner generate over a
+        # computed array lets InferFiltersFromGenerate clone the entire
+        # violation-array expression (every rule's parse chain) into a
+        # pushed-down per-row filter, evaluating it twice per scanned row
+        # (PLANS.md §6 — the 23x fingerprints lesson, reproduced here on
+        # C8/C12's try-parse lanes). Outer generate gets no inferred filter,
+        # array_compact keeps clean rows at 1 null output row (not one per
+        # lane), and the null filter runs on the GENERATED column, which
+        # cannot be pushed below the generate. Array expr evaluated once.
         arr = F.array_compact(F.array(*structs))
         fused = (
             df.select(*[F.col(c) for c in keep_columns], arr.alias("_violations"))
-            .where(F.size("_violations") > 0)
-            .select(*keep_columns, F.explode("_violations").alias("_v"))
+            .select(*keep_columns, F.explode_outer("_violations").alias("_v"))
+            .where(F.col("_v").isNotNull())
             .select(*keep_columns, "_v.*")
         )
     else:

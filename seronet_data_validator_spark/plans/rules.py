@@ -56,6 +56,36 @@ CheckFn = Callable[[Column], list[Emission]]
 
 
 @dataclass(frozen=True)
+class PreparedCheck:
+    """A check builder that declares its expensive sub-expressions.
+
+    ``prep(target)`` names the parse chains (the try_to_timestamp coalesce,
+    the try_cast number lattice) that the emission lanes re-use; the compiler
+    projects each one to a real column BEFORE the fused emission projection,
+    so the chain evaluates once per row instead of once per lane — the
+    PLANS.md §6 "expensive expr inlined into lanes" pitfall applied to rule
+    emissions. CollapseProject keeps the staging projection intact because a
+    non-cheap alias referenced more than once is never inlined back.
+
+    Calling the check directly (the plain-CheckFn path, used by tests and by
+    any caller that skips plans/compile.py) falls back to inline
+    expressions — identical semantics, just re-evaluated per lane.
+    """
+
+    prep_fn: Callable[[Column], dict[str, Column]]
+    build_fn: Callable[[Column, dict[str, Column]], list[Emission]]
+
+    def prep(self, c: Column) -> dict[str, Column]:
+        return self.prep_fn(c)
+
+    def build(self, c: Column, prepared: dict[str, Column]) -> list[Emission]:
+        return self.build_fn(c, prepared)
+
+    def __call__(self, c: Column) -> list[Emission]:
+        return self.build_fn(c, self.prep_fn(c))
+
+
+@dataclass(frozen=True)
 class Precondition:
     """Dependency gate (C1 check_for_dependancy / check_multi_rule).
 
@@ -137,13 +167,18 @@ class Rule:
     precondition: Precondition | None = None
     dictionary: DictionarySpec | None = None
 
-    def emissions(self) -> list[Emission]:
+    def emissions(self, prepared: dict[str, Column] | None = None) -> list[Emission]:
         # Rules see a STRING view of the target: the reference's cells are
         # string-loaded (na_filter=False) and typed views come from the cast
         # lattice (functions/casts.py). This also keeps tri-state checks
         # ('' vs N/A vs NULL) well-defined for natively-typed columns.
+        # ``prepared`` (compiler-provided) maps a PreparedCheck's prep names
+        # to already-projected columns; without it the check inlines them.
         target = F.col(self.column).cast("string")
-        ems = self.check(target)
+        if prepared is not None and isinstance(self.check, PreparedCheck):
+            ems = self.check.build(target, prepared)
+        else:
+            ems = self.check(target)
         if self.precondition is not None:
             gate = self.precondition.gate()
             ems = [Emission(e.condition & gate, e.severity, e.message) for e in ems]
@@ -371,8 +406,11 @@ def check_date(
     the past/future demote to Warning per the reference's
     'Expiration_Date'/'Calibration_Due_Date' special-casing."""
 
-    def build(c: Column) -> list[Emission]:
-        ts = as_timestamp(c)
+    def prep(c: Column) -> dict[str, Column]:
+        return {"ts": as_timestamp(c)}
+
+    def build(c: Column, prepared: dict[str, Column]) -> list[Emission]:
+        ts = prepared["ts"]
         d = F.to_date(ts)
         up = F.current_date() if upper is None else F.to_date(F.lit(upper))
         in_scope = ~is_blank(c) & ~(is_na(c) & F.lit(na_allowed))
@@ -396,7 +434,7 @@ def check_date(
             ),
         ]
 
-    return build
+    return PreparedCheck(prep, build)
 
 
 def check_number(
@@ -409,8 +447,11 @@ def check_number(
     """C9 check_if_number (File_Submission_Object.py:433-469): numeric parse +
     [lower, upper] range + optional integrality ('decimals not allowed')."""
 
-    def build(c: Column) -> list[Emission]:
-        n = as_number(c)
+    def prep(c: Column) -> dict[str, Column]:
+        return {"n": as_number(c)}
+
+    def build(c: Column, prepared: dict[str, Column]) -> list[Emission]:
+        n = prepared["n"]
         in_scope = ~is_blank(c) & ~(is_na(c) & F.lit(na_allowed))
         ems = [
             Emission.of(
@@ -438,7 +479,7 @@ def check_number(
             )
         return ems
 
-    return build
+    return PreparedCheck(prep, build)
 
 
 def check_string(*, na_allowed: bool = False, warning_only: bool = False) -> CheckFn:
@@ -602,13 +643,19 @@ def check_duration_triplet(
     tri-state N/A linkage (all three N/A or none), unit membership, year range
     [1900, current year], and duration+year must not land in the future."""
 
-    def build(c: Column) -> list[Emission]:
+    def prep(c: Column) -> dict[str, Column]:
+        return {
+            "dur": as_number(c),
+            "yr": as_number(F.col(year_column).cast("string")),
+        }
+
+    def build(c: Column, prepared: dict[str, Column]) -> list[Emission]:
         dur, unit, year = (
-            as_number(c),
+            prepared["dur"],
             F.col(unit_column).cast("string"),
             F.col(year_column).cast("string"),
         )
-        yr = as_number(year)
+        yr = prepared["yr"]
         na_dur, na_unit, na_year = is_na(c), is_na(unit), is_na(year)
         any_na = na_dur | na_unit | na_year
         all_na = na_dur & na_unit & na_year
@@ -654,7 +701,7 @@ def check_duration_triplet(
             ),
         ]
 
-    return build
+    return PreparedCheck(prep, build)
 
 
 def check_regex(pattern: str, *, message: str | None = None, skip_blank: bool = True) -> CheckFn:

@@ -68,6 +68,10 @@ def get_spark(
         # scans on this host. Metadata-only scans are unaffected.
         .config("spark.sql.parquet.columnarReaderBatchSize", "512")
         .config("spark.sql.session.timeZone", "UTC")
+        # stopword/membership lists sit right at the default In→InSet
+        # threshold (10); a hash-set probe beats the linear In scan inside
+        # interpreted lambda filters (language ID, C6 membership rules)
+        .config("spark.sql.optimizer.inSetConversionThreshold", "5")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
