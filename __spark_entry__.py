@@ -802,6 +802,34 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_sessions_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch replay of streaming/stateful.sessionize_stream's closed-session
+    emission — same key/gap parameters, same output schema (key,
+    session_start, session_end, n_events). tests/test_streaming.py proves
+    the stateful stream (applyInPandasWithState, EventTimeTimeout) emits
+    row-identically to this temporal.sessionize replay on shared fixtures,
+    so the driver's value check on this query transfers to the
+    stateful-streaming path."""
+    from seronet_data_validator_spark.operators.temporal import sessionize
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    sess = sessionize(ev, key="user_id", ts_col="ts", gap_seconds=1800)
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("user_id").cast("long").alias("key"),
+            "session_start",
+            "session_end",
+            "n_events",
+        )
+    )
+
+
 def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus-mix downsampling (operators/sampling.
     weighted_mix): keep rows so sources hit 50/30/20 target proportions
@@ -1561,6 +1589,52 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup(docs, jaccard_threshold=0.3)
 
 
+def _exact_wav_clips(spark: SparkSession, n_clips: int = 60) -> DataFrame:
+    """Deterministic WAV fixture built from INTEGER-ONLY sample arithmetic —
+    s(k,i) = ((k*7919 + i*104729 + 12345) mod 65536) - 32768 — so an
+    external engine can regenerate the exact int16 stream without touching
+    numpy RNG or transcendentals. Clip k has 1200 + (k mod 7)*300 samples
+    at 8 kHz, encoded through the real RIFF encoder (sources/clips.wav_bytes)
+    and later decoded by the real RIFF parser: the bytes round-trip is part
+    of what the value oracle checks."""
+    import numpy as np
+    import pandas as pd
+
+    from seronet_data_validator_spark.sources.clips import wav_bytes
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for k in pdf["id"].to_numpy():
+                k = int(k)
+                n = 1200 + (k % 7) * 300
+                i = np.arange(n, dtype=np.int64)
+                s = ((k * 7919 + i * 104729 + 12345) % 65536) - 32768
+                rows.append(
+                    {
+                        "clip_id": f"exact_{k:03d}",
+                        "bytes": wav_bytes(s.astype(np.int16), 8000),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n_clips, 1, 8).mapInPandas(
+        gen, schema="clip_id string, bytes binary"
+    )
+
+
+def q_audio_basic_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First FULL value oracle on the audio decode+feature path: integer-
+    recipe WAV clips → real RIFF decode (operators/audio._decode_view) →
+    exact peak / zero-crossing / RMS (dsp.audio_basic_features_exact).
+    DuckDB regenerates the identical int16 samples from the same integer
+    recipe and recomputes every value — peak/zc as integer aggregates, RMS
+    as one IEEE division + sqrt, bit-for-bit."""
+    from seronet_data_validator_spark.operators.dsp import audio_basic_features_exact
+
+    return audio_basic_features_exact(_exact_wav_clips(spark))
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column pass: decode + feature-extract on synthetic
     clips (pandas UDF → rows-only oracle)."""
@@ -1851,13 +1925,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_validation": q_clips_validation,
         # -- positions 42-49: round-4 new queries + queries whose
         # implementation changed this round (driver must re-verify) --
+        "audio_basic_features": q_audio_basic_features,
+        "stream_sessions_replay": q_stream_sessions_replay,
         "date_na_policy": q_date_na_policy,
         "duration_triplet": q_duration_triplet,
         "lang_id_confusion": q_lang_id_confusion,
         "embedding_close_pairs": q_embedding_close_pairs,
         "pricing_summary": q_pricing_summary,
-        "dup_keys": q_dup_keys,
-        "psi_drift": q_psi_drift,
         "similarity_topk": q_similarity_topk,
         # -- past the driver cutoff: round 1-2 sentinels, all driver-green in
         # CORRECTNESS_r01-r03; regression net = local oracle replica --
@@ -1903,6 +1977,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prep": q_corpus_prep,
         "line_dedup": q_line_dedup,
         "asof_last_click": q_asof_last_click,
+        "dup_keys": q_dup_keys,
+        "psi_drift": q_psi_drift,
     }
 
 
@@ -1943,6 +2019,40 @@ def _drift_oracle_sql(group_by: "str | None" = None) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # Regenerates _exact_wav_clips' integer sample recipe and recomputes
+        # every feature: peak/zero-crossings as integer aggregates (BIGINT
+        # casts — DuckDB SUM(int) is HUGEINT and would reach pandas as
+        # float64), RMS as one IEEE double division + sqrt over the exact
+        # int64 sum of squares (max sum_sq ~3.2e12 < 2^53, so the DOUBLE
+        # cast is exact and both engines produce identical bits).
+        "audio_basic_features": """
+            WITH params AS (
+                SELECT CAST(range AS BIGINT) AS k,
+                       1200 + (CAST(range AS BIGINT) % 7) * 300 AS n
+                FROM range(0, 60)
+            ), samp AS (
+                SELECT k,
+                       CAST(UNNEST(range(0, n)) AS BIGINT) AS i
+                FROM params
+            ), vals AS (
+                SELECT k, i,
+                       ((k * 7919 + i * 104729 + 12345) % 65536) - 32768 AS s
+                FROM samp
+            ), lagged AS (
+                SELECT k, i, s,
+                       lag(s) OVER (PARTITION BY k ORDER BY i) AS prev
+                FROM vals
+            )
+            SELECT 'exact_' || lpad(CAST(k AS VARCHAR), 3, '0') AS clip_id,
+                   COUNT(*) AS n_samples,
+                   8000 AS sr_hz,
+                   CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs,
+                   CAST(SUM(CASE WHEN prev IS NOT NULL AND prev * s < 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+                   SQRT(CAST(SUM(s * s) AS DOUBLE) / COUNT(*)) AS rms
+            FROM lagged
+            GROUP BY k
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -2810,6 +2920,30 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS session_start,
                    max(ts) AS session_end,
                    round(sum(value), 2) AS sum_value
+            FROM sess GROUP BY user_id, session_idx
+        """,
+        # batch replay of the stateful stream's closed-session emission:
+        # same lag->flag->running-sum closure as user_sessions, projected to
+        # the stream's output schema (key, session_start, session_end,
+        # n_events)
+        "stream_sessions_replay": """
+            WITH flagged AS (
+              SELECT user_id, ts,
+                CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 1800 SECOND
+                     THEN 0 ELSE 1 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+              SELECT user_id, ts,
+                (SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) - 1)::BIGINT
+                  AS session_idx
+              FROM flagged
+            )
+            SELECT user_id::BIGINT AS key,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   count(*) AS n_events
             FROM sess GROUP BY user_id, session_idx
         """,
         # as-of join: Spark's union+window composition vs DuckDB's native

@@ -353,3 +353,72 @@ def audio_near_duplicates(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+BASIC_EXACT_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sr_hz", T.IntegerType()),
+        T.StructField("peak_abs", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def audio_basic_features_exact(
+    clips: DataFrame, *, id_col: str = "clip_id"
+) -> DataFrame:
+    """Basic audio features with engine-portable EXACT arithmetic.
+
+    Unlike ``multimodal.audio_features`` (float32 pipeline, rows-only
+    verifiable), every value here is reproducible bit-for-bit by any engine
+    that can see the int16 samples: peak and zero-crossing counts are pure
+    integer aggregates, and RMS is a single IEEE double division + sqrt over
+    an exactly-accumulated int64 sum of squares. This is what gives the
+    audio decode path a full VALUE oracle (driver contract
+    `audio_basic_features`): the WAV decode is the real RIFF parser
+    (operators/audio._decode_view), so a decode bug shows up as a value
+    mismatch, not just a row-count change.
+
+    Narrow mapInArrow pass, zero-copy int16 views, no shuffle — the same
+    execution shape as the other DSP operators.
+    """
+    from seronet_data_validator_spark.operators.audio import (
+        _binary_views,
+        _decode_view,
+    )
+
+    src = clips.select(id_col, "bytes")
+    names = [f.name for f in BASIC_EXACT_SCHEMA.fields]
+    types = [pa.string(), pa.int64(), pa.int32(), pa.int64(), pa.int64(), pa.float64()]
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols: dict[str, list] = {n: [] for n in names}
+            ids = batch.column(0).to_pylist()
+            get, _ = _binary_views(batch.column(1))
+            for i in range(batch.num_rows):
+                try:
+                    s16, sr = _decode_view(get(i))
+                except ValueError:
+                    row = (ids[i], 0, 0, None, None, None)
+                else:
+                    s = s16.astype(np.int64)
+                    n = len(s)
+                    if n == 0:
+                        row = (ids[i], 0, sr, None, None, None)
+                    else:
+                        sum_sq = int(np.dot(s, s))
+                        peak = int(np.max(np.abs(s)))
+                        zc = int(np.sum(s[:-1] * s[1:] < 0)) if n > 1 else 0
+                        row = (ids[i], n, sr, peak, zc, float(np.sqrt(sum_sq / n)))
+                for name, v in zip(names, row):
+                    cols[name].append(v)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[n], type=t) for n, t in zip(names, types)],
+                names=names,
+            )
+
+    return src.mapInArrow(run, schema=BASIC_EXACT_SCHEMA)

@@ -317,3 +317,39 @@ def test_image_resize_nearest_and_bilinear(spark):
     _, _, pr = _decode_image(bytes(out2["r"]["bytes"]))
     # ramp columns 0,32,64,... pair-averaged -> 16, 80, 144, 208
     assert list(pr[0, :, 0]) == [16, 80, 144, 208]
+
+
+def test_audio_basic_features_exact(spark):
+    """Known-answer + failure-path test for the exact feature pass: a
+    hand-computable square wave, a constant-negative clip (zero crossings
+    = 0, |peak| exact at the int16 floor), and a non-WAV buffer routed to
+    the NULL-feature row."""
+    import numpy as np
+
+    from seronet_data_validator_spark.operators.dsp import audio_basic_features_exact
+    from seronet_data_validator_spark.sources.clips import wav_bytes
+
+    square = np.tile(np.array([1000] * 4 + [-1000] * 4, np.int16), 10)  # 80 samples
+    neg = np.full(50, -32768, np.int16)
+    rows = [
+        ("sq", bytearray(wav_bytes(square, 8000))),
+        ("neg", bytearray(wav_bytes(neg, 16000))),
+        ("bad", bytearray(b"not a wav at all")),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    out = {r["clip_id"]: r for r in audio_basic_features_exact(df).collect()}
+
+    sq = out["sq"]
+    assert (sq["n_samples"], sq["sr_hz"], sq["peak_abs"]) == (80, 8000, 1000)
+    # 4+/4- period over 80 samples: a sign flip every 4th sample boundary,
+    # 19 interior flips (first block has no predecessor flip)
+    assert sq["zero_crossings"] == 19
+    assert sq["rms"] == 1000.0  # |s| constant -> RMS exact
+
+    ng = out["neg"]
+    assert (ng["n_samples"], ng["sr_hz"]) == (50, 16000)
+    assert ng["peak_abs"] == 32768 and ng["zero_crossings"] == 0
+    assert ng["rms"] == 32768.0
+
+    bd = out["bad"]
+    assert bd["n_samples"] == 0 and bd["rms"] is None and bd["peak_abs"] is None
