@@ -1803,12 +1803,14 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal image pass: native numpy decode of uncompressed public
-    formats (PPM P6 / 24-bit BMP) → (width, height, mean_luma); a PNG row
+    """Multimodal image pass: native numpy decode of public formats —
+    PPM P6 / 24-bit BMP (uncompressed) and baseline JPEG (operators/jpeg.py,
+    pure-numpy T.81 Huffman+IDCT) → (width, height, mean_luma); a PNG row
     exercises the honest stub boundary (NULL features). Binary fixtures are
     built driver-side deterministically → rows-only oracle."""
     import numpy as np
 
+    from seronet_data_validator_spark.operators.jpeg import jpeg_bytes
     from seronet_data_validator_spark.operators.multimodal import (
         bmp_bytes,
         image_features,
@@ -1821,6 +1823,10 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         rgb = ((np.arange(h * w * 3).reshape(h, w, 3) * (i + 1)) % 256).astype("uint8")
         enc = ppm_bytes if i % 2 == 0 else bmp_bytes
         rows.append((f"img{i:03d}", bytearray(enc(rgb))))
+    for i, ss in enumerate(("4:4:4", "4:2:0")):
+        w, h = 24, 16
+        rgb = ((np.arange(h * w * 3).reshape(h, w, 3) // 3) % 256).astype("uint8")
+        rows.append((f"img_jpeg{i}", bytearray(jpeg_bytes(rgb, quality=90, subsampling=ss))))
     rows.append(("img_png", bytearray(b"\x89PNG\r\n\x1a\n fake")))
     images = spark.createDataFrame(rows, "item_id string, bytes binary")
     return image_features(images)

@@ -286,12 +286,14 @@ def bmp_bytes(rgb: np.ndarray) -> bytes:
 
 
 def _decode_image(b: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode an UNCOMPRESSED image buffer → (width, height, rgb uint8
-    array). Pure numpy over the public netpbm (PPM P6 / PGM P5) and BMP
-    (BITMAPINFOHEADER, 24-bit BI_RGB) layouts — no codec library.
-    Compressed formats (PNG/JPEG/...) raise NotImplementedError: their
-    codecs are not in this container; in production swap in PIL/cv2 here —
-    the Spark-side plumbing does not change."""
+    """Decode an image buffer → (width, height, rgb uint8 array). Pure
+    numpy over the public netpbm (PPM P6 / PGM P5) and BMP
+    (BITMAPINFOHEADER, 24-bit BI_RGB) layouts, plus baseline JPEG via the
+    T.81 decoder in operators/jpeg.py — no codec library. Remaining
+    compressed formats (PNG, progressive JPEG, video) raise
+    NotImplementedError: their codecs are not in this container; in
+    production swap in PIL/cv2 here — the Spark-side plumbing does not
+    change."""
     import struct
 
     if b is None or len(b) < 2:
@@ -351,9 +353,17 @@ def _decode_image(b: bytes) -> tuple[int, int, np.ndarray]:
         if not top_down:
             rows = rows[::-1]
         return w, h, rows[:, :, ::-1]  # BGR → RGB
+    if b[:2] == b"\xff\xd8":
+        # baseline JPEG: pure-numpy T.81 decoder (operators/jpeg.py).
+        # Progressive/arithmetic/12-bit/restart streams raise
+        # NotImplementedError from inside decode_jpeg — the remaining
+        # documented codec boundary for JPEG.
+        from seronet_data_validator_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(b)
     raise NotImplementedError(
-        "compressed/unknown image format (codec libraries not in this "
-        "container — PPM/BMP are decoded natively)"
+        "compressed/unknown image format (PNG/video codecs not in this "
+        "container — PPM/PGM/BMP and baseline JPEG are decoded natively)"
     )
 
 

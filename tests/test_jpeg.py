@@ -1,0 +1,79 @@
+"""Baseline JPEG codec (operators/jpeg.py, pure-numpy ITU-T T.81): known-
+answer and round-trip coverage, plus the image_features integration and the
+honest error boundary for unsupported stream classes."""
+
+import numpy as np
+import pytest
+
+from seronet_data_validator_spark.operators.jpeg import decode_jpeg, jpeg_bytes
+
+
+def test_constant_image_roundtrip_exact():
+    # a flat image is DC-only; at q=95 the DC quantizer step is small
+    # enough that decode must reproduce the constant exactly
+    img = np.full((24, 17, 3), 130, np.uint8)
+    w, h, out = decode_jpeg(jpeg_bytes(img, quality=95))
+    assert (w, h) == (17, 24)
+    assert int(np.max(np.abs(out.astype(int) - 130))) == 0
+
+
+@pytest.mark.parametrize("ss", ["4:4:4", "4:2:0"])
+def test_gradient_roundtrip_tight(ss):
+    x = np.linspace(0, 255, 64)
+    grad = np.tile(x[None, :, None], (48, 1, 3)).astype(np.uint8)
+    w, h, out = decode_jpeg(jpeg_bytes(grad, quality=90, subsampling=ss))
+    assert (w, h) == (64, 48)
+    err = np.abs(out.astype(int) - grad.astype(int))
+    assert err.max() <= 2  # smooth content survives quantization
+
+
+def test_grayscale_single_component():
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, 255, (20, 31)).astype(np.uint8)
+    w, h, out = decode_jpeg(jpeg_bytes(g, quality=95))
+    assert (w, h) == (31, 20)
+    assert out.shape == (20, 31, 3)
+    # gray replicated to rgb, channels identical
+    assert np.array_equal(out[:, :, 0], out[:, :, 1])
+    err = np.abs(out[:, :, 0].astype(int) - g.astype(int))
+    assert err.mean() < 3 and err.max() <= 12
+
+
+def test_non_multiple_of_mcu_dimensions():
+    # 13x11 at 4:2:0 forces edge padding on both axes and a crop on decode
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 255, (13, 11, 3)).astype(np.uint8)
+    w, h, out = decode_jpeg(jpeg_bytes(img, quality=85, subsampling="4:2:0"))
+    assert (w, h) == (11, 13) and out.shape == (13, 11, 3)
+
+
+def test_unsupported_and_garbage_streams():
+    img = np.full((8, 8, 3), 99, np.uint8)
+    good = jpeg_bytes(img, quality=85)
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) // 2])  # truncated entropy segment
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01not a jpeg")
+    # progressive marker (SOF2) is an explicit NotImplementedError
+    prog = bytearray(good)
+    idx = prog.find(b"\xff\xc0")
+    prog[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(prog))
+
+
+def test_image_features_handles_jpeg(spark):
+    from seronet_data_validator_spark.operators.multimodal import image_features
+
+    img = np.full((16, 24, 3), 200, np.uint8)
+    rows = [
+        ("jpg444", bytearray(jpeg_bytes(img, quality=92))),
+        ("jpg420", bytearray(jpeg_bytes(img, quality=92, subsampling="4:2:0"))),
+        ("png", bytearray(b"\x89PNG\r\n\x1a\n fake")),
+    ]
+    df = spark.createDataFrame(rows, "item_id string, bytes binary")
+    out = {r["item_id"]: r for r in image_features(df).collect()}
+    for k in ("jpg444", "jpg420"):
+        assert (out[k]["width"], out[k]["height"]) == (24, 16)
+        assert abs(out[k]["mean_luma"] - 200.0) < 1.5
+    assert out["png"]["width"] is None  # stub boundary intact
