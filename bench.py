@@ -51,16 +51,19 @@ def main() -> None:
     # the join reads two real tables rather than one page-cached copy
     clips, refs = stage_clip_tables(spark, n_clips, seed=42, refs_from_clips=False)
     registry = codec_registry_df(spark)
-    # untimed full pass: starts Python workers, JITs codegen, faults the
-    # staged files into page cache — steady-state throughput is the unit
-    # (cluster storage bandwidth scales with executors; one local disk not).
-    validate_clips(
-        spark, clips, codec_registry=registry, reference_clips=refs,
-        run_id="warm", output_root=None,
-    ).violations.count()
-    # drop the warm run's persisted violations: the CacheManager would
-    # otherwise serve them to the plan-identical timed run
-    spark.catalog.clearCache()
+    # untimed full passes: start Python workers, JIT codegen AND the C2
+    # tiers above it, fault the staged files into page cache — steady-state
+    # throughput is the unit (cluster executors are long-lived; measured
+    # locally, throughput keeps climbing through ~4 passes as the JVM
+    # finishes tiered compilation: 28.8k → 36k+ clips/s pass 0 → 3).
+    for _ in range(3):
+        validate_clips(
+            spark, clips, codec_registry=registry, reference_clips=refs,
+            run_id="warm", output_root=None,
+        ).violations.count()
+        # drop the warm run's persisted violations: the CacheManager would
+        # otherwise serve them to the plan-identical timed run
+        spark.catalog.clearCache()
 
     # best-of-3 timed passes (the bench_scaling protocol): the headline is
     # steady-state engine throughput, and this VM's co-tenancy noise swings
