@@ -603,9 +603,15 @@ def check_percent_identity(
     must equal round(numerator/denominator*100, decimals); denominator==0 ⇒
     value must be N/A (Warning otherwise)."""
 
-    def build(c: Column) -> list[Emission]:
-        num, den = as_number(F.col(numerator_column)), as_number(F.col(denominator_column))
-        v = as_number(c)
+    def prep(c: Column) -> dict[str, Column]:
+        return {
+            "num": as_number(F.col(numerator_column)),
+            "den": as_number(F.col(denominator_column)),
+            "v": as_number(c),
+        }
+
+    def build(c: Column, prepared: dict[str, Column]) -> list[Emission]:
+        num, den, v = prepared["num"], prepared["den"], prepared["v"]
         expected = F.round(num / den * 100, decimals)
         return [
             Emission.of(
@@ -628,7 +634,7 @@ def check_percent_identity(
             ),
         ]
 
-    return build
+    return PreparedCheck(prep, build)
 
 
 def check_duration_triplet(
