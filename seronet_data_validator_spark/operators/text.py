@@ -362,7 +362,12 @@ def document_filter(
     Returns (id, lang_pred, n_tokens, keep, reasons) where `reasons` is the
     comma-joined, name-sorted failed-gate list ('' when kept)."""
     cfg = {**FILTER_DEFAULTS, **overrides}
-    toks = _tokens(text_col)
+    # The token split feeds every signal below and codegen CSE does not
+    # reach into HOF lambdas — stage it as a real column so the split runs
+    # once per row, not once per signal (the signals projection then
+    # references the attribute).
+    df = df.select(id_col, text_col).withColumn("_df_toks", _tokens(text_col))
+    toks = F.col("_df_toks")
     n_tok = F.size(toks)
     n_chars = F.length(F.col(text_col))
     mean_tok_len = (n_chars - (n_tok - 1)) / F.greatest(n_tok, F.lit(1))
