@@ -99,6 +99,15 @@ def main() -> None:
         F.expr("length(regexp_replace(concat('ab', id), '[0-9]', ''))"),
         F.expr("try_to_timestamp(concat('2021-01-0', (id % 9) + 1), 'yyyy-MM-dd')"),
     ).write.format("noop").mode("overwrite").save()
+    # keyed-window path (sessionize/keep_last/running_total family): sort +
+    # lag + running sum over a shuffled key — the suite's first window query
+    # otherwise pays this stage's JIT
+    spark.range(300_000).select(
+        (F.col("id") % 1000).alias("k"), F.col("id").alias("v")
+    ).select(
+        F.expr("sum(v) over (partition by k order by v rows unbounded preceding)"),
+        F.expr("lag(v) over (partition by k order by v)"),
+    ).write.format("noop").mode("overwrite").save()
 
     per_query: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():

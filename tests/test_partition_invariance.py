@@ -145,3 +145,18 @@ def test_round3_operators_partition_invariant(spark):
         return (ks["ks_d"], ks["n_a"], ks["n_b"]), rank, samp, ld, surv
 
     assert snapshots(1) == snapshots(13)
+
+
+def test_audio_basic_features_partition_invariant(spark):
+    """Round-4 exact feature pass: byte-identical output under any split —
+    the values are the contract (full DuckDB oracle), so even a 1-ULP
+    partition sensitivity would break the hash check."""
+    import __spark_entry__ as entry_mod
+    from seronet_data_validator_spark.operators.dsp import audio_basic_features_exact
+
+    clips = entry_mod._exact_wav_clips(spark, 30)
+    outs = []
+    for n_parts in (1, 6):
+        rows = audio_basic_features_exact(clips.repartition(n_parts)).collect()
+        outs.append(sorted(tuple(r) for r in rows))
+    assert outs[0] == outs[1]

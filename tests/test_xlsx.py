@@ -1,0 +1,81 @@
+"""Native XLSX ingestion (sources/xlsx.py): stdlib zip+XML reader for the
+reference's Excel template/registry workbooks (File_Submission_Object.py:81,
+151) — round-trip via the module's own minimal writer, plus structural and
+guard behavior."""
+
+import pytest
+
+from seronet_data_validator_spark.sources.xlsx import (
+    read_xlsx_rows,
+    write_xlsx,
+    xlsx_dim,
+)
+
+
+def test_roundtrip_types_and_sparse_cells(tmp_path):
+    path = str(tmp_path / "t.xlsx")
+    rows = [
+        ["codec", "container", "lossy", "max_sr"],
+        ["pcm_s16le", "wav", False, 48000],
+        ["opus", "ogg", True, 48000],
+        # sparse row: col B missing entirely
+        ["flac", None, False, 44100.5],
+        ["", "empty-string-preserved", True, 0],
+    ]
+    write_xlsx(path, rows)
+    got = list(read_xlsx_rows(path))
+    assert got[0] == ["codec", "container", "lossy", "max_sr"]
+    assert got[1] == ["pcm_s16le", "wav", "FALSE", "48000"]
+    assert got[3][1] is None and got[3][3] == "44100.5"
+    assert got[4][0] == ""  # na_filter=False semantics: '' stays ''
+
+
+def test_xlsx_dim_dataframe(spark, tmp_path):
+    path = str(tmp_path / "dim.xlsx")
+    write_xlsx(
+        path,
+        [
+            ["codec", "container", "lossy"],
+            ["pcm_s16le", "wav", "F"],
+            ["flac", "flac", "F"],
+            ["opus", "ogg", "T"],
+        ],
+    )
+    df = xlsx_dim(spark, path)
+    assert df.columns == ["codec", "container", "lossy"]
+    rows = {r["codec"]: (r["container"], r["lossy"]) for r in df.collect()}
+    assert rows["opus"] == ("ogg", "T") and len(rows) == 3
+
+
+def test_xlsx_dim_feeds_registry_join(spark, tmp_path):
+    """The loaded dim drives the same broadcast paths as codec_registry_df:
+    validate against a workbook-sourced registry and get identical verdicts."""
+    from seronet_data_validator_spark.runner import validate_clips
+    from seronet_data_validator_spark.sources.clips import (
+        codec_registry_df,
+        generate_clips,
+    )
+
+    path = str(tmp_path / "reg.xlsx")
+    builtin = codec_registry_df(spark)
+    write_xlsx(
+        path,
+        [["codec", "container", "lossy"]]
+        + [[r["codec"], r["container"], r["lossy"]] for r in builtin.collect()],
+    )
+    from_xlsx = xlsx_dim(spark, path)
+    clips = generate_clips(spark, 300, seed=43, bad=True)
+    v1 = validate_clips(spark, clips, codec_registry=builtin, run_id="a")
+    v2 = validate_clips(spark, clips, codec_registry=from_xlsx, run_id="b")
+    key = lambda res: sorted(  # noqa: E731
+        (r["row_ref"], r["rule_id"], r["message"]) for r in res.violations.collect()
+    )
+    assert key(v1) == key(v2) and v1.passed == v2.passed
+
+
+def test_sheet_selection_and_errors(tmp_path):
+    path = str(tmp_path / "s.xlsx")
+    write_xlsx(path, [["a"], ["1"]], sheet_name="Registry")
+    assert list(read_xlsx_rows(path, "Registry"))[0] == ["a"]
+    with pytest.raises(ValueError, match="not in workbook"):
+        list(read_xlsx_rows(path, "Missing"))
