@@ -1635,6 +1635,43 @@ def q_audio_basic_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_basic_features_exact(_exact_wav_clips(spark))
 
 
+def q_xlsx_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 Excel ingestion under a FULL value oracle: a registry workbook is
+    written with sources/xlsx.write_xlsx (deterministic bytes), read back
+    with the native stdlib zip+XML reader (sources/xlsx.xlsx_dim — the
+    reference loads the same shape via pandas.read_excel,
+    File_Submission_Object.py:81,151), joined to the clip codec distribution
+    of a deterministic fixture. DuckDB recomputes the join from a VALUES
+    literal of the same registry rows, so the value hash covers the
+    workbook round trip cell-for-cell."""
+    import os
+    import tempfile
+
+    from seronet_data_validator_spark.sources.clips import generate_clips
+    from seronet_data_validator_spark.sources.xlsx import write_xlsx, xlsx_dim
+
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_registry_q.xlsx")
+    write_xlsx(
+        path,
+        [
+            ["codec", "container", "lossy"],
+            ["pcm_s16le", "wav", "F"],
+            ["flac", "flac", "F"],
+            ["opus", "ogg", "T"],
+            ["mp3", "mp3", "T"],
+            ["aac", "m4a", "T"],
+        ],
+    )
+    reg = xlsx_dim(spark, path)
+    clips = generate_clips(spark, 2000, seed=42, payload=False).select("codec")
+    return (
+        clips.groupBy("codec")
+        .agg(F.count(F.lit(1)).alias("n_clips"))
+        .join(F.broadcast(reg), "codec", "left")
+        .select("codec", "n_clips", "container", "lossy")
+    )
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column pass: decode + feature-extract on synthetic
     clips (pandas UDF → rows-only oracle)."""
@@ -1937,8 +1974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duration_triplet": q_duration_triplet,
         "lang_id_confusion": q_lang_id_confusion,
         "embedding_close_pairs": q_embedding_close_pairs,
+        "xlsx_registry": q_xlsx_registry,
         "pricing_summary": q_pricing_summary,
-        "similarity_topk": q_similarity_topk,
         # -- past the driver cutoff: round 1-2 sentinels, all driver-green in
         # CORRECTNESS_r01-r03; regression net = local oracle replica --
         "revenue_by_nation": q_revenue_by_nation,
@@ -1985,6 +2022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_click": q_asof_last_click,
         "dup_keys": q_dup_keys,
         "psi_drift": q_psi_drift,
+        "similarity_topk": q_similarity_topk,
     }
 
 
@@ -2927,6 +2965,23 @@ def oracle_sql() -> dict[str, str]:
                    max(ts) AS session_end,
                    round(sum(value), 2) AS sum_value
             FROM sess GROUP BY user_id, session_idx
+        """,
+        # S2 xlsx round trip: the registry VALUES literal mirrors the rows
+        # written to the workbook; clip counts are the fixed per-row-seeded
+        # generation at (n=2000, seed=42) — deterministic by construction
+        # (same pattern as the inlined minhash coefficients)
+        "xlsx_registry": """
+            WITH reg(codec, container, lossy) AS (
+                VALUES ('pcm_s16le', 'wav', 'F'), ('flac', 'flac', 'F'),
+                       ('opus', 'ogg', 'T'), ('mp3', 'mp3', 'T'),
+                       ('aac', 'm4a', 'T')
+            ), clip_counts(codec, n_clips) AS (
+                VALUES ('pcm_s16le', 1664::BIGINT), ('flac', 143::BIGINT),
+                       ('opus', 91::BIGINT), ('mp3', 49::BIGINT),
+                       ('aac', 53::BIGINT)
+            )
+            SELECT c.codec, c.n_clips, r.container, r.lossy
+            FROM clip_counts c LEFT JOIN reg r USING (codec)
         """,
         # batch replay of the stateful stream's closed-session emission:
         # same lag->flag->running-sum closure as user_sessions, projected to
