@@ -1840,11 +1840,12 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal image pass: native numpy decode of public formats —
-    PPM P6 / 24-bit BMP (uncompressed) and baseline JPEG (operators/jpeg.py,
-    pure-numpy T.81 Huffman+IDCT) → (width, height, mean_luma); a PNG row
-    exercises the honest stub boundary (NULL features). Binary fixtures are
-    built driver-side deterministically → rows-only oracle."""
+    """Multimodal image pass: native decode of public formats — PPM P6 /
+    24-bit BMP (uncompressed), baseline JPEG (operators/jpeg.py, pure-numpy
+    T.81 Huffman+IDCT) and 8-bit PNG (operators/png.py, stdlib zlib +
+    unfilter) → (width, height, mean_luma); a corrupt-PNG row exercises the
+    quarantine path (NULL features). Binary fixtures are built driver-side
+    deterministically → rows-only oracle."""
     import numpy as np
 
     from seronet_data_validator_spark.operators.jpeg import jpeg_bytes
@@ -1853,6 +1854,7 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_features,
         ppm_bytes,
     )
+    from seronet_data_validator_spark.operators.png import png_bytes
 
     rows = []
     for i in range(60):
@@ -1864,7 +1866,8 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         w, h = 24, 16
         rgb = ((np.arange(h * w * 3).reshape(h, w, 3) // 3) % 256).astype("uint8")
         rows.append((f"img_jpeg{i}", bytearray(jpeg_bytes(rgb, quality=90, subsampling=ss))))
-    rows.append(("img_png", bytearray(b"\x89PNG\r\n\x1a\n fake")))
+        rows.append((f"img_png{i}", bytearray(png_bytes(rgb))))
+    rows.append(("img_bad", bytearray(b"\x89PNG\r\n\x1a\n fake")))
     images = spark.createDataFrame(rows, "item_id string, bytes binary")
     return image_features(images)
 

@@ -361,9 +361,16 @@ def _decode_image(b: bytes) -> tuple[int, int, np.ndarray]:
         from seronet_data_validator_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(b)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        # PNG: stdlib zlib + numpy unfilter (operators/png.py). 16-bit and
+        # Adam7-interlaced streams raise NotImplementedError from inside.
+        from seronet_data_validator_spark.operators.png import decode_png
+
+        return decode_png(b)
     raise NotImplementedError(
-        "compressed/unknown image format (PNG/video codecs not in this "
-        "container — PPM/PGM/BMP and baseline JPEG are decoded natively)"
+        "compressed/unknown image format (video codecs not in this "
+        "container — PPM/PGM/BMP, baseline JPEG and 8-bit PNG are decoded "
+        "natively)"
     )
 
 
