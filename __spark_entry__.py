@@ -1805,6 +1805,18 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+def q_mel_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speech feature front-end (dsp.mel_features): per-clip log-mel
+    mean/std + MFCC means over synthetic clips. FFT math → rows-only
+    oracle; known-answer pytest anchors tone band locations and the
+    filterbank's partition of unity."""
+    from seronet_data_validator_spark.operators.dsp import mel_features
+    from seronet_data_validator_spark.sources.clips import generate_clips
+
+    clips = generate_clips(spark, 300, seed=42)
+    return mel_features(clips)
+
+
 def q_spectral_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio DSP pass: spectral shape (dominant freq / centroid / bandwidth
     / rolloff / flatness, Welch power spectrum) joined with energy-VAD
@@ -2002,6 +2014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "corpus_shuffle": q_corpus_shuffle,
         "spectral_profile": q_spectral_profile,
+        "mel_profile": q_mel_profile,
         "audio_neardup": q_audio_neardup,
         "quality_scores": q_quality_scores,
         "ngram_jaccard": q_ngram_jaccard,

@@ -422,3 +422,124 @@ def audio_basic_features_exact(
             )
 
     return src.mapInArrow(run, schema=BASIC_EXACT_SCHEMA)
+
+
+MEL_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_mels", T.IntegerType()),
+        T.StructField("log_mel_mean", T.ArrayType(T.DoubleType())),
+        T.StructField("log_mel_std", T.ArrayType(T.DoubleType())),
+        T.StructField("mfcc_mean", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _mel_filterbank(
+    n_mels: int, n_fft: int, sr: int, fmin: float = 0.0, fmax: float | None = None
+) -> np.ndarray:
+    """Triangular mel filterbank (HTK mel scale, public formula
+    m = 2595*log10(1 + f/700)); shape (n_mels, n_fft//2 + 1)."""
+    fmax = fmax or sr / 2.0
+    mel = lambda f: 2595.0 * np.log10(1.0 + f / 700.0)  # noqa: E731
+    imel = lambda m: 700.0 * (10.0 ** (m / 2595.0) - 1.0)  # noqa: E731
+    pts = imel(np.linspace(mel(fmin), mel(fmax), n_mels + 2))
+    bins = np.floor((n_fft + 1) * pts / sr).astype(int)
+    fb = np.zeros((n_mels, n_fft // 2 + 1))
+    for i in range(n_mels):
+        l, c, r = bins[i], bins[i + 1], bins[i + 2]
+        if c > l:
+            fb[i, l:c] = (np.arange(l, c) - l) / (c - l)
+        if r > c:
+            fb[i, c:r] = (r - np.arange(c, r)) / (r - c)
+    return fb
+
+
+def mel_features(
+    clips: DataFrame,
+    *,
+    n_fft: int = 512,
+    hop: int = 256,
+    n_mels: int = 40,
+    n_mfcc: int = 13,
+    id_col: str = "clip_id",
+) -> DataFrame:
+    """Log-mel spectrogram + MFCC summary per clip — the standard speech
+    feature front-end (frame → Hann → power spectrum → triangular mel bank
+    → log → DCT-II), summarized as per-clip mean/std over frames so the
+    output stays a bounded row per clip regardless of duration.
+
+    Execution shape: narrow mapInArrow over zero-copy int16 views, no
+    shuffle — identical to spectral_features. Per-clip cost is O(samples ×
+    log n_fft); at corpus scale the pass pipelines with the scan. Feature
+    tables of this shape feed dedup (embedding near-dup on mfcc_mean),
+    quality gates (energy/band profiles) and drift monitors (PSI over mel
+    bands). FFT math → rows-only verifiability; the known-answer pytest
+    anchors tone locations and filterbank partition-of-unity instead.
+    """
+    from seronet_data_validator_spark.operators.audio import (
+        _binary_views,
+        _decode_view,
+    )
+
+    src = clips.select(id_col, "bytes")
+    names = [f.name for f in MEL_SCHEMA.fields]
+    win = np.hanning(n_fft)
+    # orthonormal DCT-II applied to the mel axis → MFCCs
+    k = np.arange(n_mels)
+    dct = np.cos((2 * k[None, :] + 1) * np.arange(n_mfcc)[:, None] * np.pi / (2 * n_mels))
+    dct *= np.sqrt(2.0 / n_mels)
+    dct[0] *= np.sqrt(0.5)
+    banks: dict[int, np.ndarray] = {}
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols: dict[str, list] = {n: [] for n in names}
+            ids = batch.column(0).to_pylist()
+            get, _ = _binary_views(batch.column(1))
+            for i in range(batch.num_rows):
+                try:
+                    s16, sr = _decode_view(get(i))
+                except ValueError:
+                    row = (ids[i], 0, n_mels, None, None, None)
+                else:
+                    x = s16.astype(np.float64) / 32768.0
+                    if len(x) < n_fft:
+                        x = np.pad(x, (0, n_fft - len(x)))
+                    n_frames = 1 + (len(x) - n_fft) // hop
+                    idx = (
+                        np.arange(n_fft)[None, :]
+                        + hop * np.arange(n_frames)[:, None]
+                    )
+                    spec = np.abs(np.fft.rfft(x[idx] * win, axis=1)) ** 2
+                    if sr not in banks:
+                        banks[sr] = _mel_filterbank(n_mels, n_fft, sr)
+                    logmel = np.log(spec @ banks[sr].T + 1e-10)
+                    mfcc = logmel @ dct.T
+                    row = (
+                        ids[i],
+                        int(n_frames),
+                        n_mels,
+                        [float(v) for v in logmel.mean(axis=0)],
+                        [float(v) for v in logmel.std(axis=0)],
+                        [float(v) for v in mfcc.mean(axis=0)],
+                    )
+                for name, v in zip(names, row):
+                    cols[name].append(v)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cols[n], type=t)
+                    for n, t in zip(
+                        names,
+                        [
+                            pa.string(), pa.int32(), pa.int32(),
+                            pa.list_(pa.float64()), pa.list_(pa.float64()),
+                            pa.list_(pa.float64()),
+                        ],
+                    )
+                ],
+                names=names,
+            )
+
+    return src.mapInArrow(run, schema=MEL_SCHEMA)

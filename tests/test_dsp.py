@@ -353,3 +353,49 @@ def test_audio_basic_features_exact(spark):
 
     bd = out["bad"]
     assert bd["n_samples"] == 0 and bd["rms"] is None and bd["peak_abs"] is None
+
+
+def test_mel_features_known_answers(spark):
+    """Known-answer anchors for the mel front-end: a pure tone's energy
+    concentrates in the mel band containing its frequency; silence is at
+    the log floor; the filterbank partitions the interior spectrum."""
+    import numpy as np
+
+    from seronet_data_validator_spark.operators.dsp import (
+        _mel_filterbank,
+        mel_features,
+    )
+    from seronet_data_validator_spark.sources.clips import wav_bytes
+
+    sr, n = 16000, 16000
+    t = np.arange(n) / sr
+    tone = (0.5 * np.sin(2 * np.pi * 1000.0 * t) * 32767).astype(np.int16)
+    silence = np.zeros(n, np.int16)
+    df = spark.createDataFrame(
+        [("tone", bytearray(wav_bytes(tone, sr))),
+         ("sil", bytearray(wav_bytes(silence, sr))),
+         ("bad", bytearray(b"nope"))],
+        "clip_id string, bytes binary",
+    )
+    out = {r["clip_id"]: r for r in mel_features(df).collect()}
+
+    fb = _mel_filterbank(40, 512, sr)
+    freqs = np.fft.rfftfreq(512, 1.0 / sr)
+    tone_band = int(np.argmax(fb[:, int(round(1000.0 * 512 / sr))]))
+    mean = np.array(out["tone"]["log_mel_mean"])
+    assert abs(int(np.argmax(mean)) - tone_band) <= 1
+    assert out["tone"]["n_frames"] == 1 + (n - 512) // 256
+
+    sil_mean = np.array(out["sil"]["log_mel_mean"])
+    assert np.all(sil_mean < -15)          # log floor (eps=1e-10 -> ~-23)
+    assert out["bad"]["log_mel_mean"] is None
+
+    # interior bins are covered with weight ~1 (partition of unity between
+    # the first and last filter centers)
+    col = fb.sum(axis=0)
+    lo = np.flatnonzero(col > 0)[0]
+    interior = col[(freqs >= freqs[lo] + 200) & (freqs <= 7500)]
+    assert np.all(interior > 0.5) and np.all(interior <= 1.001)
+
+    # MFCC c0 tracks overall log energy: tone >> silence
+    assert out["tone"]["mfcc_mean"][0] > out["sil"]["mfcc_mean"][0] + 10
