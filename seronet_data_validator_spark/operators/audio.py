@@ -175,10 +175,15 @@ def _parse_header(seg: np.ndarray | None, payload_len: int) -> tuple[int, int, i
 
 
 def _decode_view(seg: np.ndarray | None) -> tuple[np.ndarray, int]:
-    """Parse a FULL RIFF/WAVE mono blob from a uint8 view → (int16 samples,
-    sr). PCM16 is a zero-copy view; A-law/µ-law expand through the G.711
-    tables (one vectorized gather). Same layout contract as
-    sources/clips.decode_wav."""
+    """Parse a FULL mono audio blob from a uint8 view → (int16 samples,
+    sr). RIFF/WAVE PCM16 is a zero-copy view; A-law/µ-law expand through
+    the G.711 tables (one vectorized gather); FLAC streams decode through
+    the fixed-predictor subset codec (operators/flac.py). Same layout
+    contract as sources/clips.decode_wav."""
+    if seg is not None and len(seg) >= 4 and bytes(seg[:4]) == b"fLaC":
+        from seronet_data_validator_spark.operators.flac import decode_flac
+
+        return decode_flac(seg.tobytes())
     n_samples, sr, fmt = _parse_header(seg, len(seg) if seg is not None else 0)
     if fmt == _WAVE_PCM:
         return seg[44 : 44 + n_samples * 2].view("<i2"), sr
