@@ -1602,6 +1602,8 @@ def _exact_wav_clips(spark: SparkSession, n_clips: int = 60) -> DataFrame:
 
     from seronet_data_validator_spark.sources.clips import wav_bytes
 
+    from seronet_data_validator_spark.operators.flac import flac_bytes
+
     def gen(batches):
         for pdf in batches:
             rows = []
@@ -1609,13 +1611,20 @@ def _exact_wav_clips(spark: SparkSession, n_clips: int = 60) -> DataFrame:
                 k = int(k)
                 n = 1200 + (k % 7) * 300
                 i = np.arange(n, dtype=np.int64)
-                s = ((k * 7919 + i * 104729 + 12345) % 65536) - 32768
-                rows.append(
-                    {
-                        "clip_id": f"exact_{k:03d}",
-                        "bytes": wav_bytes(s.astype(np.int16), 8000),
-                    }
+                s = (((k * 7919 + i * 104729 + 12345) % 65536) - 32768).astype(
+                    np.int16
                 )
+                rows.append(
+                    {"clip_id": f"exact_{k:03d}", "bytes": wav_bytes(s, 8000)}
+                )
+                # every third clip ALSO ships FLAC-encoded (same samples,
+                # 'exactf_' id): the oracle regenerates the identical
+                # stream, so the FLAC decode path gets the same bit-exact
+                # value check as the RIFF path
+                if k % 3 == 0:
+                    rows.append(
+                        {"clip_id": f"exactf_{k:03d}", "bytes": flac_bytes(s, 8000)}
+                    )
             yield pd.DataFrame(rows)
 
     return spark.range(0, n_clips, 1, 8).mapInPandas(
@@ -2086,24 +2095,33 @@ def oracle_sql() -> dict[str, str]:
         # int64 sum of squares (max sum_sq ~3.2e12 < 2^53, so the DOUBLE
         # cast is exact and both engines produce identical bits).
         "audio_basic_features": """
-            WITH params AS (
-                SELECT CAST(range AS BIGINT) AS k,
-                       1200 + (CAST(range AS BIGINT) % 7) * 300 AS n
-                FROM range(0, 60)
+            WITH ks AS (
+                SELECT CAST(range AS BIGINT) AS k FROM range(0, 60)
+            ), params AS (
+                SELECT 'exact_' || lpad(CAST(k AS VARCHAR), 3, '0') AS clip_id,
+                       k, 1200 + (k % 7) * 300 AS n
+                FROM ks
+                UNION ALL
+                -- every third clip ships again FLAC-encoded ('exactf_'):
+                -- identical samples, so identical features — this is the
+                -- FLAC decoder's bit-exact value check
+                SELECT 'exactf_' || lpad(CAST(k AS VARCHAR), 3, '0') AS clip_id,
+                       k, 1200 + (k % 7) * 300 AS n
+                FROM ks WHERE k % 3 = 0
             ), samp AS (
-                SELECT k,
+                SELECT clip_id, k,
                        CAST(UNNEST(range(0, n)) AS BIGINT) AS i
                 FROM params
             ), vals AS (
-                SELECT k, i,
+                SELECT clip_id, i,
                        ((k * 7919 + i * 104729 + 12345) % 65536) - 32768 AS s
                 FROM samp
             ), lagged AS (
-                SELECT k, i, s,
-                       lag(s) OVER (PARTITION BY k ORDER BY i) AS prev
+                SELECT clip_id, i, s,
+                       lag(s) OVER (PARTITION BY clip_id ORDER BY i) AS prev
                 FROM vals
             )
-            SELECT 'exact_' || lpad(CAST(k AS VARCHAR), 3, '0') AS clip_id,
+            SELECT clip_id,
                    COUNT(*) AS n_samples,
                    8000 AS sr_hz,
                    CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs,
@@ -2111,7 +2129,7 @@ def oracle_sql() -> dict[str, str]:
                                  THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
                    SQRT(CAST(SUM(s * s) AS DOUBLE) / COUNT(*)) AS rms
             FROM lagged
-            GROUP BY k
+            GROUP BY clip_id
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
