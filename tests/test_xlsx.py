@@ -79,3 +79,44 @@ def test_sheet_selection_and_errors(tmp_path):
     assert list(read_xlsx_rows(path, "Registry"))[0] == ["a"]
     with pytest.raises(ValueError, match="not in workbook"):
         list(read_xlsx_rows(path, "Missing"))
+
+
+def test_shared_strings_and_rich_text(tmp_path):
+    """Excel itself writes shared strings (not inline); hand-build that
+    variant plus a rich-text run to cover the reader's sst path."""
+    import zipfile
+
+    path = str(tmp_path / "sst.xlsx")
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    sst = (
+        f'<?xml version="1.0"?><sst {ns} count="3" uniqueCount="3">'
+        "<si><t>codec</t></si>"
+        "<si><r><t>pcm_</t></r><r><t>s16le</t></r></si>"  # rich-text runs
+        "<si><t xml:space=\"preserve\"> padded </t></si></sst>"
+    )
+    sheet = (
+        f'<?xml version="1.0"?><worksheet {ns}><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c></row>'
+        '<row r="2"><c r="A2" t="s"><v>1</v></c><c r="B2" t="s"><v>2</v></c>'
+        '<c r="C2"><v>42</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    wb = (
+        f'<?xml version="1.0"?><workbook {ns} '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    rels = (
+        '<?xml version="1.0"?><Relationships '
+        'xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="x" Target="worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    )
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/sharedStrings.xml", sst)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    got = list(read_xlsx_rows(path, "S"))
+    assert got[0] == ["codec"]
+    assert got[1] == ["pcm_s16le", " padded ", "42"]
