@@ -1893,6 +1893,50 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(images)
 
 
+def q_image_basic_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode path under a FULL value oracle: integer-recipe pixels
+    (v(k,y,x,c) = (k*97 + y*53 + x*29 + c*17) % 256) encoded as PPM for
+    every k, PNG for even k and BMP for k%3==0 — all three are LOSSLESS, so
+    the same pixels must yield the same exact integer luma sum
+    (multimodal.image_basic_features_exact); DuckDB regenerates every pixel
+    and recomputes width/height/n_px/Σ(299R+587G+114B) per id."""
+    import numpy as np
+    import pandas as pd
+
+    from seronet_data_validator_spark.operators.multimodal import (
+        bmp_bytes,
+        image_basic_features_exact,
+        ppm_bytes,
+    )
+    from seronet_data_validator_spark.operators.png import png_bytes
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for k in pdf["id"].to_numpy():
+                k = int(k)
+                w, h = 16 + (k % 5) * 8, 12 + (k % 3) * 8
+                y, x, c = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                rgb = ((k * 97 + y * 53 + x * 29 + c * 17) % 256).astype(np.uint8)
+                rows.append({"item_id": f"imgx_ppm_{k:03d}", "bytes": ppm_bytes(rgb)})
+                if k % 2 == 0:
+                    rows.append(
+                        {"item_id": f"imgx_png_{k:03d}", "bytes": png_bytes(rgb)}
+                    )
+                if k % 3 == 0:
+                    rows.append(
+                        {"item_id": f"imgx_bmp_{k:03d}", "bytes": bmp_bytes(rgb)}
+                    )
+            yield pd.DataFrame(rows)
+
+    images = spark.range(0, 40, 1, 8).mapInPandas(
+        gen, schema="item_id string, bytes binary"
+    )
+    return image_basic_features_exact(images)
+
+
 def q_clips_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship engine pass on a deterministic synthetic clips table (audio
     pandas-UDF invariants are non-SQL-expressible → rows-only oracle). Runs
@@ -1993,13 +2037,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- positions 42-49: round-4 new queries + queries whose
         # implementation changed this round (driver must re-verify) --
         "audio_basic_features": q_audio_basic_features,
+        "image_basic_features": q_image_basic_features,
         "stream_sessions_replay": q_stream_sessions_replay,
         "date_na_policy": q_date_na_policy,
         "duration_triplet": q_duration_triplet,
         "lang_id_confusion": q_lang_id_confusion,
         "embedding_close_pairs": q_embedding_close_pairs,
         "xlsx_registry": q_xlsx_registry,
-        "pricing_summary": q_pricing_summary,
         # -- past the driver cutoff: round 1-2 sentinels, all driver-green in
         # CORRECTNESS_r01-r03; regression net = local oracle replica --
         "revenue_by_nation": q_revenue_by_nation,
@@ -2048,6 +2092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_keys": q_dup_keys,
         "psi_drift": q_psi_drift,
         "similarity_topk": q_similarity_topk,
+        "pricing_summary": q_pricing_summary,
     }
 
 
@@ -2999,6 +3044,46 @@ def oracle_sql() -> dict[str, str]:
                    max(ts) AS session_end,
                    round(sum(value), 2) AS sum_value
             FROM sess GROUP BY user_id, session_idx
+        """,
+        # image decode value check: regenerate every pixel of the integer
+        # recipe and recompute the exact BT.601-x1000 luma sum per encoded
+        # variant (PPM always, PNG for even k, BMP for k%3==0 — all
+        # lossless, so identical values per k)
+        "image_basic_features": """
+            WITH ks AS (
+                SELECT CAST(range AS BIGINT) AS k FROM range(0, 40)
+            ), imgs AS (
+                SELECT 'imgx_ppm_' || lpad(CAST(k AS VARCHAR), 3, '0') AS item_id,
+                       k, 16 + (k % 5) * 8 AS w, 12 + (k % 3) * 8 AS h
+                FROM ks
+                UNION ALL
+                SELECT 'imgx_png_' || lpad(CAST(k AS VARCHAR), 3, '0'),
+                       k, 16 + (k % 5) * 8, 12 + (k % 3) * 8
+                FROM ks WHERE k % 2 = 0
+                UNION ALL
+                SELECT 'imgx_bmp_' || lpad(CAST(k AS VARCHAR), 3, '0'),
+                       k, 16 + (k % 5) * 8, 12 + (k % 3) * 8
+                FROM ks WHERE k % 3 = 0
+            ), ys AS (
+                SELECT item_id, k, w, h,
+                       CAST(UNNEST(range(0, h)) AS BIGINT) AS y
+                FROM imgs
+            ), px AS (
+                SELECT item_id, k, w, h, y,
+                       CAST(UNNEST(range(0, w)) AS BIGINT) AS x
+                FROM ys
+            )
+            SELECT item_id,
+                   CAST(MIN(w) AS INTEGER) AS width,
+                   CAST(MIN(h) AS INTEGER) AS height,
+                   CAST(MIN(w) * MIN(h) AS BIGINT) AS n_px,
+                   CAST(SUM(
+                       299 * ((k * 97 + y * 53 + x * 29) % 256)
+                     + 587 * ((k * 97 + y * 53 + x * 29 + 17) % 256)
+                     + 114 * ((k * 97 + y * 53 + x * 29 + 34) % 256)
+                   ) AS BIGINT) AS luma_sum_x1000
+            FROM px
+            GROUP BY item_id
         """,
         # S2 xlsx round trip: the registry VALUES literal mirrors the rows
         # written to the workbook; clip counts are the fixed per-row-seeded

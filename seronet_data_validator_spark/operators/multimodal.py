@@ -403,6 +403,46 @@ def image_features(
     return src.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
 
+IMAGE_BASIC_EXACT_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("luma_sum_x1000", T.LongType()),
+    ]
+)
+
+
+def image_basic_features_exact(
+    images: DataFrame, *, id_col: str = "item_id", bytes_col: str = "bytes"
+) -> DataFrame:
+    """Image features with engine-portable EXACT arithmetic: the luma sum
+    is kept as the integer Σ(299R + 587G + 114B) (the BT.601 weights ×1000)
+    so any engine that can regenerate the pixels reproduces it exactly —
+    the image analog of dsp.audio_basic_features_exact, and what gives the
+    image DECODE path (PPM/BMP/PNG — all lossless) a full value oracle.
+    Decode failures yield NULL features (quarantine row)."""
+    src = images.select(id_col, bytes_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w_lum = np.array([299, 587, 114], np.int64)
+        for pdf in batches:
+            rows = []
+            for iid, b in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    w, h, rgb = _decode_image(b)
+                    s = int((rgb.astype(np.int64) @ w_lum).sum())
+                    rows.append((iid, w, h, w * h, s))
+                except (NotImplementedError, ValueError):
+                    rows.append((iid, None, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_BASIC_EXACT_SCHEMA.fields]
+            )
+
+    return src.mapInPandas(run, schema=IMAGE_BASIC_EXACT_SCHEMA)
+
+
 # --- Video: YUV4MPEG2 (Y4M) — the public UNCOMPRESSED container ----------
 
 VIDEO_FRAMES_SCHEMA = T.StructType(
