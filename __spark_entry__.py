@@ -3375,7 +3375,7 @@ def oracle_sql() -> dict[str, str]:
         "json_props": """
             SELECT event_type,
                    count(json_extract(props, '$.k')) AS n_parsed,
-                   sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+                   sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
                    round(avg(json_extract(props, '$.k')::BIGINT), 4) AS avg_k
             FROM events
             GROUP BY event_type

@@ -5,13 +5,16 @@ Closes the lossless-audio-codec boundary the codec registry names
 fixed-predictor subset of FLAC plus a matching encoder for fixtures and
 round-trip tests. FLAC is lossless, so every test is bit-exact.
 
-Supported (decode): mono, 16-bit, CONSTANT / VERBATIM / FIXED order 0-4
-subframes, Rice-coded residuals (both 4- and 5-bit parameter variants,
-any partition order, escape-to-raw partitions), UTF-8 frame numbers,
-CRC-8 header verification. Explicit NotImplementedError: LPC subframes
-(types 32-63), stereo, non-16-bit depths — the documented boundary; the
-fixed-predictor profile is itself a valid, spec-conforming encoder choice
-(fixed predictors 0-2 are what this module's encoder emits).
+Supported (decode): mono + stereo (independent, left/side, right/side,
+mid/side decorrelation), 16-bit, CONSTANT / VERBATIM / FIXED order 0-4 /
+LPC order 1-32 subframes, wasted-bits shifts, Rice-coded residuals (both
+4- and 5-bit parameter variants, any partition order, escape-to-raw
+partitions including the nbits=0 all-zero case), UTF-8 frame numbers,
+CRC-8 header verification. Explicit NotImplementedError: >2 channels and
+non-16-bit depths — the documented boundary. The matching encoder emits
+fixed predictors 0-2, genuine LPC subframes (Levinson-Durbin quantized
+coefficients), and all three stereo decorrelation modes, so every decode
+path round-trips bit-exactly in tests.
 
 Execution shape: like the other codecs this is a per-row decode behind
 the Arrow feature passes; entropy decoding is a per-symbol Python loop —
@@ -204,65 +207,185 @@ def _read_utf8_number(r: _BitReader) -> int:
     return v
 
 
-def flac_bytes(samples: np.ndarray, sr: int, *, block_size: int = 4096) -> bytes:
-    """Encode mono int16 samples as a FLAC stream (fixed predictors 0-2,
-    Rice partition order 0). Deterministic; spec-conforming CRCs."""
-    samples = samples.astype(np.int16)
-    n = len(samples)
+def _levinson(autoc: np.ndarray, order: int) -> np.ndarray:
+    """Levinson-Durbin recursion: autocorrelation[0..order] → LPC coefs
+    (prediction s[n] ≈ Σ a[j]·s[n-1-j]). Falls back to the fixed order-2
+    predictor when the signal is degenerate (zero energy)."""
+    if autoc[0] <= 0:
+        return np.array([2.0, -1.0][: max(order, 1)])
+    err = float(autoc[0])
+    a = np.zeros(order)
+    for i in range(order):
+        acc = float(autoc[i + 1]) - float(np.dot(a[:i], autoc[i:0:-1]))
+        k = acc / err if err > 1e-12 else 0.0
+        a[: i + 1] = np.concatenate([a[:i] - k * a[i - 1 :: -1], [k]]) if i else [k]
+        err *= 1.0 - k * k
+        if err <= 0:
+            break
+    return a
+
+
+def _quantize_lpc(a: np.ndarray, precision: int) -> tuple[np.ndarray, int]:
+    """Quantize float LPC coefs to `precision`-bit signed ints + shift."""
+    cmax = float(np.max(np.abs(a))) if len(a) else 0.0
+    if cmax <= 0:
+        return np.zeros(len(a), np.int64), 0
+    # largest shift (≤15) keeping every coef inside the signed range
+    shift = min(15, max(0, precision - 1 - int(np.floor(np.log2(cmax))) - 1))
+    lim = (1 << (precision - 1)) - 1
+    q = np.clip(np.round(a * (1 << shift)), -lim - 1, lim).astype(np.int64)
+    return q, shift
+
+
+def _lpc_residual(x: np.ndarray, coefs: np.ndarray, shift: int) -> np.ndarray:
+    """Residual of the quantized-LPC predictor (exact integer arithmetic)."""
+    order = len(coefs)
+    n = len(x)
+    if n <= order:
+        return np.zeros(0, np.int64)
+    # prediction for i >= order: (Σ coef[j]·x[i-1-j]) >> shift
+    acc = np.zeros(n - order, np.int64)
+    for j in range(order):
+        acc += coefs[j] * x[order - 1 - j : n - 1 - j]
+    return x[order:] - (acc >> shift)
+
+
+def _lpc_restore(
+    warmup: np.ndarray, residual: np.ndarray, coefs: list[int], shift: int
+) -> np.ndarray:
+    """Invert the LPC predictor sample-by-sample (sequential dependency)."""
+    order = len(coefs)
+    out = np.empty(order + len(residual), np.int64)
+    out[:order] = warmup
+    o = out.tolist()  # python ints: no overflow, fast scalar loop
+    for i in range(order, len(out)):
+        acc = 0
+        for j in range(order):
+            acc += coefs[j] * o[i - 1 - j]
+        o[i] = residual[i - order] + (acc >> shift)
+    return np.array(o, np.int64)
+
+
+def _signed(v: int, bits: int) -> int:
+    return v - (1 << bits) if v & (1 << (bits - 1)) else v
+
+
+def _write_subframe(
+    w: _BitWriter, blk: np.ndarray, sbps: int, *, lpc_order: int = 0
+) -> None:
+    """Encode one channel's block: FIXED order 0-2 by default, or a genuine
+    LPC subframe when lpc_order > 0 and the block is long enough."""
+    bs = len(blk)
+    w.write(0, 1)  # subframe header: zero padding
+    if lpc_order and bs > lpc_order:
+        order = lpc_order
+        xf = blk.astype(np.float64)
+        autoc = np.array(
+            [float(np.dot(xf[: bs - k], xf[k:])) for k in range(order + 1)]
+        )
+        coefs, shift = _quantize_lpc(_levinson(autoc, order), 12)
+        res = _lpc_residual(blk, coefs, shift)
+        w.write(0b100000 | (order - 1), 6)  # LPC subframe
+        w.write(0, 1)  # no wasted bits
+        for s in blk[:order]:
+            w.write(int(s) & ((1 << sbps) - 1), sbps)
+        w.write(12 - 1, 4)  # qlp precision - 1
+        w.write(shift, 5)
+        for c in coefs:
+            w.write(int(c) & 0xFFF, 12)
+    else:
+        best_order, best_res, best_cost = 0, blk, None
+        for order in range(0, 3):
+            if bs <= order:
+                break
+            res_o = _fixed_residual(blk, order)
+            cost = int(np.abs(res_o).sum())
+            if best_cost is None or cost < best_cost:
+                best_order, best_res, best_cost = order, res_o, cost
+        order, res = best_order, best_res
+        w.write(0b001000 | order, 6)  # FIXED subframe, given order
+        w.write(0, 1)  # no wasted bits
+        for s in blk[:order]:
+            w.write(int(s) & ((1 << sbps) - 1), sbps)
+    mean = float(np.mean(np.abs(res))) if len(res) else 0.0
+    param = min(14, max(0, int(np.ceil(np.log2(mean + 1))) + 1))
+    w.write(0b00, 2)  # residual method: 4-bit Rice
+    w.write(0, 4)  # partition order 0
+    w.write(param, 4)
+    _rice_write(w, res, param)
+
+
+def flac_bytes(
+    samples: np.ndarray,
+    sr: int,
+    *,
+    block_size: int = 4096,
+    lpc_order: int = 0,
+    stereo_mode: str = "left_side",
+) -> bytes:
+    """Encode int16 samples as a FLAC stream. `samples` is 1-D (mono) or
+    (n, 2) stereo; `lpc_order` > 0 emits genuine LPC subframes
+    (Levinson-Durbin, 12-bit quantized coefs) instead of FIXED 0-2;
+    `stereo_mode` picks the decorrelation: independent / left_side /
+    right_side / mid_side. Deterministic; spec-conforming CRCs."""
+    samples = np.asarray(samples, np.int16)
+    stereo = samples.ndim == 2
+    if stereo and samples.shape[1] != 2:
+        raise NotImplementedError("only mono or 2-channel encode supported")
+    n = samples.shape[0]
+    n_ch = 2 if stereo else 1
     # STREAMINFO: min/max block, min/max frame (0 = unknown), sr/ch/bps/total
     si = struct.pack(">HH", min(block_size, max(n, 16)), block_size)
     si += b"\x00\x00\x00" * 2  # min/max frame size unknown
-    packed = (sr << 44) | (0 << 41) | (15 << 37) | n  # ch-1=0, bps-1=15
+    packed = (sr << 44) | ((n_ch - 1) << 41) | (15 << 36) | n  # bps-1=15
     si += packed.to_bytes(8, "big")
     si += b"\x00" * 16  # md5 unset
     header = b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si
 
+    ch_code = {  # frame-header channel assignment + per-channel extra bit
+        "independent": (0b0001, (0, 0)),
+        "left_side": (0b1000, (0, 1)),
+        "right_side": (0b1001, (1, 0)),
+        "mid_side": (0b1010, (0, 1)),
+    }
     out = bytearray(header)
     frame_no = 0
     for start in range(0, n, block_size):
         blk = samples[start : start + block_size].astype(np.int64)
-        bs = len(blk)
+        bs = blk.shape[0]
         w = _BitWriter()
         w.write(_SYNC, 14)
         w.write(0, 1)  # reserved
         w.write(0, 1)  # fixed-blocksize stream
         w.write(0b0111, 4)  # blocksize: 16-bit at end of header
         w.write(0b0000, 4)  # sample rate: from STREAMINFO
-        w.write(0b0000, 4)  # channels: mono
+        if stereo:
+            code, extra = ch_code[stereo_mode]
+        else:
+            code, extra = 0b0000, (0,)
+        w.write(code, 4)
         w.write(0b100, 3)  # bits per sample: 16
         w.write(0, 1)  # reserved
-        hdr_bytes = bytes(w.out) if w.n == 0 else None
-        # frame number (UTF-8), then 16-bit blocksize-1
         for b in _utf8_number(frame_no):
             w.write(b, 8)
         w.write(bs - 1, 16)
-        # CRC-8 over the header so far (writer is byte-aligned here)
-        assert w.n == 0
+        assert w.n == 0  # header fields are byte-aligned here
         w.write(_crc8(bytes(w.out)), 8)
-        del hdr_bytes
 
-        # choose fixed order 0-2 by absolute-residual cost
-        best_order, best_res, best_cost = 0, blk, None
-        for order in range(0, 3):
-            if bs <= order:
-                break
-            res = _fixed_residual(blk, order)
-            cost = int(np.abs(res).sum())
-            if best_cost is None or cost < best_cost:
-                best_order, best_res, best_cost = order, res, cost
-        order, res = best_order, best_res
-
-        w.write(0, 1)  # subframe header: zero padding
-        w.write(0b001000 | order, 6)  # FIXED subframe, given order
-        w.write(0, 1)  # no wasted bits
-        for s in blk[:order]:
-            w.write(int(s) & 0xFFFF, 16)  # warmup samples, 16-bit
-        mean = float(np.mean(np.abs(res))) if len(res) else 0.0
-        param = min(14, max(0, int(np.ceil(np.log2(mean + 1))) + 1))
-        w.write(0b00, 2)  # residual method: 4-bit Rice
-        w.write(0, 4)  # partition order 0
-        w.write(param, 4)
-        _rice_write(w, res, param)
+        if stereo:
+            left, right = blk[:, 0], blk[:, 1]
+            if stereo_mode == "independent":
+                chans = [left, right]
+            elif stereo_mode == "left_side":
+                chans = [left, left - right]
+            elif stereo_mode == "right_side":
+                chans = [left - right, right]
+            else:  # mid_side
+                chans = [(left + right) >> 1, left - right]
+        else:
+            chans = [blk]
+        for ch, x in enumerate(chans):
+            _write_subframe(w, x, 16 + extra[ch], lpc_order=lpc_order)
         w.align()
         frame = bytes(w.out)
         out += frame + struct.pack(">H", _crc16(frame))
@@ -270,8 +393,65 @@ def flac_bytes(samples: np.ndarray, sr: int, *, block_size: int = 4096) -> bytes
     return bytes(out)
 
 
-def decode_flac(b: bytes) -> tuple[np.ndarray, int]:
-    """Decode a FLAC stream (fixed-predictor subset) → (int16 samples, sr)."""
+def _read_subframe(r: _BitReader, bs: int, sbps: int) -> np.ndarray:
+    """Decode one subframe (any type) → int64 samples of length bs."""
+    r.read(1)  # zero padding
+    sf_type = r.read(6)
+    wasted = 0
+    if r.read(1):  # wasted-bits flag: unary k-1 follows
+        wasted = r.unary() + 1
+        sbps -= wasted
+    if sf_type == 0:  # CONSTANT
+        samples = np.full(bs, _signed(r.read(sbps), sbps), np.int64)
+    elif sf_type == 1:  # VERBATIM
+        samples = np.array([_signed(r.read(sbps), sbps) for _ in range(bs)], np.int64)
+    elif 8 <= sf_type <= 12 or sf_type >= 32:  # FIXED / LPC
+        is_lpc = sf_type >= 32
+        order = (sf_type & 0x1F) + 1 if is_lpc else sf_type & 0x7
+        warm = np.array([_signed(r.read(sbps), sbps) for _ in range(order)], np.int64)
+        if is_lpc:
+            prec = r.read(4) + 1
+            if prec == 16:
+                raise ValueError("invalid LPC precision code 15")
+            shift = _signed(r.read(5), 5)
+            if shift < 0:
+                raise ValueError("negative LPC shift is invalid")
+            coefs = [_signed(r.read(prec), prec) for _ in range(order)]
+        method = r.read(2)
+        if method > 1:
+            raise ValueError("reserved residual coding method")
+        pbits = 4 if method == 0 else 5
+        part_order = r.read(4)
+        n_parts = 1 << part_order
+        res_parts = []
+        for p in range(n_parts):
+            cnt = (bs >> part_order) - (order if p == 0 else 0)
+            param = r.read(pbits)
+            if param == (1 << pbits) - 1:  # escape: raw n-bit residuals
+                nbits = r.read(5)
+                if nbits == 0:  # all-zero partition (valid per spec)
+                    res_parts.append(np.zeros(cnt, np.int64))
+                else:
+                    raw = np.array([r.read(nbits) for _ in range(cnt)], np.int64)
+                    sign = 1 << (nbits - 1)
+                    res_parts.append(np.where(raw & sign, raw - (sign << 1), raw))
+            else:
+                res_parts.append(_rice_read(r, cnt, param))
+        residual = np.concatenate(res_parts) if res_parts else np.zeros(0, np.int64)
+        if is_lpc:
+            samples = _lpc_restore(warm, residual, coefs, shift)
+        else:
+            samples = _fixed_restore(warm, residual, order)
+    else:
+        raise ValueError(f"reserved subframe type {sf_type}")
+    return samples << wasted if wasted else samples
+
+
+def decode_flac_full(b: bytes) -> tuple[np.ndarray, int]:
+    """Decode a FLAC stream → (int16 samples shaped (n, channels), sr).
+
+    Full channel fidelity: stereo streams return both channels after
+    undoing the frame's decorrelation mode."""
     if len(b) < 42 or b[:4] != b"fLaC":
         raise ValueError("not a FLAC stream")
     pos = 4
@@ -289,15 +469,15 @@ def decode_flac(b: bytes) -> tuple[np.ndarray, int]:
             packed = int.from_bytes(data[10:18], "big")
             sr = packed >> 44
             channels = ((packed >> 41) & 0x7) + 1
-            bps = ((packed >> 37) & 0x1F) + 1
+            bps = ((packed >> 36) & 0x1F) + 1
             total = packed & ((1 << 36) - 1)
         if hdr & 0x80:  # last metadata block
             break
     if sr is None:
         raise ValueError("FLAC stream without STREAMINFO")
-    if channels != 1 or bps != 16:
+    if channels > 2 or bps != 16:
         raise NotImplementedError(
-            f"only mono 16-bit FLAC supported (got {channels}ch/{bps}-bit)"
+            f"only mono/stereo 16-bit FLAC supported (got {channels}ch/{bps}-bit)"
         )
 
     chunks: list[np.ndarray] = []
@@ -313,8 +493,8 @@ def decode_flac(b: bytes) -> tuple[np.ndarray, int]:
         ch_code = r.read(4)
         bps_code = r.read(3)
         r.read(1)
-        if ch_code != 0:
-            raise NotImplementedError("only mono FLAC frames supported")
+        if ch_code > 0b1010:
+            raise ValueError(f"reserved channel assignment {ch_code}")
         _read_utf8_number(r)
         if bs_code == 0b0110:
             bs = r.read(8) + 1
@@ -334,60 +514,53 @@ def decode_flac(b: bytes) -> tuple[np.ndarray, int]:
             r.read(16)
         hdr_end = r.pos  # byte-aligned by construction of the header fields
         expect = r.read(8)
-        got = _crc8(b[pos:hdr_end])
-        if expect != got:
+        if expect != _crc8(b[pos:hdr_end]):
             raise ValueError("FLAC frame header CRC mismatch")
 
-        # subframe header
-        r.read(1)
-        sf_type = r.read(6)
-        wasted = r.read(1)
-        if wasted:
-            raise NotImplementedError("wasted-bits subframes not supported")
-        if sf_type == 0:  # CONSTANT
-            v = r.read(16)
-            v = v - 0x10000 if v & 0x8000 else v
-            samples = np.full(bs, v, np.int64)
-        elif sf_type == 1:  # VERBATIM
-            raw = np.array([r.read(16) for _ in range(bs)], np.int64)
-            samples = np.where(raw & 0x8000, raw - 0x10000, raw)
-        elif 8 <= sf_type <= 12:  # FIXED
-            order = sf_type & 0x7
-            warm = np.array([r.read(16) for _ in range(order)], np.int64)
-            warm = np.where(warm & 0x8000, warm - 0x10000, warm)
-            method = r.read(2)
-            if method > 1:
-                raise ValueError("reserved residual coding method")
-            pbits = 4 if method == 0 else 5
-            part_order = r.read(4)
-            n_parts = 1 << part_order
-            res_parts = []
-            for p in range(n_parts):
-                cnt = (bs >> part_order) - (order if p == 0 else 0)
-                param = r.read(pbits)
-                if param == (1 << pbits) - 1:  # escape: raw n-bit residuals
-                    nbits = r.read(5)
-                    raw = np.array([r.read(nbits) for _ in range(cnt)], np.int64)
-                    sign = 1 << (nbits - 1)
-                    res_parts.append(np.where(raw & sign, raw - (sign << 1), raw))
-                else:
-                    res_parts.append(_rice_read(r, cnt, param))
-            residual = np.concatenate(res_parts) if res_parts else np.zeros(0, np.int64)
-            samples = _fixed_restore(warm, residual, order)
-        elif sf_type >= 32:
-            raise NotImplementedError("LPC subframes not supported (fixed subset)")
-        else:
-            raise ValueError(f"reserved subframe type {sf_type}")
+        if ch_code <= 0b0111:  # 1-8 independent channels (we cap at 2)
+            n_frame_ch = ch_code + 1
+            if n_frame_ch > 2:
+                raise NotImplementedError("more than 2 channels")
+            subs = [_read_subframe(r, bs, 16) for _ in range(n_frame_ch)]
+            frame = np.stack(subs, axis=1)
+        else:  # stereo decorrelation: the side channel carries one extra bit
+            extra = (0, 1) if ch_code in (0b1000, 0b1010) else (1, 0)
+            c0 = _read_subframe(r, bs, 16 + extra[0])
+            c1 = _read_subframe(r, bs, 16 + extra[1])
+            if ch_code == 0b1000:  # left/side
+                left, right = c0, c0 - c1
+            elif ch_code == 0b1001:  # right/side
+                left, right = c1 + c0, c1
+            else:  # mid/side
+                m = (c0 << 1) | (c1 & 1)
+                left, right = (m + c1) >> 1, (m - c1) >> 1
+            frame = np.stack([left, right], axis=1)
         r.align()
         crc = struct.unpack_from(">H", b, r.pos)[0]
         if crc != _crc16(b[pos : r.pos]):
             raise ValueError("FLAC frame CRC mismatch")
         pos = r.pos + 2
-        chunks.append(samples)
+        chunks.append(frame)
 
-    out = np.concatenate(chunks) if chunks else np.zeros(0, np.int64)
+    out = (
+        np.concatenate(chunks)
+        if chunks
+        else np.zeros((0, channels or 1), np.int64)
+    )
     if total:
         out = out[:total]
     if np.any(out > 32767) or np.any(out < -32768):
         raise ValueError("decoded sample out of int16 range")
     return out.astype(np.int16), int(sr)
+
+
+def decode_flac(b: bytes) -> tuple[np.ndarray, int]:
+    """Decode a FLAC stream → (mono int16 samples, sr) — the engine's
+    audio-contract shape (operators/audio._decode_view). Mono streams are
+    bit-exact; stereo streams downmix deterministically as (L+R)>>1
+    (floor-shift on the exact integer sum)."""
+    full, sr = decode_flac_full(b)
+    if full.shape[1] == 1:
+        return full[:, 0], sr
+    mix = (full[:, 0].astype(np.int64) + full[:, 1].astype(np.int64)) >> 1
+    return mix.astype(np.int16), sr

@@ -429,6 +429,10 @@ def _decode_jpeg_inner(b: bytes) -> tuple[int, int, np.ndarray]:
     while pos < len(b):
         if b[pos] != 0xFF:
             raise ValueError("marker expected")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before the
+        # marker code — skip them so a padded third-party file stays in sync
+        while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1
         marker = b[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

@@ -289,9 +289,10 @@ def _decode_image(b: bytes) -> tuple[int, int, np.ndarray]:
     """Decode an image buffer → (width, height, rgb uint8 array). Pure
     numpy over the public netpbm (PPM P6 / PGM P5) and BMP
     (BITMAPINFOHEADER, 24-bit BI_RGB) layouts, plus baseline JPEG via the
-    T.81 decoder in operators/jpeg.py — no codec library. Remaining
-    compressed formats (PNG, progressive JPEG, video) raise
-    NotImplementedError: their codecs are not in this container; in
+    T.81 decoder in operators/jpeg.py and PNG (all five filters, palette,
+    alpha) via the stdlib-zlib decoder in operators/png.py — no codec
+    library. Remaining compressed formats (progressive JPEG, interlaced/
+    16-bit PNG) raise NotImplementedError inside their decoders; in
     production swap in PIL/cv2 here — the Spark-side plumbing does not
     change."""
     import struct

@@ -20,8 +20,15 @@ STOPWORD_PROFILES: dict[str, list[str]] = {
 }
 
 
+def _quoted(name: str) -> str:
+    """Backtick-quote a column identifier (escaping embedded backticks) so
+    names with spaces/dots/keywords resolve as a single column, not a
+    struct path."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _tokens(text_col: str) -> Column:
-    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return F.split(F.trim(F.lower(F.col(_quoted(text_col)))), r"\s+")
 
 
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -86,10 +93,12 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
                 f"size(filter(_lid_toks, t -> t IN ({lst})))"
                 f" / greatest(size(_lid_toks), 1)"
             )
-        else:  # zh: CJK codepoint ratio
+        else:  # zh: CJK codepoint ratio — backtick-quote the identifier so
+            # column names needing quoting (spaces, dots, keywords) parse
+            ident = _quoted(text_col)
             ratio = (
-                f"length(regexp_replace({text_col}, '[^一-鿿]', ''))"
-                f" / greatest(length({text_col}), 1)"
+                f"length(regexp_replace({ident}, '[^一-鿿]', ''))"
+                f" / greatest(length({ident}), 1)"
             )
         scores.append(f"struct({ratio} AS score, '{lang}' AS lang)")
     best = f"array_max(array({', '.join(scores)}))"

@@ -167,14 +167,16 @@ def xlsx_dim(
     else:
         names = [f"_c{i}" for i in range(width)]
         data = rows
-    # sanitize duplicate header names deterministically
+    # sanitize FIRST, then dedup: two headers distinct only by characters
+    # the sanitizer folds (e.g. 'a b' vs 'a-b' -> 'a_b') must still end up
+    # with unique column names
+    sanitized = [re.sub(r"[^0-9A-Za-z_]", "_", n) for n in names]
     seen: dict[str, int] = {}
-    cols = []
-    for n in names:
+    safe = []
+    for n in sanitized:
         k = seen.get(n, 0)
         seen[n] = k + 1
-        cols.append(n if k == 0 else f"{n}_{k}")
-    safe = [re.sub(r"[^0-9A-Za-z_]", "_", c) for c in cols]
+        safe.append(n if k == 0 else f"{n}_{k}")
     schema = ", ".join(f"`{c}` string" for c in safe)
     return spark.createDataFrame([tuple(r) for r in data], schema)
 

@@ -97,3 +97,32 @@ def test_image_resize_accepts_jpeg_input(spark):
     assert (w, h) == (8, 8)
     # constant image survives decode+bilinear within JPEG quantization error
     assert abs(float(px.mean()) - 90.0) < 2.0
+
+
+def test_fill_bytes_before_marker():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+    code; inject padding before DQT/SOF/SOS and decode must stay in sync."""
+    img = np.full((16, 16, 3), 90, np.uint8)
+    enc = jpeg_bytes(img, quality=95)
+    # insert two 0xFF fill bytes before every marker after SOI
+    out = bytearray(enc[:2])
+    pos = 2
+    while pos < len(enc):
+        assert enc[pos] == 0xFF
+        marker = enc[pos + 1]
+        out += b"\xff\xff"
+        if marker == 0xDA:  # SOS: copy the rest verbatim (entropy data)
+            out += enc[pos:]
+            break
+        out += enc[pos : pos + 2]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            pos += 2
+            continue
+        import struct as _s
+
+        seglen = _s.unpack_from(">H", enc, pos + 2)[0]
+        out += enc[pos + 2 : pos + 2 + seglen]
+        pos += 2 + seglen
+    w, h, dec = decode_jpeg(bytes(out))
+    assert (w, h) == (16, 16)
+    assert int(np.max(np.abs(dec.astype(int) - 90))) == 0

@@ -1027,3 +1027,12 @@ def test_line_dedup_drops_corpus_wide_boilerplate(spark):
     assert out[3] == "a standalone document with no repeats"
     assert out[4] == ""
     assert set(out) == {1, 2, 3, 4}  # fully-dropped docs stay auditable
+
+
+def test_language_id_quoted_column_name(spark):
+    """Column names that need backtick quoting (spaces/dots) must work —
+    the zh CJK branch interpolates the identifier into a SQL expr."""
+    rows = [(1, "the cat sat on the mat and it is a good day for the walk")]
+    df = spark.createDataFrame(rows, ["doc_id", "doc text.raw"])
+    out = text.language_id(df, text_col="doc text.raw").collect()
+    assert out[0]["lang_pred"] == "en"

@@ -120,3 +120,14 @@ def test_shared_strings_and_rich_text(tmp_path):
     got = list(read_xlsx_rows(path, "S"))
     assert got[0] == ["codec"]
     assert got[1] == ["pcm_s16le", " padded ", "42"]
+
+
+def test_headers_colliding_after_sanitize(spark, tmp_path):
+    """Two headers distinct only by characters the sanitizer folds
+    ('a b' vs 'a-b' -> 'a_b') must still produce unique column names."""
+    path = str(tmp_path / "collide.xlsx")
+    write_xlsx(path, [["a b", "a-b", "a_b"], ["1", "2", "3"]])
+    df = xlsx_dim(spark, path)
+    assert df.columns == ["a_b", "a_b_1", "a_b_2"]
+    row = df.collect()[0]
+    assert [row[c] for c in df.columns] == ["1", "2", "3"]
