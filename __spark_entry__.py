@@ -1557,7 +1557,13 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signatures_only: the banding path needs just (id, simhash) — skipping
     # the join-back removes a join stage + a second scan of documents.
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1500)
-    return simhash_near_duplicates(simhash(docs, signatures_only=True), max_hamming=3)
+    # max_bucket_size arms the exact hot-bucket secondary banding (the
+    # 100 TB guard against a degenerate chunk value); pigeonhole-exact, so
+    # the result set is identical with or without it (tested in
+    # test_operators.test_banded_hamming_hot_bucket_guard_is_exact)
+    return simhash_near_duplicates(
+        simhash(docs, signatures_only=True), max_hamming=3, max_bucket_size=64
+    )
 
 
 def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1857,7 +1863,9 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("clip_id"), F.lit("_r16k")).alias("clip_id"),
         F.col("bytes"),
     )
-    return audio_near_duplicates(clips.unionByName(copies))
+    return audio_near_duplicates(
+        clips.unionByName(copies), max_bucket_size=64
+    )
 
 
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:

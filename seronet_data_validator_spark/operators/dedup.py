@@ -467,60 +467,175 @@ def simhash_portable(
     return votes.select(F.col(id_col), fp.alias("simhash"))
 
 
+def _extract_bits(word_cols: list[str], lo: int, n: int):
+    """Column expression for bits [lo, lo+n) of a multi-word fingerprint
+    (word 0 = bits 0..63 LSB-first). Handles word-straddling sub-chunks."""
+    out = F.lit(0).cast("long")
+    got = 0
+    while got < n:
+        g = lo + got
+        wi, ofs = g // 64, g % 64
+        take = min(n - got, 64 - ofs)
+        part = F.shiftrightunsigned(F.col(word_cols[wi]), ofs).bitwiseAND(
+            F.lit((1 << take) - 1)
+        )
+        out = out.bitwiseOR(F.shiftleft(part, got))
+        got += take
+    return out
+
+
+def banded_hamming_pairs(
+    sig: DataFrame,
+    word_cols: list[str],
+    id_col: str,
+    *,
+    total_bits: int,
+    max_hamming: int,
+    n_bands: int,
+    max_bucket_size: int | None = None,
+    star: bool = False,
+) -> DataFrame:
+    """Pairs whose multi-word fingerprint differs in ≤ max_hamming bits —
+    the shared engine behind simhash_near_duplicates (64-bit, one long) and
+    dsp.audio_near_duplicates (128-bit, two longs).
+
+    Pigeonhole banding: split the fingerprint into n_bands (> max_hamming)
+    exact chunks — any qualifying pair shares ≥1 chunk → bucket-join on
+    (band, chunk), verify hamming with bit_count(xor).
+
+    Hot-bucket guard (``max_bucket_size``): a degenerate chunk value (near-
+    empty docs → simhash ≈ 0; silent clips → identical fingerprint words)
+    can concentrate a quadratic candidate blowup in one reducer. One count
+    agg finds oversized (band, chunk) buckets; rows of ONLY those buckets
+    are exploded into max_hamming+1 secondary sub-bands over the FULL
+    fingerprint. This refinement is EXACT, not a recall trade: a qualifying
+    pair differs in ≤ max_hamming bits, so at least one of the
+    max_hamming+1 sub-chunks is untouched (pigeonhole again) and the pair
+    still meets in that sub-bucket. The .distinct() already in the plan
+    absorbs the multi-sub-band duplicates.
+
+    A bucket that stays hot after refinement is all-identical fingerprints —
+    its all-pairs OUTPUT is inherently quadratic. ``star=True`` caps that
+    too: per final bucket emit only (bucket-min id, other id) hub pairs —
+    linear output that preserves component connectivity for
+    connected_components / dedup_keep_first (hub-spoke hamming is 0 in the
+    identical-fingerprint buckets this is for).
+    """
+    width = total_bits // n_bands
+    slim = sig.select(id_col, *word_cols)
+    chunks = slim.select(
+        F.col(id_col),
+        *word_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _extract_bits(word_cols, b * width, width).alias("chunk"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select(id_col, *word_cols, "bc.band", "bc.chunk")
+    if max_bucket_size:
+        n_sub = max_hamming + 1
+        subw = total_bits // n_sub
+        hot = (
+            chunks.groupBy("band", "chunk")
+            .count()
+            .where(F.col("count") > max_bucket_size)
+            .select(
+                F.col("band").alias("_hb"), F.col("chunk").alias("_hc")
+            )
+        )
+        flagged = chunks.join(
+            F.broadcast(hot),
+            (F.col("band") == F.col("_hb")) & (F.col("chunk") == F.col("_hc")),
+            "left",
+        )
+        cold = flagged.where(F.col("_hb").isNull()).select(
+            id_col, *word_cols, "band", "chunk",
+            F.lit(-1).alias("sub"), F.lit(0).cast("long").alias("subchunk"),
+        )
+        sub_structs = [
+            F.struct(
+                F.lit(j).alias("sub"),
+                _extract_bits(
+                    word_cols,
+                    j * subw,
+                    subw if j < n_sub - 1 else total_bits - (n_sub - 1) * subw,
+                ).alias("subchunk"),
+            )
+            for j in range(n_sub)
+        ]
+        hot_rows = flagged.where(F.col("_hb").isNotNull()).select(
+            id_col, *word_cols, "band", "chunk",
+            F.explode(F.array(*sub_structs)).alias("sc"),
+        ).select(id_col, *word_cols, "band", "chunk", "sc.sub", "sc.subchunk")
+        chunks = cold.unionByName(hot_rows)
+        key = ["band", "chunk", "sub", "subchunk"]
+    else:
+        key = ["band", "chunk"]
+    if star:
+        chunks = chunks.withColumn(
+            "_hub", F.min(id_col).over(Window.partitionBy(*key))
+        )
+        l = chunks.where(F.col(id_col) == F.col("_hub")).drop("_hub").alias("l")
+        r = chunks.where(F.col(id_col) != F.col("_hub")).drop("_hub").alias("r")
+    else:
+        l, r = chunks.alias("l"), chunks.alias("r")
+    cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+    for k in key:
+        cond = (F.col(f"l.{k}") == F.col(f"r.{k}")) & cond
+    ham = None
+    for w in word_cols:
+        x = F.bit_count(F.col(f"l.{w}").bitwiseXOR(F.col(f"r.{w}")))
+        ham = x if ham is None else ham + x
+    return (
+        l.join(r, cond)
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_near_duplicates(
     df_with_simhash: DataFrame,
     id_col: str = "doc_id",
     *,
     max_hamming: int = 3,
     n_bands: int = 4,
+    max_bucket_size: int | None = None,
+    star: bool = False,
     cache_handles: list | None = None,
 ) -> DataFrame:
     """Candidate pairs whose simhash differs in ≤ max_hamming bits.
-    Pigeonhole banding: split 64 bits into n_bands (> max_hamming) chunks —
-    any pair within distance shares ≥1 exact chunk → bucket-join on chunks,
-    verify hamming with bit_count(xor). Output (id_a, id_b, hamming).
-    ``cache_handles`` receives the persisted intermediate for caller-side
-    ``unpersist()`` (see minhash_dedup)."""
-    width = 64 // n_bands
+    Pigeonhole banding via :func:`banded_hamming_pairs` (64 bits, n_bands
+    exact chunks); ``max_bucket_size`` arms the exact hot-bucket secondary
+    banding and ``star`` the linear-output mode for identical-signature
+    buckets — see the helper's docstring. ``cache_handles`` receives the
+    persisted intermediate for caller-side ``unpersist()`` (see
+    minhash_dedup)."""
     # materialize (id, simhash) once: the banded self-join would otherwise
     # recompute the fingerprint fold on both sides
     slim = df_with_simhash.select(id_col, "simhash").persist()
     if cache_handles is not None:
         cache_handles.append(slim)
-    chunks = slim.select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), b * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("chunk"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bc"),
-    ).select(id_col, "simhash", "bc.band", "bc.chunk")
-    l, r = chunks.alias("l"), chunks.alias("r")
-    pairs = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
-        )
-        .distinct()
-        .where(F.col("hamming") <= max_hamming)
+    return banded_hamming_pairs(
+        slim,
+        ["simhash"],
+        id_col,
+        total_bits=64,
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+        max_bucket_size=max_bucket_size,
+        star=star,
     )
-    return pairs
 
 
 def embedding_near_duplicates(

@@ -289,19 +289,27 @@ def audio_near_duplicates(
     max_hamming: int = 12,
     n_bands_lsh: int = 16,
     id_col: str = "clip_id",
+    max_bucket_size: int | None = None,
+    star: bool = False,
     cache_handles: list | None = None,
 ) -> DataFrame:
     """Content-based audio near-dup pairs: fingerprints within `max_hamming`
     bits over the 128-bit spectral hash. Catches re-encoded, re-scaled and
     resampled copies that exact byte-level dedup misses.
 
-    Pigeonhole banding like dedup.simhash_near_duplicates: the 128 bits
-    split into `n_bands_lsh` exact chunks (16 bands × 8 bits by default —
-    any pair within 15 bits of each other shares ≥1 exact chunk, so the
+    Pigeonhole banding via dedup.banded_hamming_pairs: the 128 bits split
+    into `n_bands_lsh` exact chunks (16 bands × 8 bits by default — any
+    pair within 15 bits of each other shares ≥1 exact chunk, so the
     max_hamming=12 default has the full guarantee); candidates bucket-join
-    on (band, chunk), verify with bit_count(xor). The fingerprint pass is
-    the only Python; banding + verify are JVM Column ops on two longs.
-    Output: (id_a, id_b, hamming)."""
+    on (band, chunk), verify with bit_count(xor). ``max_bucket_size`` arms
+    the exact hot-bucket secondary banding (silent/constant clips hash to
+    identical fingerprint words and would otherwise concentrate a quadratic
+    candidate blowup in one reducer); ``star`` caps the inherently
+    quadratic identical-fingerprint output with hub pairs. The fingerprint
+    pass is the only Python; banding + verify are JVM Column ops on two
+    longs. Output: (id_a, id_b, hamming)."""
+    from seronet_data_validator_spark.operators.dedup import banded_hamming_pairs
+
     if 128 % n_bands_lsh:
         raise ValueError("n_bands_lsh must divide 128")
     if max_hamming >= n_bands_lsh:
@@ -309,49 +317,20 @@ def audio_near_duplicates(
             "pigeonhole guarantee needs max_hamming < n_bands_lsh "
             f"(got {max_hamming} >= {n_bands_lsh})"
         )
-    width = 128 // n_bands_lsh
-    mask = F.lit((1 << width) - 1)
     fp = audio_fingerprint(clips, id_col=id_col).where(
         F.col("fp0").isNotNull()
     ).persist()
     if cache_handles is not None:
         cache_handles.append(fp)
-    per_word = 64 // width
-    chunks = fp.select(
-        F.col(id_col), "fp0", "fp1",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(
-                            F.col("fp0") if b < per_word else F.col("fp1"),
-                            (b % per_word) * width,
-                        ).bitwiseAND(mask).alias("chunk"),
-                    )
-                    for b in range(n_bands_lsh)
-                ]
-            )
-        ).alias("bc"),
-    ).select(id_col, "fp0", "fp1", "bc.band", "bc.chunk")
-    l, r = chunks.alias("l"), chunks.alias("r")
-    return (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            (
-                F.bit_count(F.col("l.fp0").bitwiseXOR(F.col("r.fp0")))
-                + F.bit_count(F.col("l.fp1").bitwiseXOR(F.col("r.fp1")))
-            ).alias("hamming"),
-        )
-        .distinct()
-        .where(F.col("hamming") <= max_hamming)
+    return banded_hamming_pairs(
+        fp,
+        ["fp0", "fp1"],
+        id_col,
+        total_bits=128,
+        max_hamming=max_hamming,
+        n_bands=n_bands_lsh,
+        max_bucket_size=max_bucket_size,
+        star=star,
     )
 
 

@@ -399,3 +399,39 @@ def test_mel_features_known_answers(spark):
 
     # MFCC c0 tracks overall log energy: tone >> silence
     assert out["tone"]["mfcc_mean"][0] > out["sil"]["mfcc_mean"][0] + 10
+
+
+def test_audio_near_duplicates_hot_bucket_guard(spark):
+    """Silent clips all fingerprint identically — a degenerate hot bucket.
+    The guard must keep the genuine planted pair (exact refinement) and
+    star mode must cap the silent cluster's output at linear."""
+    sr = 16000
+    silence = np.zeros(4800, np.float32)
+    rows = [("s%03d" % i, _wav(silence, sr)) for i in range(60)]
+    rows.append(("a1", _wav(_tone(220, sr, 300), sr)))
+    rows.append(("a2", _wav(_tone(220, sr, 300, amp=0.2), sr)))
+    df = _clips_df(spark, rows)
+    caches = []
+    plain = {
+        (r["id_a"], r["id_b"])
+        for r in audio_near_duplicates(df, cache_handles=caches).collect()
+    }
+    guarded = {
+        (r["id_a"], r["id_b"])
+        for r in audio_near_duplicates(
+            df, max_bucket_size=10, cache_handles=caches
+        ).collect()
+    }
+    assert guarded == plain  # exact refinement
+    assert ("a1", "a2") in guarded
+    star = audio_near_duplicates(
+        df, max_bucket_size=10, star=True, cache_handles=caches
+    ).collect()
+    for h in caches:
+        h.unpersist()
+    silent_pairs = [
+        r for r in star if r["id_a"].startswith("s") and r["id_b"].startswith("s")
+    ]
+    assert len(silent_pairs) == 59  # hub pairs, not 60*59/2
+    assert {r["id_a"] for r in silent_pairs} == {"s000"}
+    assert any(r["id_a"] == "a1" and r["id_b"] == "a2" for r in star)

@@ -1036,3 +1036,52 @@ def test_language_id_quoted_column_name(spark):
     df = spark.createDataFrame(rows, ["doc_id", "doc text.raw"])
     out = text.language_id(df, text_col="doc text.raw").collect()
     assert out[0]["lang_pred"] == "en"
+
+
+def test_banded_hamming_hot_bucket_guard_is_exact(spark):
+    """Degenerate-band scenario: a pile of near-empty docs all hash to the
+    same simhash (one hot (band, chunk) bucket). The hot-bucket secondary
+    banding must (a) return EXACTLY the unguarded pair set on mixed data —
+    the refinement is pigeonhole-exact, not a recall trade — and (b) with
+    star=True cap an identical-fingerprint bucket's output at linear."""
+    import random
+
+    rnd = random.Random(3)
+    n_empty = 400
+    rows = [(i, "the") for i in range(n_empty)]  # all near-empty -> same fp
+    # mixed tail: planted near-dup pair + distinct docs
+    base = ["tok%d" % rnd.randrange(5000) for _ in range(400)]
+    rows.append((10_000, " ".join(base)))
+    rows.append((10_001, " ".join(base[:-1] + ["tokX"])))  # near dup
+    for i in range(40):
+        rows.append((20_000 + i, " ".join("w%d" % rnd.randrange(10**6) for _ in range(50))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = dedup.simhash(df, signatures_only=True).persist()
+
+    plain = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_near_duplicates(fp, max_hamming=8).collect()
+    }
+    guarded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_near_duplicates(
+            fp, max_hamming=8, max_bucket_size=50
+        ).collect()
+    }
+    assert guarded == plain
+    assert (10_000, 10_001) in {(a, b) for a, b, _ in guarded}
+    # the empty-doc bucket is all-pairs quadratic in the exact modes
+    n_empty_pairs = sum(1 for a, b, _ in guarded if a < n_empty and b < n_empty)
+    assert n_empty_pairs == n_empty * (n_empty - 1) // 2
+    # star mode: linear hub pairs for the identical-fingerprint bucket,
+    # same connectivity (every empty doc reachable from the hub)
+    star = dedup.simhash_near_duplicates(
+        fp, max_hamming=8, max_bucket_size=50, star=True
+    ).collect()
+    star_empty = [r for r in star if r["id_a"] < n_empty and r["id_b"] < n_empty]
+    assert len(star_empty) == n_empty - 1
+    assert {r["id_a"] for r in star_empty} == {0}  # hub = min id
+    assert all(r["hamming"] == 0 for r in star_empty)
+    # the planted genuine near-dup pair survives star mode too
+    assert any(r["id_a"] == 10_000 and r["id_b"] == 10_001 for r in star)
+    fp.unpersist()
