@@ -1990,6 +1990,125 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+def _exact_lifecycle_tables(spark: SparkSession):
+    """Integer-recipe fixture for the FULL-lifecycle value oracle
+    (clips_validation_exact): every clips/reference/declared/prior column —
+    including the PCM payloads — derives from integer arithmetic an external
+    engine can replay, and each violation family is planted at a known k.
+    80 base rows; corruption map (k): 0,1 bad id → C3; 2 duplicated row →
+    C4; 3 sr=12345 → C6 (its C13a.sr twin deduped by C22 first-writer-
+    wins); 4 dur=1e7 → C9 (C13a.dur twin deduped); 5 'N/A' transcript →
+    C10; 6 '' transcript → C14; 7 codec_x7 → C20.map_id; 8 codec_x9 →
+    C20-SUPPRESSED (in the prior violations table — absence is part of the
+    oracle); 9 declared sr 16000 → C13a.sr_mismatch; 10 declared dur+500 →
+    C13a.dur_mismatch; 11 truncated blob → C13a.decode; 12 constant-PCM
+    272-vs-256 pair → C13a.snr at exactly 10·log10(256) dB (all float32
+    partial sums exactly representable, so BLAS order cannot perturb it);
+    13 transcript edit → C13a.transcript; 14 80-word transcript at 150 ms
+    → C13b.speech_rate; 15 dropped from reference → C17.orphan; one extra
+    reference id → C17.childless; declared site '99' → C19.missing.
+
+    Reference contract analog: test_bad_submission.py:36-54's golden
+    per-(sheet,column) error counts — upgraded here from counts to full
+    row/value/message equality."""
+    import numpy as np
+
+    from seronet_data_validator_spark.sources.clips import CODECS, SITES, wav_bytes
+
+    clips_rows, ref_rows = [], []
+    for k in range(80):
+        site = SITES[k % 4]
+        corpus = (k * 104729 + 7) % 1000000
+        cid = f"{site}_{corpus:06d}_{k:03d}"
+        n = 1200 + (k % 7) * 400
+        i = np.arange(n, dtype=np.int64)
+        smp = (((k * 7919 + i * 104729 + 12345) % 65536) - 32768).astype(np.int16)
+        sr_decl, dur_decl = 8000, n // 8
+        codec = CODECS[k % 5]
+        base_t = " ".join(f"w{(k * 31 + j * 7) % 23}" for j in range(4 + k % 5))
+        transcript = ref_t = base_t
+        b = wav_bytes(smp, 8000)
+        ref_b = b
+        if k in (0, 1):
+            cid = f"BAD-ID-{k}"
+        elif k == 3:
+            sr_decl = 12345
+        elif k == 4:
+            dur_decl = 10_000_000
+        elif k == 5:
+            transcript = ref_t = "N/A"
+        elif k == 6:
+            transcript = ref_t = ""
+        elif k == 7:
+            codec = "codec_x7"
+        elif k == 8:
+            codec = "codec_x9"
+        elif k == 9:
+            sr_decl = 16000
+        elif k == 10:
+            dur_decl = n // 8 + 500
+        elif k == 11:
+            b = ref_b = b[:60]
+        elif k == 12:
+            b = wav_bytes(np.full(n, 272, np.int16), 8000)
+            ref_b = wav_bytes(np.full(n, 256, np.int16), 8000)
+        elif k == 13:
+            transcript = base_t + " xdiff"
+        elif k == 14:
+            transcript = ref_t = " ".join(f"r{j % 7}" for j in range(80))
+        row = (cid, bytearray(b), sr_decl, dur_decl, codec, transcript, site)
+        clips_rows.append(row)
+        if k == 2:
+            clips_rows.append(row)
+        if k != 15:
+            ref_rows.append((cid, bytearray(ref_b), ref_t))
+    ref_rows.append(
+        ("11_999999_999", bytearray(wav_bytes(np.zeros(1200, np.int16), 8000)), "extra")
+    )
+    clips = spark.createDataFrame(
+        clips_rows,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string, site string",
+    )
+    reference = spark.createDataFrame(
+        ref_rows, "clip_id string, ref_bytes binary, ref_transcript string"
+    )
+    declared = spark.createDataFrame(
+        [(x, "pcm_s16le") for x in SITES + ["99"]],
+        "site string, declared_codec string",
+    )
+    prior = spark.createDataFrame(
+        [("codec", "codec_x9")], "column_name string, column_value string"
+    )
+    return clips, reference, declared, prior
+
+
+def q_clips_validation_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone lifecycle under a FULL value oracle: the complete
+    validate_clips run (fused row rules + C4 + C20-suppressed referential +
+    C17 presence + C19 site consistency + the C13a decoded-PCM audio pass +
+    C22 first-writer-wins dedup) over the integer-recipe fixture of
+    _exact_lifecycle_tables. The DuckDB oracle regenerates the fixture from
+    the same integer arithmetic and replays every violation family —
+    including the decode-derived C13a values and the C22 dedup window —
+    producing identical severity/row/column/value/message strings."""
+    from seronet_data_validator_spark.runner import SiteConsistencySpec, validate_clips
+    from seronet_data_validator_spark.sources.clips import codec_registry_df
+
+    clips, reference, declared, prior = _exact_lifecycle_tables(spark)
+    res = validate_clips(
+        spark,
+        clips,
+        codec_registry=codec_registry_df(spark),
+        reference_clips=reference,
+        run_id="exact",
+        prior_violations=prior,
+        site_consistency=SiteConsistencySpec(declared=declared),
+        run_presence_pass=True,
+    )
+    return res.violations
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is part of the external contract: the correctness driver
     # verifies the first 50 entries per round. Round 3 verified the 50 queries
@@ -1999,7 +2118,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sentinels sit past the cutoff — their regression net is
     # tests/test_entry_contract.py (all queries vs DuckDB) + pytest.
     return {
-        # -- positions 0-41: the round-3 additions the driver has not seen --
+        # -- r5 window head: new value-oracle queries + changed queries --
+        "clips_validation_exact": q_clips_validation_exact,
+        # -- positions below: the round-3 additions the driver has not seen --
         "user_sessions": q_user_sessions,
         "views_after_error": q_views_after_error,
         "corpus_split": q_corpus_split,
@@ -2139,8 +2260,199 @@ def _drift_oracle_sql(group_by: "str | None" = None) -> str:
     """
 
 
+# DuckDB replay of the FULL validation lifecycle over the integer-recipe
+# fixture (_exact_lifecycle_tables): regenerates every clips/reference/
+# declared/prior column from the same integer arithmetic, applies each
+# violation family as SQL predicates with identical message formats, and
+# reproduces the C22 first-writer-wins dedup as a row_number window over
+# (table, row, column, value) ordered by pass ordinal. The decode-derived
+# C13a facts reduce to recipe constants: every non-truncated blob decodes
+# to n samples at 8000 Hz; the SNR pair is constant-PCM so the ratio is
+# exactly 256 and printf('%.1f', 10*log10(256)) matches Python's f'{:.1f}'.
+_CLIPS_VALIDATION_EXACT_SQL = r"""
+WITH base AS (
+    SELECT CAST(t.range AS BIGINT) AS k,
+           ['11','22','33','41'][CAST(t.range % 4 AS INT) + 1] AS site,
+           lpad(CAST((t.range * 104729 + 7) % 1000000 AS VARCHAR), 6, '0') AS corpus,
+           1200 + (t.range % 7) * 400 AS n,
+           array_to_string(
+               list_transform(range(0, 4 + CAST(t.range % 5 AS INT)),
+                              j -> 'w' || CAST((t.range * 31 + j * 7) % 23 AS VARCHAR)),
+               ' ') AS base_t
+    FROM range(0, 80) t
+),
+rows0 AS (
+    SELECT k, site, n,
+        CASE WHEN k IN (0, 1) THEN 'BAD-ID-' || CAST(k AS VARCHAR)
+             ELSE site || '_' || corpus || '_' || lpad(CAST(k AS VARCHAR), 3, '0')
+        END AS clip_id,
+        CASE WHEN k = 3 THEN 12345 WHEN k = 9 THEN 16000 ELSE 8000 END AS sr_hz,
+        CASE WHEN k = 4 THEN 10000000
+             WHEN k = 10 THEN n // 8 + 500
+             ELSE n // 8 END AS dur_ms,
+        CASE WHEN k = 7 THEN 'codec_x7' WHEN k = 8 THEN 'codec_x9'
+             ELSE ['pcm_s16le','flac','opus','mp3','aac'][CAST(k % 5 AS INT) + 1]
+        END AS codec,
+        CASE WHEN k = 5 THEN 'N/A' WHEN k = 6 THEN ''
+             WHEN k = 13 THEN base_t || ' xdiff'
+             WHEN k = 14 THEN array_to_string(list_transform(range(0, 80), j -> 'r' || CAST(j % 7 AS VARCHAR)), ' ')
+             ELSE base_t END AS transcript,
+        CASE WHEN k = 5 THEN 'N/A' WHEN k = 6 THEN ''
+             WHEN k = 14 THEN array_to_string(list_transform(range(0, 80), j -> 'r' || CAST(j % 7 AS VARCHAR)), ' ')
+             ELSE base_t END AS ref_transcript,
+        (k = 11) AS truncated,
+        CASE WHEN k = 11 THEN NULL ELSE 8000 END AS decoded_sr,
+        CASE WHEN k = 11 THEN NULL ELSE n // 8 END AS decoded_ms,
+        (k = 12) AS bytes_differ
+    FROM base
+),
+clips AS (
+    SELECT * FROM rows0
+    UNION ALL
+    SELECT * FROM rows0 WHERE k = 2
+),
+ref_ids AS (
+    SELECT clip_id FROM rows0 WHERE k <> 15
+    UNION ALL SELECT '11_999999_999'
+),
+allv AS (
+    -- ord 0: fused row rules -----------------------------------------
+    SELECT 'Error' AS severity, 'clips' AS table_name, clip_id AS row_ref,
+           'clip_id' AS column_name, clip_id AS column_value,
+           'C3.clip_id_format' AS rule_id,
+           'ID value ' || clip_id || ' does not match format ^[0-9]{2}_[0-9]{6}_[0-9]{3}$' AS message,
+           0 AS ord
+    FROM clips
+    WHERE clip_id IS NOT NULL AND clip_id <> ''
+      AND NOT regexp_matches(clip_id, '^[0-9]{2}_[0-9]{6}_[0-9]{3}$')
+    UNION ALL
+    SELECT 'Error', 'clips', clip_id, 'clip_id', clip_id, 'C3.clip_id_format',
+           'ID prefix ' || substr(clip_id, 1, 2) || ' is not an approved site code', 0
+    FROM clips
+    WHERE clip_id IS NOT NULL AND clip_id <> ''
+      AND regexp_matches(clip_id, '^[0-9]{2}_[0-9]{6}_[0-9]{3}$')
+      AND substr(clip_id, 1, 2) NOT IN ('11','22','33','41')
+    UNION ALL
+    SELECT 'Error', 'clips', clip_id, 'sr_hz', CAST(sr_hz AS VARCHAR),
+           'C6.sr_hz_allowed',
+           'Value ' || sr_hz || ' is not an approved value; expected one of [''16000'', ''22050'', ''44100'', ''48000'', ''8000'']', 0
+    FROM clips
+    WHERE sr_hz IS NOT NULL AND sr_hz NOT IN (8000, 16000, 22050, 44100, 48000)
+    UNION ALL
+    SELECT 'Error', 'clips', clip_id, 'dur_ms', CAST(dur_ms AS VARCHAR),
+           'C9.dur_ms_range',
+           'Value ' || dur_ms || ' is out of range [1, 600000]', 0
+    FROM clips
+    WHERE dur_ms IS NOT NULL AND dur_ms NOT BETWEEN 1 AND 600000
+    UNION ALL
+    SELECT 'Error', 'clips', clip_id, 'transcript', transcript,
+           'C10.transcript_text',
+           'Value ' || transcript || ' is not a valid free-text string', 0
+    FROM clips
+    WHERE transcript = 'N/A'
+       OR (transcript IS NOT NULL AND transcript <> '' AND trim(transcript) = '')
+    UNION ALL
+    SELECT 'Error', 'clips', clip_id, 'transcript', coalesce(transcript, 'NULL'),
+           'C14.transcript_required', 'Required value is missing', 0
+    FROM clips
+    WHERE transcript IS NULL OR transcript = ''
+    UNION ALL
+    SELECT 'Error', 'clips', clip_id, 'transcript', transcript,
+           'C13b.speech_rate',
+           'Speech rate ' || CAST(round(len(string_split_regex(trim(transcript), '\s+')) / (dur_ms / 1000.0), 1) AS VARCHAR)
+           || ' words/sec exceeds 240.0 (transcript vs dur_ms)', 0
+    FROM clips
+    WHERE transcript IS NOT NULL AND trim(transcript) <> ''
+      AND upper(trim(transcript)) <> 'N/A'
+      AND dur_ms IS NOT NULL AND dur_ms > 0
+      AND len(string_split_regex(trim(transcript), '\s+')) / (dur_ms / 1000.0) > 240.0
+    -- ord 1: C4 duplicate ids ----------------------------------------
+    UNION ALL
+    SELECT 'Error', 'clips', '-3', 'clip_id', clip_id, 'C4.dup_id',
+           'ID ' || clip_id || ' appears ' || CAST(cnt AS VARCHAR) || ' times; IDs must be unique', 1
+    FROM (
+        SELECT clip_id, count(*) AS cnt FROM clips
+        WHERE clip_id IS NOT NULL AND clip_id NOT IN ('N/A', '')
+        GROUP BY clip_id HAVING count(*) > 1
+    )
+    -- ord 2: C20 referential with suppression ------------------------
+    UNION ALL
+    SELECT 'Error', 'clips', clip_id, 'codec', codec, 'C20.map_id',
+           'Value ' || codec || ' was not found in codec_registry (not previously reported)', 2
+    FROM clips
+    WHERE codec IS NOT NULL AND codec <> ''
+      AND codec NOT IN ('pcm_s16le','flac','opus','mp3','aac')
+      AND codec NOT IN ('codec_x9')
+    -- ord 3: C17 presence --------------------------------------------
+    UNION ALL
+    SELECT 'Error', 'clips', '-5', 'clip_id', clip_id, 'C17.orphan',
+           'ID ' || clip_id || ' in clips not found in reference', 3
+    FROM (SELECT DISTINCT clip_id FROM clips WHERE clip_id NOT IN (SELECT clip_id FROM ref_ids))
+    UNION ALL
+    SELECT 'Warning', 'reference', '-5', 'clip_id', clip_id, 'C17.childless',
+           'ID ' || clip_id || ' in reference has no rows in clips', 3
+    FROM (SELECT clip_id FROM ref_ids WHERE clip_id NOT IN (SELECT clip_id FROM clips))
+    -- ord 4: C19 site consistency ------------------------------------
+    UNION ALL
+    SELECT 'Error', 'clips', '-5', 'site', d.site, 'C19.missing',
+           'Group ' || d.site || ' has no in-scope rows to confirm its declared status', 4
+    FROM (VALUES ('11'),('22'),('33'),('41'),('99')) d(site)
+    LEFT JOIN (SELECT site, count(*) AS c FROM clips GROUP BY site) o USING (site)
+    WHERE coalesce(o.c, 0) = 0
+    UNION ALL
+    SELECT 'Error', 'clips', '-5', 'site', d.site, 'C19.none_match',
+           'Group declared pcm_s16le but no row observes class pcm_s16le', 4
+    FROM (VALUES ('11'),('22'),('33'),('41'),('99')) d(site)
+    JOIN (
+        SELECT site, count(*) AS n_any,
+               sum(CASE WHEN codec = 'pcm_s16le' THEN 1 ELSE 0 END) AS n_ok
+        FROM clips GROUP BY site
+    ) o USING (site)
+    WHERE o.n_any > 0 AND o.n_ok = 0
+    -- ord 5: C13a audio invariants -----------------------------------
+    UNION ALL
+    SELECT 'Error', 'clips', clip_id, 'bytes', '<60B>', 'C13a.decode',
+           'audio buffer failed to decode: truncated: declared data chunk '
+           || CAST(2 * n AS VARCHAR) || ' B exceeds payload 16 B', 5
+    FROM clips WHERE truncated
+    UNION ALL
+    SELECT 'Error', 'clips', clip_id, 'sr_hz', CAST(sr_hz AS VARCHAR),
+           'C13a.sr_mismatch',
+           'declared sr_hz ' || sr_hz || ' != decoded ' || decoded_sr, 5
+    FROM clips WHERE NOT truncated AND sr_hz <> decoded_sr
+    UNION ALL
+    SELECT 'Error', 'clips', clip_id, 'dur_ms', CAST(dur_ms AS VARCHAR),
+           'C13a.dur_mismatch',
+           'declared dur_ms ' || dur_ms || ' != decoded ' || decoded_ms, 5
+    FROM clips WHERE NOT truncated AND abs(decoded_ms - dur_ms) > 2
+    UNION ALL
+    SELECT 'Error', 'clips', clip_id, 'bytes',
+           'snr=' || printf('%.1f', 10 * log10((65536.0 * n) / (256.0 * n))) || 'dB',
+           'C13a.snr',
+           'decoded PCM SNR ' || printf('%.1f', 10 * log10((65536.0 * n) / (256.0 * n)))
+           || ' dB below required 30.0 dB', 5
+    FROM clips WHERE bytes_differ AND NOT truncated
+    UNION ALL
+    SELECT 'Error', 'clips', clip_id, 'transcript', coalesce(transcript, 'None'),
+           'C13a.transcript', 'transcript does not equal reference transcript', 5
+    FROM clips
+    WHERE ref_transcript IS NOT NULL AND transcript IS DISTINCT FROM ref_transcript
+)
+SELECT severity, table_name, row_ref, column_name, column_value, rule_id, message
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY table_name, row_ref, column_name, column_value
+        ORDER BY ord, rule_id, message
+    ) AS rn
+    FROM allv
+)
+WHERE rn = 1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "clips_validation_exact": _CLIPS_VALIDATION_EXACT_SQL,
         # Regenerates _exact_wav_clips' integer sample recipe and recomputes
         # every feature: peak/zero-crossings as integer aggregates (BIGINT
         # casts — DuckDB SUM(int) is HUGEINT and would reach pandas as
