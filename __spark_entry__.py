@@ -1990,6 +1990,58 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+def _fixed_centroids(spark: SparkSession, sf_dir: str, n_cells: int = 8):
+    """Fixed IVF/SemDeDup cell centers for the exact-replay queries: the
+    embedding vectors of vec_id 0..n_cells-1, collected once. Using data
+    rows as centers is the seeding step of train_centroids without the
+    Lloyd refinement — the refinement is driver-side numpy (not SQL-
+    replayable), while fixed centers keep the entire search path
+    value-checkable in DuckDB."""
+    rows = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < n_cells)
+        .orderBy("vec_id")
+        .collect()
+    )
+    return [[float(v) for v in r["embedding"]] for r in rows]
+
+
+def q_ivf_search_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search under a FULL value oracle: fixed centroids (the first
+    8 embedding rows), argmin cell assignment, nprobe=3 probe, exact cosine
+    top-10 — every stage replayed by DuckDB over the same parquet
+    (assignment argmin, probe ranking, and the rounded cosine ordering)."""
+    from seronet_data_validator_spark.operators.similarity import (
+        assign_cells,
+        ivf_topk,
+    )
+
+    cents = _fixed_centroids(spark, sf_dir, 8)
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 400)
+    corpus = assign_cells(emb, cents)
+    q = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivf_topk(corpus, q, cents, k=10, nprobe=3)
+    return out.select(
+        "query_id", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
+def q_semantic_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup under a FULL value oracle: same fixed centroids, within-cell
+    cosine pairs >= 0.3 — DuckDB replays cell assignment and every pair's
+    rounded cosine."""
+    from seronet_data_validator_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    cents = _fixed_centroids(spark, sf_dir, 8)
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 400)
+    out = semantic_dedup_pairs(emb, threshold=0.3, centroids=cents)
+    return out.select(F.col("cell").cast("int").alias("cell"), "id_a", "id_b", "cos_sim")
+
+
 def _exact_lifecycle_tables(spark: SparkSession):
     """Integer-recipe fixture for the FULL-lifecycle value oracle
     (clips_validation_exact): every clips/reference/declared/prior column —
@@ -2120,6 +2172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- r5 window head: new value-oracle queries + changed queries --
         "clips_validation_exact": q_clips_validation_exact,
+        "ivf_search_exact": q_ivf_search_exact,
+        "semantic_dedup_exact": q_semantic_dedup_exact,
         # -- positions below: the round-3 additions the driver has not seen --
         "user_sessions": q_user_sessions,
         "views_after_error": q_views_after_error,
@@ -2450,9 +2504,118 @@ WHERE rn = 1
 """
 
 
+# Exact replay of the fixed-centroid IVF search: cell assignment argmin,
+# probe ranking, and the rounded-cosine top-k ordering all re-derived in
+# SQL over the same parquet.
+_IVF_SEARCH_EXACT_SQL = r"""
+WITH cents AS (
+    SELECT vec_id AS cell, embedding AS cvec,
+           list_dot_product(embedding, embedding) AS c2
+    FROM embeddings WHERE vec_id < 8
+),
+corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400),
+assigned AS (
+    SELECT vec_id, embedding, cell FROM (
+        SELECT c.vec_id, c.embedding, ce.cell,
+               row_number() OVER (
+                   PARTITION BY c.vec_id
+                   ORDER BY ce.c2 - 2 * list_dot_product(c.embedding, ce.cvec), ce.cell
+               ) AS rn
+        FROM corpus c CROSS JOIN cents ce
+    ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id = 0),
+qcells AS (
+    SELECT query_id, qvec, cell FROM (
+        SELECT q.query_id, q.qvec, ce.cell,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY ce.c2 - 2 * list_dot_product(q.qvec, ce.cvec), ce.cell
+               ) AS rn
+        FROM q CROSS JOIN cents ce
+    ) WHERE rn <= 3
+),
+hits AS (
+    SELECT qc.query_id, a.vec_id,
+           round(list_dot_product(a.embedding, qc.qvec)
+                 / (sqrt(list_dot_product(a.embedding, a.embedding))
+                    * sqrt(list_dot_product(qc.qvec, qc.qvec))), 4) AS cos_sim
+    FROM assigned a JOIN qcells qc ON a.cell = qc.cell
+)
+SELECT query_id, vec_id, cos_sim, CAST(rank AS INTEGER) AS rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+    FROM hits
+) WHERE rank <= 10
+"""
+
+# Exact replay of fixed-centroid SemDeDup: assignment + within-cell pairs.
+_SEMANTIC_DEDUP_EXACT_SQL = r"""
+WITH cents AS (
+    SELECT vec_id AS cell, embedding AS cvec,
+           list_dot_product(embedding, embedding) AS c2
+    FROM embeddings WHERE vec_id < 8
+),
+corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400),
+assigned AS (
+    SELECT vec_id, embedding, cell,
+           sqrt(list_dot_product(embedding, embedding)) AS nrm
+    FROM (
+        SELECT c.vec_id, c.embedding, ce.cell,
+               row_number() OVER (
+                   PARTITION BY c.vec_id
+                   ORDER BY ce.c2 - 2 * list_dot_product(c.embedding, ce.cvec), ce.cell
+               ) AS rn
+        FROM corpus c CROSS JOIN cents ce
+    ) WHERE rn = 1
+)
+SELECT CAST(a.cell AS INTEGER) AS cell, a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm), 4) AS cos_sim
+FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm), 4) >= 0.3
+"""
+
+# Independent brute-force verification of the xxhash64-banded MinHash
+# pipeline: DuckDB derives ALL pairs with 3-gram Jaccard >= 0.3 from an
+# inverted gram index (exact: any qualifying pair shares >= 1 gram) with
+# no knowledge of the LSH internals. Distinct-hash Jaccard == distinct-
+# gram Jaccard (xxhash64 is collision-free on this corpus), so a banding
+# recall miss OR a verify-stage arithmetic error both surface as a
+# mismatch. Verified identical (25 pairs, value-for-value) at sf0.01.
+_MINHASH_NEARDUP_SQL = r"""
+
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+    FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+               i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS g
+    FROM toks
+),
+ex AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       round(len(list_intersect(ga.g, gb.g))
+             / len(list_distinct(list_concat(ga.g, gb.g))), 4) AS jaccard
+FROM cand c
+JOIN grams ga ON ga.doc_id = c.id_a
+JOIN grams gb ON gb.doc_id = c.id_b
+WHERE round(len(list_intersect(ga.g, gb.g))
+            / len(list_distinct(list_concat(ga.g, gb.g))), 4) >= 0.3
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "clips_validation_exact": _CLIPS_VALIDATION_EXACT_SQL,
+        "ivf_search_exact": _IVF_SEARCH_EXACT_SQL,
+        "semantic_dedup_exact": _SEMANTIC_DEDUP_EXACT_SQL,
+        "minhash_neardup": _MINHASH_NEARDUP_SQL,
         # Regenerates _exact_wav_clips' integer sample recipe and recomputes
         # every feature: peak/zero-crossings as integer aggregates (BIGINT
         # casts — DuckDB SUM(int) is HUGEINT and would reach pandas as

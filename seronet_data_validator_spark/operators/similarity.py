@@ -204,6 +204,7 @@ def semantic_dedup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 17,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication"): k-means the embedding space,
@@ -221,7 +222,9 @@ def semantic_dedup_pairs(
     clusters for 10^8 docs) keeping cluster population ~constant; the skew
     guard is raising n_cells, not a second LSH tier. Row norms are computed
     once per row BEFORE the join (N sqrt-folds, not N·pairs)."""
-    cents = train_centroids(
+    # ``centroids``: externally supplied cell centers (reuse a trained set
+    # across runs, or fixed literals for exact replay); default trains here.
+    cents = centroids if centroids is not None else train_centroids(
         corpus, n_cells=n_cells, vec_col=vec_col, id_col=id_col, iters=iters, seed=seed
     )
     withc = assign_cells(corpus, cents, vec_col=vec_col).select(
