@@ -1631,6 +1631,29 @@ def _exact_wav_clips(spark: SparkSession, n_clips: int = 60) -> DataFrame:
                     rows.append(
                         {"clip_id": f"exactf_{k:03d}", "bytes": flac_bytes(s, 8000)}
                     )
+                # k%3==1: the same samples through the LPC subframe codec
+                # (Levinson-Durbin order 8) — the LPC decode path's value
+                # check; lossless, so features are identical
+                if k % 3 == 1:
+                    rows.append(
+                        {
+                            "clip_id": f"exactl_{k:03d}",
+                            "bytes": flac_bytes(s, 8000, lpc_order=8),
+                        }
+                    )
+                # k%5==0: STEREO mid/side FLAC with L=R=s — the stereo
+                # decorrelation decode path; the engine's mono contract
+                # downmixes (L+R)>>1 == s exactly, so features are identical
+                if k % 5 == 0:
+                    st = np.stack([s, s], axis=1)
+                    rows.append(
+                        {
+                            "clip_id": f"exacts_{k:03d}",
+                            "bytes": flac_bytes(
+                                st, 8000, stereo_mode="mid_side", lpc_order=2
+                            ),
+                        }
+                    )
             yield pd.DataFrame(rows)
 
     return spark.range(0, n_clips, 1, 8).mapInPandas(
@@ -2636,6 +2659,18 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'exactf_' || lpad(CAST(k AS VARCHAR), 3, '0') AS clip_id,
                        k, 1200 + (k % 7) * 300 AS n
                 FROM ks WHERE k % 3 = 0
+                UNION ALL
+                -- 'exactl_': the same samples through LPC subframes
+                -- (order-8 Levinson-Durbin) — lossless, identical features
+                SELECT 'exactl_' || lpad(CAST(k AS VARCHAR), 3, '0') AS clip_id,
+                       k, 1200 + (k % 7) * 300 AS n
+                FROM ks WHERE k % 3 = 1
+                UNION ALL
+                -- 'exacts_': stereo mid/side FLAC with L=R=s; the mono
+                -- contract downmix (L+R)>>1 == s, identical features
+                SELECT 'exacts_' || lpad(CAST(k AS VARCHAR), 3, '0') AS clip_id,
+                       k, 1200 + (k % 7) * 300 AS n
+                FROM ks WHERE k % 5 = 0
             ), samp AS (
                 SELECT clip_id, k,
                        CAST(UNNEST(range(0, n)) AS BIGINT) AS i
