@@ -2065,6 +2065,40 @@ def q_semantic_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("cell").cast("int").alias("cell"), "id_a", "id_b", "cos_sim")
 
 
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling + per-frame luma features under a FULL value
+    oracle, across BOTH native container paths: Y4M (uncompressed, odd k)
+    and MJPEG-in-AVI (RIFF walk + per-frame T.81 decode, even k). Item k
+    has 4+k constant-luma frames ((k*37 + j*11) % 256) — constant frames
+    decode exactly at q=95, so mean_luma is the planted constant and
+    std_luma is 0.0; DuckDB regenerates the evenly-spaced frame sample
+    (numpy linspace = j*((n-1)/3) truncated, endpoint exact) and every
+    feature value arithmetically."""
+    import numpy as np
+
+    from seronet_data_validator_spark.operators.multimodal import (
+        avi_mjpeg_bytes,
+        video_frames,
+        y4m_bytes,
+    )
+
+    rows = []
+    for k in range(10):
+        n = 4 + k
+        lumas = [(k * 37 + j * 11) % 256 for j in range(n)]
+        if k % 2 == 0:
+            frames = np.stack(
+                [np.full((12, 16, 3), v, np.uint8) for v in lumas]
+            )
+            blob = avi_mjpeg_bytes(frames)
+        else:
+            frames = np.stack([np.full((12, 16), v, np.uint8) for v in lumas])
+            blob = y4m_bytes(frames)
+        rows.append((f"v{k:02d}", bytearray(blob)))
+    df = spark.createDataFrame(rows, "item_id string, bytes binary")
+    return video_frames(df, max_frames=4)
+
+
 def _exact_lifecycle_tables(spark: SparkSession):
     """Integer-recipe fixture for the FULL-lifecycle value oracle
     (clips_validation_exact): every clips/reference/declared/prior column —
@@ -2197,6 +2231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_validation_exact": q_clips_validation_exact,
         "ivf_search_exact": q_ivf_search_exact,
         "semantic_dedup_exact": q_semantic_dedup_exact,
+        "video_frames": q_video_frames,
         # -- positions below: the round-3 additions the driver has not seen --
         "user_sessions": q_user_sessions,
         "views_after_error": q_views_after_error,
@@ -2633,12 +2668,40 @@ WHERE round(len(list_intersect(ga.g, gb.g))
 """
 
 
+# Value oracle for the video path: regenerates the evenly-spaced frame
+# sample (linspace truncation + exact endpoint) and the constant-luma
+# features arithmetically; covers BOTH the Y4M and MJPEG-in-AVI decodes.
+_VIDEO_FRAMES_SQL = r"""
+WITH items AS (
+    SELECT CAST(t.range AS BIGINT) AS k,
+           'v' || lpad(CAST(t.range AS VARCHAR), 2, '0') AS item_id,
+           4 + CAST(t.range AS INT) AS n
+    FROM range(0, 10) t
+),
+idx AS (
+    SELECT item_id, k, n,
+           CAST(UNNEST(list_distinct(list_transform(range(0, 4),
+               j -> CASE WHEN j = 3 THEN n - 1
+                         ELSE CAST(trunc(j * ((n - 1.0) / 3.0)) AS INT) END
+           ))) AS INT) AS frame_idx
+    FROM items
+)
+SELECT item_id, frame_idx,
+       CAST(16 AS INT) AS width, CAST(12 AS INT) AS height,
+       CAST(n AS INT) AS n_frames,
+       CAST((k * 37 + frame_idx * 11) % 256 AS DOUBLE) AS mean_luma,
+       CAST(0.0 AS DOUBLE) AS std_luma
+FROM idx
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "clips_validation_exact": _CLIPS_VALIDATION_EXACT_SQL,
         "ivf_search_exact": _IVF_SEARCH_EXACT_SQL,
         "semantic_dedup_exact": _SEMANTIC_DEDUP_EXACT_SQL,
         "minhash_neardup": _MINHASH_NEARDUP_SQL,
+        "video_frames": _VIDEO_FRAMES_SQL,
         # Regenerates _exact_wav_clips' integer sample recipe and recomputes
         # every feature: peak/zero-crossings as integer aggregates (BIGINT
         # casts — DuckDB SUM(int) is HUGEINT and would reach pandas as

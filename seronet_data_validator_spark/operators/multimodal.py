@@ -471,12 +471,109 @@ def y4m_bytes(frames_y: np.ndarray, *, fps: int = 25) -> bytes:
     return bytes(out)
 
 
+def avi_mjpeg_bytes(frames_rgb: np.ndarray, *, fps: int = 25) -> bytes:
+    """Minimal MJPEG-in-AVI encoder (public RIFF/AVI layout + ITU-T T.81
+    frames): ``frames_rgb`` is (n, h, w, 3) uint8; every frame is encoded
+    as a baseline JPEG '00dc' chunk inside the 'movi' LIST, with the
+    standard hdrl (avih + strl/strh 'vids'/'MJPG' + strf BITMAPINFOHEADER)
+    headers and an idx1 index. Deterministic fixture source for the MJPEG
+    decode path in video_frames."""
+    import struct
+
+    from seronet_data_validator_spark.operators.jpeg import jpeg_bytes
+
+    n, h, w, _ = frames_rgb.shape
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    frames = [jpeg_bytes(frames_rgb[i], quality=95) for i in range(n)]
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, 0, 0, 0x10, n, 0, 1, 0, w, h, 0, 0, 0, 0
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<I", 0) + struct.pack("<HH", 0, 0)
+        + struct.pack("<8I", 0, 1, fps, 0, n, 0, 0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH", 40, w, h, 1, 24) + b"MJPG" + struct.pack(
+        "<IiiII", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_payload = b"".join(chunk(b"00dc", f) for f in frames)
+    movi = lst(b"movi", movi_payload)
+    # idx1: offsets relative to the start of 'movi' (the common convention)
+    idx, off = [], 4
+    for f in frames:
+        idx.append(b"00dc" + struct.pack("<III", 0x10, off, len(f)))
+        off += 8 + len(f) + (len(f) % 2)
+    idx1 = chunk(b"idx1", b"".join(idx))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _parse_avi_mjpeg(b: bytes) -> tuple[int, int, list[tuple[int, int]]]:
+    """Walk a RIFF/AVI container → (width, height, [(frame_off, frame_len)])
+    for the MJPEG video chunks ('00dc'/'00db' in the 'movi' LIST). Header-
+    only walk — no frame decodes; the offsets let the caller decode ONLY
+    sampled frames. Non-MJPEG video streams (H.264/VP9/...) raise
+    NotImplementedError: inter-frame codecs need a codec library — swap in
+    pyav/ffmpeg at that single point in production."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI buffer")
+    w = h = None
+    codec = None
+    frames: list[tuple[int, int]] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal w, h, codec
+        while pos + 8 <= end:
+            fourcc = b[pos : pos + 4]
+            size = struct.unpack_from("<I", b, pos + 4)[0]
+            payload_at = pos + 8
+            if fourcc == b"LIST":
+                walk(payload_at + 4, payload_at + size)
+            elif fourcc == b"strh" and size >= 16:
+                if b[payload_at : payload_at + 4] == b"vids":
+                    codec = b[payload_at + 4 : payload_at + 8]
+            elif fourcc == b"strf" and size >= 24 and w is None:
+                w = struct.unpack_from("<i", b, payload_at + 4)[0]
+                h = abs(struct.unpack_from("<i", b, payload_at + 8)[0])
+            elif fourcc[2:4] in (b"dc", b"db"):
+                frames.append((payload_at, size))
+            pos = payload_at + size + (size % 2)
+
+    try:
+        walk(12, min(len(b), 12 + struct.unpack_from("<I", b, 4)[0] - 4))
+    except struct.error as e:  # truncated header/chunk reads
+        raise ValueError(f"truncated AVI: {e}") from None
+    if codec not in (b"MJPG", b"mjpg"):
+        raise NotImplementedError(
+            f"AVI video codec {codec!r}: only MJPEG decodes natively; "
+            "inter-frame codecs need a codec library"
+        )
+    if w is None or not frames:
+        raise ValueError("AVI stream without video headers/frames")
+    return int(w), int(h), frames
+
+
 def _parse_y4m(b: bytes) -> tuple[int, int, int, int, int]:
     """Parse a YUV4MPEG2 stream header → (width, height, frame_payload_len,
     data_offset, luma_len). C420*/C444/mono supported (pure numpy stride
-    math); compressed video codecs (mp4/h264/vp9/...) are NOT parseable
-    without a codec library and raise NotImplementedError — swap in
-    pyav/ffmpeg at that single point in production; the Spark-side
+    math); MJPEG-in-AVI decodes through _parse_avi_mjpeg + the T.81
+    decoder; inter-frame compressed codecs (mp4/h264/vp9/...) are NOT
+    parseable without a codec library and raise NotImplementedError — swap
+    in pyav/ffmpeg at that single point in production; the Spark-side
     plumbing (schema, batching, sampling) does not change."""
     if b is None or len(b) < 10:
         raise ValueError("empty video buffer")
@@ -538,8 +635,38 @@ def video_frames(
                     "mean_luma", "std_luma")}
             for i in range(batch.num_rows):
                 seg = get(i)
+                blob = seg.tobytes() if seg is not None else None
+                if blob is not None and blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
+                    # MJPEG-in-AVI: header-only chunk walk, decode ONLY the
+                    # sampled frames through the native T.81 decoder
+                    from seronet_data_validator_spark.operators.jpeg import decode_jpeg
+
+                    try:
+                        _w, _h, frames = _parse_avi_mjpeg(blob)
+                    except (ValueError, NotImplementedError):
+                        continue
+                    n_frames = len(frames)
+                    take = np.unique(
+                        np.linspace(0, n_frames - 1,
+                                    num=min(max_frames, n_frames)).astype(int)
+                    )
+                    wl = np.array([0.299, 0.587, 0.114], np.float64)
+                    for fi in take:
+                        f_off, f_len = frames[fi]
+                        try:
+                            fw, fh, rgb = decode_jpeg(blob[f_off : f_off + f_len])
+                        except (ValueError, NotImplementedError):
+                            continue
+                        y = rgb.reshape(-1, 3).astype(np.float64) @ wl
+                        out["item_id"].append(ids[i])
+                        out["frame_idx"].append(int(fi))
+                        out["width"].append(fw)
+                        out["height"].append(fh)
+                        out["n_frames"].append(int(n_frames))
+                        out["mean_luma"].append(round(float(y.mean()), 4))
+                        out["std_luma"].append(round(float(y.std()), 4))
+                    continue
                 try:
-                    blob = seg.tobytes() if seg is not None else None
                     w, h, payload, off, luma = _parse_y4m(blob)
                 except (ValueError, NotImplementedError):
                     continue

@@ -435,3 +435,46 @@ def test_audio_near_duplicates_hot_bucket_guard(spark):
     assert len(silent_pairs) == 59  # hub pairs, not 60*59/2
     assert {r["id_a"] for r in silent_pairs} == {"s000"}
     assert any(r["id_a"] == "a1" and r["id_b"] == "a2" for r in star)
+
+
+def test_video_frames_mjpeg_avi(spark):
+    """MJPEG-in-AVI: RIFF container walk + per-frame T.81 decode. Constant
+    frames at quality 95 decode exactly, so mean/std luma are exact."""
+    from seronet_data_validator_spark.operators.multimodal import (
+        avi_mjpeg_bytes,
+        video_frames,
+    )
+
+    frames = np.stack(
+        [np.full((24, 32, 3), 40 * k + 20, np.uint8) for k in range(6)]
+    )
+    rows = [
+        ("avi1", bytearray(avi_mjpeg_bytes(frames))),
+        ("trunc", bytearray(avi_mjpeg_bytes(frames)[:40])),
+    ]
+    df = spark.createDataFrame(rows, "item_id string, bytes binary")
+    out = {(r["item_id"], r["frame_idx"]): r for r in video_frames(df, max_frames=3).collect()}
+    assert sorted(k[1] for k in out) == [0, 2, 5]
+    for fi in (0, 2, 5):
+        r = out[("avi1", fi)]
+        assert (r["width"], r["height"], r["n_frames"]) == (32, 24, 6)
+        assert r["mean_luma"] == 40.0 * fi + 20.0 and r["std_luma"] == 0.0
+    assert all(k[0] == "avi1" for k in out)  # truncated AVI skipped
+
+
+def test_avi_non_mjpeg_codec_raises(spark):
+    """A vids stream with a non-MJPEG codec must hit the documented
+    NotImplementedError boundary, not mis-decode."""
+    import pytest as _pytest
+
+    from seronet_data_validator_spark.operators.multimodal import (
+        _parse_avi_mjpeg,
+        avi_mjpeg_bytes,
+    )
+
+    frames = np.stack([np.full((8, 8, 3), 50, np.uint8) for _ in range(2)])
+    b = bytearray(avi_mjpeg_bytes(frames))
+    pos = bytes(b).index(b"vids") + 4
+    b[pos : pos + 4] = b"H264"
+    with _pytest.raises(NotImplementedError, match="H264"):
+        _parse_avi_mjpeg(bytes(b))
