@@ -484,6 +484,55 @@ def _extract_bits(word_cols: list[str], lo: int, n: int):
     return out
 
 
+def _hamming_pair_select(
+    l, r, cond, word_cols: list[str], id_col: str, max_hamming: int,
+    *, first_match: bool = False,
+):
+    """Shared tail of the banded joins: join, (optionally) first-match
+    dedup for sub-banded hot rows, hamming verify, distinct, threshold."""
+    joined = l.join(r, cond)
+    if first_match:
+        # keep a hot-bucket pair only at the FIRST sub-band where the two
+        # sub-chunk vectors agree — an identical-fingerprint pair matches
+        # all n_sub sub-buckets and would otherwise hit the .distinct()
+        # n_sub times over
+        eq = F.zip_with(F.col("l._subs"), F.col("r._subs"), lambda x, y: x == y)
+        joined = joined.where(
+            (F.col("l.sub") == -1)
+            | (F.col("l.sub") == F.array_position(eq, F.lit(True)) - 1)
+        )
+    ham = None
+    for w in word_cols:
+        x = F.bit_count(F.col(f"l.{w}").bitwiseXOR(F.col(f"r.{w}")))
+        ham = x if ham is None else ham + x
+    return (
+        joined.select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def _bucket_join_sides(chunks: DataFrame, key: list[str], id_col: str, star: bool):
+    """l/r sides of the within-bucket self-join; ``star`` restricts the
+    left side to each bucket's min-id hub (linear output per bucket)."""
+    if star:
+        chunks = chunks.withColumn(
+            "_hub", F.min(id_col).over(Window.partitionBy(*key))
+        )
+        l = chunks.where(F.col(id_col) == F.col("_hub")).drop("_hub").alias("l")
+        r = chunks.where(F.col(id_col) != F.col("_hub")).drop("_hub").alias("r")
+    else:
+        l, r = chunks.alias("l"), chunks.alias("r")
+    cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+    for k in key:
+        cond = (F.col(f"l.{k}") == F.col(f"r.{k}")) & cond
+    return l, r, cond
+
+
 def banded_hamming_pairs(
     sig: DataFrame,
     word_cols: list[str],
@@ -506,13 +555,16 @@ def banded_hamming_pairs(
     Hot-bucket guard (``max_bucket_size``): a degenerate chunk value (near-
     empty docs → simhash ≈ 0; silent clips → identical fingerprint words)
     can concentrate a quadratic candidate blowup in one reducer. One count
-    agg finds oversized (band, chunk) buckets; rows of ONLY those buckets
-    are exploded into max_hamming+1 secondary sub-bands over the FULL
-    fingerprint. This refinement is EXACT, not a recall trade: a qualifying
-    pair differs in ≤ max_hamming bits, so at least one of the
-    max_hamming+1 sub-chunks is untouched (pigeonhole again) and the pair
-    still meets in that sub-bucket. The .distinct() already in the plan
-    absorbs the multi-sub-band duplicates.
+    agg finds oversized (band, chunk) buckets; a bounded 1-row probe first
+    checks whether ANY bucket is hot — on healthy data none is, and the
+    guard costs exactly one count job with the join plan unchanged. When
+    hot buckets exist, rows of ONLY those buckets are exploded into
+    max_hamming+1 secondary sub-bands over the FULL fingerprint. This
+    refinement is EXACT, not a recall trade: a qualifying pair differs in
+    ≤ max_hamming bits, so at least one of the max_hamming+1 sub-chunks is
+    untouched (pigeonhole again) and the pair still meets in that
+    sub-bucket; each hot pair is kept only at its first matching sub-band,
+    so the multiplicity never reaches the final distinct.
 
     A bucket that stays hot after refinement is all-identical fingerprints —
     its all-pairs OUTPUT is inherently quadratic. ``star=True`` caps that
@@ -538,69 +590,54 @@ def banded_hamming_pairs(
             )
         ).alias("bc"),
     ).select(id_col, *word_cols, "bc.band", "bc.chunk")
+
+    hot = None
     if max_bucket_size:
-        n_sub = max_hamming + 1
-        subw = total_bits // n_sub
         hot = (
             chunks.groupBy("band", "chunk")
             .count()
             .where(F.col("count") > max_bucket_size)
-            .select(
-                F.col("band").alias("_hb"), F.col("chunk").alias("_hc")
-            )
+            .select(F.col("band").alias("_hb"), F.col("chunk").alias("_hc"))
         )
-        flagged = chunks.join(
-            F.broadcast(hot),
-            (F.col("band") == F.col("_hb")) & (F.col("chunk") == F.col("_hc")),
-            "left",
-        )
-        cold = flagged.where(F.col("_hb").isNull()).select(
-            id_col, *word_cols, "band", "chunk",
-            F.lit(-1).alias("sub"), F.lit(0).cast("long").alias("subchunk"),
-        )
-        sub_structs = [
-            F.struct(
-                F.lit(j).alias("sub"),
-                _extract_bits(
-                    word_cols,
-                    j * subw,
-                    subw if j < n_sub - 1 else total_bits - (n_sub - 1) * subw,
-                ).alias("subchunk"),
+        if not hot.limit(1).collect():
+            hot = None  # no hot buckets: plain two-key join below
+
+    if hot is None:
+        l, r, cond = _bucket_join_sides(chunks, ["band", "chunk"], id_col, star)
+        return _hamming_pair_select(l, r, cond, word_cols, id_col, max_hamming)
+
+    n_sub = max_hamming + 1
+    subw = total_bits // n_sub
+    flagged = chunks.join(
+        F.broadcast(hot),
+        (F.col("band") == F.col("_hb")) & (F.col("chunk") == F.col("_hc")),
+        "left",
+    )
+    cold = flagged.where(F.col("_hb").isNull()).select(
+        id_col, *word_cols, "band", "chunk",
+        F.lit(-1).alias("sub"), F.lit(0).cast("long").alias("subchunk"),
+        F.array().cast("array<long>").alias("_subs"),
+    )
+    subs_arr = F.array(
+        *[
+            _extract_bits(
+                word_cols,
+                j * subw,
+                subw if j < n_sub - 1 else total_bits - (n_sub - 1) * subw,
             )
             for j in range(n_sub)
         ]
-        hot_rows = flagged.where(F.col("_hb").isNotNull()).select(
-            id_col, *word_cols, "band", "chunk",
-            F.explode(F.array(*sub_structs)).alias("sc"),
-        ).select(id_col, *word_cols, "band", "chunk", "sc.sub", "sc.subchunk")
-        chunks = cold.unionByName(hot_rows)
-        key = ["band", "chunk", "sub", "subchunk"]
-    else:
-        key = ["band", "chunk"]
-    if star:
-        chunks = chunks.withColumn(
-            "_hub", F.min(id_col).over(Window.partitionBy(*key))
-        )
-        l = chunks.where(F.col(id_col) == F.col("_hub")).drop("_hub").alias("l")
-        r = chunks.where(F.col(id_col) != F.col("_hub")).drop("_hub").alias("r")
-    else:
-        l, r = chunks.alias("l"), chunks.alias("r")
-    cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
-    for k in key:
-        cond = (F.col(f"l.{k}") == F.col(f"r.{k}")) & cond
-    ham = None
-    for w in word_cols:
-        x = F.bit_count(F.col(f"l.{w}").bitwiseXOR(F.col(f"r.{w}")))
-        ham = x if ham is None else ham + x
-    return (
-        l.join(r, cond)
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            ham.alias("hamming"),
-        )
-        .distinct()
-        .where(F.col("hamming") <= max_hamming)
+    )
+    hot_rows = flagged.where(F.col("_hb").isNotNull()).select(
+        id_col, *word_cols, "band", "chunk", subs_arr.alias("_subs")
+    ).select(
+        id_col, *word_cols, "band", "chunk",
+        F.posexplode("_subs").alias("sub", "subchunk"), "_subs",
+    )
+    key = ["band", "chunk", "sub", "subchunk"]
+    l, r, cond = _bucket_join_sides(cold.unionByName(hot_rows), key, id_col, star)
+    return _hamming_pair_select(
+        l, r, cond, word_cols, id_col, max_hamming, first_match=True
     )
 
 
