@@ -1657,6 +1657,34 @@ def _exact_wav_clips(spark: SparkSession, n_clips: int = 60) -> DataFrame:
                             ),
                         }
                     )
+                # k%5==1: STEREO PCM16 WAV with L=R=s — same downmix
+                # identity through the RIFF stereo path
+                if k % 5 == 1:
+                    from seronet_data_validator_spark.sources.clips import (
+                        wav_bytes_ex,
+                    )
+
+                    rows.append(
+                        {
+                            "clip_id": f"exactw2_{k:03d}",
+                            "bytes": wav_bytes_ex(np.stack([s, s], axis=1), 8000),
+                        }
+                    )
+                # k%5==2: 24-bit PCM WAV carrying s<<8 — the >>8 contract
+                # mapping restores s exactly
+                if k % 5 == 2:
+                    from seronet_data_validator_spark.sources.clips import (
+                        wav_bytes_ex,
+                    )
+
+                    rows.append(
+                        {
+                            "clip_id": f"exactw24_{k:03d}",
+                            "bytes": wav_bytes_ex(
+                                s.astype(np.int32) << 8, 8000, bits=24
+                            ),
+                        }
+                    )
             yield pd.DataFrame(rows)
 
     return spark.range(0, n_clips, 1, 8).mapInPandas(
@@ -2747,6 +2775,16 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'exacts_' || lpad(CAST(k AS VARCHAR), 3, '0') AS clip_id,
                        k, 1200 + (k % 7) * 300 AS n
                 FROM ks WHERE k % 5 = 0
+                UNION ALL
+                -- 'exactw2_': stereo PCM16 RIFF with L=R=s, same downmix
+                SELECT 'exactw2_' || lpad(CAST(k AS VARCHAR), 3, '0') AS clip_id,
+                       k, 1200 + (k % 7) * 300 AS n
+                FROM ks WHERE k % 5 = 1
+                UNION ALL
+                -- 'exactw24_': 24-bit PCM RIFF carrying s<<8; >>8 == s
+                SELECT 'exactw24_' || lpad(CAST(k AS VARCHAR), 3, '0') AS clip_id,
+                       k, 1200 + (k % 7) * 300 AS n
+                FROM ks WHERE k % 5 = 2
             ), samp AS (
                 SELECT clip_id, k,
                        CAST(UNNEST(range(0, n)) AS BIGINT) AS i

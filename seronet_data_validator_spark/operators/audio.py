@@ -142,22 +142,26 @@ _RIFF = np.frombuffer(b"RIFF", dtype=np.uint8)
 _WAVE = np.frombuffer(b"WAVE", dtype=np.uint8)
 
 
-def _parse_header(seg: np.ndarray | None, payload_len: int) -> tuple[int, int, int]:
-    """Validate a canonical RIFF/WAVE mono header of a uint8 view →
-    (n_samples, sr, wav_format). Accepted formats: PCM16 (code 1) and the
-    G.711 companded codecs A-law/µ-law (codes 6/7, 8-bit — ITU-T G.711);
-    anything else raises, which the invariant pass reports as C13a.decode.
+def _parse_header(
+    seg: np.ndarray | None, payload_len: int
+) -> tuple[int, int, int, int, int]:
+    """Validate a canonical RIFF/WAVE header of a uint8 view →
+    (n_frames, sr, wav_format, channels, bits). Accepted formats: PCM
+    16-bit and 24-bit (code 1; mono or stereo) and the G.711 companded
+    codecs A-law/µ-law (codes 6/7, 8-bit mono — ITU-T G.711); anything
+    else raises, which the invariant pass reports as C13a.decode.
 
     ``payload_len`` is the FULL blob length (the view may be just the
     header). A declared data-chunk size exceeding the actual payload (a
-    truncated upload) or an odd PCM16 payload is a decode ERROR, not
-    something to silently clamp — truncation must surface even when dur_ms
-    is NULL."""
+    truncated upload) or a data length that is not a whole number of
+    sample frames is a decode ERROR, not something to silently clamp —
+    truncation must surface even when dur_ms is NULL."""
     if seg is None or len(seg) < 44 or not (
         np.array_equal(seg[:4], _RIFF) and np.array_equal(seg[8:12], _WAVE)
     ):
         raise ValueError("not a RIFF/WAVE buffer")
     fmt = int.from_bytes(seg[20:22].tobytes(), "little")
+    ch = int.from_bytes(seg[22:24].tobytes(), "little")
     bits = int.from_bytes(seg[34:36].tobytes(), "little")
     sr = int.from_bytes(seg[24:28].tobytes(), "little")
     n = int.from_bytes(seg[40:44].tobytes(), "little")
@@ -165,30 +169,47 @@ def _parse_header(seg: np.ndarray | None, payload_len: int) -> tuple[int, int, i
         raise ValueError(
             f"truncated: declared data chunk {n} B exceeds payload {payload_len - 44} B"
         )
-    if fmt == _WAVE_PCM and bits == 16:
-        if n % 2:
-            raise ValueError(f"odd PCM16 data length {n}")
-        return n // 2, sr, fmt
-    if fmt in (_WAVE_ALAW, _WAVE_MULAW) and bits == 8:
-        return n, sr, fmt
-    raise ValueError(f"unsupported WAV format code {fmt} / {bits}-bit")
+    if fmt == _WAVE_PCM and bits in (16, 24) and ch in (1, 2):
+        align = ch * bits // 8
+        if n % align:
+            raise ValueError(f"PCM data length {n} not a whole number of frames")
+        return n // align, sr, fmt, ch, bits
+    if fmt in (_WAVE_ALAW, _WAVE_MULAW) and bits == 8 and ch == 1:
+        return n, sr, fmt, ch, bits
+    raise ValueError(f"unsupported WAV format code {fmt} / {ch}ch / {bits}-bit")
 
 
 def _decode_view(seg: np.ndarray | None) -> tuple[np.ndarray, int]:
-    """Parse a FULL mono audio blob from a uint8 view → (int16 samples,
-    sr). RIFF/WAVE PCM16 is a zero-copy view; A-law/µ-law expand through
-    the G.711 tables (one vectorized gather); FLAC streams decode through
-    the fixed-predictor subset codec (operators/flac.py). Same layout
-    contract as sources/clips.decode_wav."""
+    """Parse a FULL audio blob from a uint8 view → (mono int16 samples,
+    sr). RIFF/WAVE PCM16 mono is a zero-copy view; stereo downmixes
+    deterministically as (L+R)>>1 (the FLAC mono-contract convention);
+    24-bit PCM decodes exactly and maps to the int16 contract by an
+    arithmetic >>8; A-law/µ-law expand through the G.711 tables (one
+    vectorized gather); FLAC streams decode through operators/flac.py.
+    Same layout contract as sources/clips.decode_wav."""
     if seg is not None and len(seg) >= 4 and bytes(seg[:4]) == b"fLaC":
         from seronet_data_validator_spark.operators.flac import decode_flac
 
         return decode_flac(seg.tobytes())
-    n_samples, sr, fmt = _parse_header(seg, len(seg) if seg is not None else 0)
+    n_frames, sr, fmt, ch, bits = _parse_header(
+        seg, len(seg) if seg is not None else 0
+    )
     if fmt == _WAVE_PCM:
-        return seg[44 : 44 + n_samples * 2].view("<i2"), sr
+        if bits == 16:
+            pcm = seg[44 : 44 + n_frames * ch * 2].view("<i2")
+            if ch == 2:
+                pcm32 = pcm.astype(np.int32).reshape(-1, 2)
+                pcm = ((pcm32[:, 0] + pcm32[:, 1]) >> 1).astype(np.int16)
+            return pcm, sr
+        # 24-bit: assemble little-endian signed 24 in int32 lanes
+        raw = seg[44 : 44 + n_frames * ch * 3].reshape(-1, 3).astype(np.int32)
+        s = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+        s = np.where(s & 0x800000, s - (1 << 24), s)
+        if ch == 2:
+            s = (s.reshape(-1, 2)[:, 0] + s.reshape(-1, 2)[:, 1]) >> 1
+        return (s >> 8).astype(np.int16), sr
     table = _ULAW_TABLE if fmt == _WAVE_MULAW else _ALAW_TABLE
-    return table[seg[44 : 44 + n_samples]], sr
+    return table[seg[44 : 44 + n_frames]], sr
 
 
 def audio_violations(
@@ -311,7 +332,9 @@ def audio_violations(
                         pcm, sr = _decode_view(seg)
                         n_samples = len(pcm)
                     else:
-                        n_samples, sr, _fmt = _parse_header(seg, int(blen[i]))
+                        n_samples, sr, _fmt, _ch, _bits = _parse_header(
+                            seg, int(blen[i])
+                        )
                 except ValueError as e:
                     emit(i, "bytes", f"<{int(blen[i])}B>",
                          "C13a.decode", f"audio buffer failed to decode: {e}")

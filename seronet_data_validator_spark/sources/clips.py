@@ -62,6 +62,34 @@ def wav_bytes(samples_i16: np.ndarray, sr_hz: int) -> bytes:
     return hdr + fmt + b"data" + struct.pack("<I", n) + data
 
 
+def wav_bytes_ex(
+    samples: np.ndarray, sr_hz: int, *, bits: int = 16
+) -> bytes:
+    """RIFF/WAVE PCM encoder for the extended decode surface: ``samples``
+    is (n,) mono or (n, 2) stereo; ``bits`` 16 (int16 values) or 24
+    (int32 values in [-2^23, 2^23))."""
+    samples = np.asarray(samples)
+    ch = 2 if samples.ndim == 2 else 1
+    if bits == 16:
+        data = samples.astype("<i2").tobytes()
+    elif bits == 24:
+        s = samples.astype(np.int32).reshape(-1)
+        b3 = np.empty((len(s), 3), np.uint8)
+        b3[:, 0] = s & 0xFF
+        b3[:, 1] = (s >> 8) & 0xFF
+        b3[:, 2] = (s >> 16) & 0xFF
+        data = b3.tobytes()
+    else:
+        raise ValueError(f"unsupported bits {bits}")
+    n = len(data)
+    align = ch * bits // 8
+    hdr = b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, ch, sr_hz, sr_hz * align, align, bits
+    )
+    return hdr + fmt + b"data" + struct.pack("<I", n) + data
+
+
 def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
     """Parse the RIFF/WAVE PCM16 mono layout produced above → (float32, sr)."""
     pcm, sr = decode_wav_i16(b)

@@ -478,3 +478,54 @@ def test_avi_non_mjpeg_codec_raises(spark):
     b[pos : pos + 4] = b"H264"
     with _pytest.raises(NotImplementedError, match="H264"):
         _parse_avi_mjpeg(bytes(b))
+
+
+def test_decode_view_stereo_and_24bit_wav():
+    """Extended WAV surface: stereo PCM16 downmixes (L+R)>>1; 24-bit PCM
+    decodes exactly and maps to int16 by >>8 (so samples planted as
+    s<<8 round-trip bit-exactly); stereo 24-bit composes both."""
+    from seronet_data_validator_spark.operators.audio import _decode_view
+    from seronet_data_validator_spark.sources.clips import wav_bytes_ex
+
+    rng = np.random.default_rng(9)
+    s = rng.integers(-32768, 32768, 4000).astype(np.int16)
+    r = rng.integers(-32768, 32768, 4000).astype(np.int16)
+    # stereo 16
+    st = np.stack([s, r], axis=1)
+    pcm, sr = _decode_view(np.frombuffer(wav_bytes_ex(st, 8000), np.uint8))
+    assert sr == 8000
+    exp = ((s.astype(np.int64) + r.astype(np.int64)) >> 1).astype(np.int16)
+    assert np.array_equal(pcm, exp)
+    # mono 24: plant s<<8 -> decode == s exactly
+    s24 = s.astype(np.int32) << 8
+    pcm, _ = _decode_view(np.frombuffer(wav_bytes_ex(s24, 8000, bits=24), np.uint8))
+    assert np.array_equal(pcm, s)
+    # stereo 24 with L=R
+    st24 = np.stack([s24, s24], axis=1)
+    pcm, _ = _decode_view(np.frombuffer(wav_bytes_ex(st24, 8000, bits=24), np.uint8))
+    assert np.array_equal(pcm, s)
+    # extremes survive 24-bit assembly (sign bit)
+    e = np.array([(1 << 23) - 1, -(1 << 23), 0, -256, 256], np.int32)
+    pcm, _ = _decode_view(np.frombuffer(wav_bytes_ex(e, 8000, bits=24), np.uint8))
+    assert np.array_equal(pcm, (e >> 8).astype(np.int16))
+
+
+def test_header_only_duration_uses_frames_for_stereo(spark):
+    """C13a.dur check must count FRAMES, not interleaved samples: a stereo
+    clip with a correct dur_ms declaration passes; mismatches still fire."""
+    from seronet_data_validator_spark.operators.audio import audio_violations
+    from seronet_data_validator_spark.sources.clips import wav_bytes_ex
+
+    n = 1600  # 200 ms at 8 kHz
+    st = np.zeros((n, 2), np.int16)
+    rows = [
+        ("ok", bytearray(wav_bytes_ex(st, 8000)), 8000, 200, "t"),
+        ("bad", bytearray(wav_bytes_ex(st, 8000)), 8000, 400, "t"),
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, transcript string"
+    )
+    out = {r["row_ref"]: r for r in audio_violations(df).collect()}
+    assert "ok" not in out
+    assert out["bad"]["rule_id"] == "C13a.dur_mismatch"
+    assert "declared dur_ms 400 != decoded 200" in out["bad"]["message"]
