@@ -1991,6 +1991,24 @@ def q_image_basic_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows.append(
                         {"item_id": f"imgx_bmp_{k:03d}", "bytes": bmp_bytes(rgb)}
                     )
+                # Adam7-interlaced PNG (k%4==1) and 16-bit PNG (k%4==3):
+                # both decode to the identical pixels (interlace is a
+                # reordering; 16-bit widens v -> v*257 and the high-byte
+                # contract mapping restores v), so the same exact luma sum
+                if k % 4 == 1:
+                    rows.append(
+                        {
+                            "item_id": f"imgx_pngi_{k:03d}",
+                            "bytes": png_bytes(rgb, interlace=1),
+                        }
+                    )
+                if k % 4 == 3:
+                    rows.append(
+                        {
+                            "item_id": f"imgx_png16_{k:03d}",
+                            "bytes": png_bytes(rgb, depth=16),
+                        }
+                    )
             yield pd.DataFrame(rows)
 
     images = spark.range(0, 40, 1, 8).mapInPandas(
@@ -3696,6 +3714,16 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'imgx_bmp_' || lpad(CAST(k AS VARCHAR), 3, '0'),
                        k, 16 + (k % 5) * 8, 12 + (k % 3) * 8
                 FROM ks WHERE k % 3 = 0
+                UNION ALL
+                -- Adam7-interlaced PNG: a pixel reordering — same pixels
+                SELECT 'imgx_pngi_' || lpad(CAST(k AS VARCHAR), 3, '0'),
+                       k, 16 + (k % 5) * 8, 12 + (k % 3) * 8
+                FROM ks WHERE k % 4 = 1
+                UNION ALL
+                -- 16-bit PNG: v*257 encode, high-byte decode — same pixels
+                SELECT 'imgx_png16_' || lpad(CAST(k AS VARCHAR), 3, '0'),
+                       k, 16 + (k % 5) * 8, 12 + (k % 3) * 8
+                FROM ks WHERE k % 4 = 3
             ), ys AS (
                 SELECT item_id, k, w, h,
                        CAST(UNNEST(range(0, h)) AS BIGINT) AS y

@@ -291,8 +291,9 @@ def _decode_image(b: bytes) -> tuple[int, int, np.ndarray]:
     (BITMAPINFOHEADER, 24-bit BI_RGB) layouts, plus baseline JPEG via the
     T.81 decoder in operators/jpeg.py and PNG (all five filters, palette,
     alpha) via the stdlib-zlib decoder in operators/png.py — no codec
-    library. Remaining compressed formats (progressive JPEG, interlaced/
-    16-bit PNG) raise NotImplementedError inside their decoders; in
+    library. PNG covers 8/16-bit depths and Adam7 interlace; the remaining
+    boundary (progressive JPEG, 1/2/4-bit PNG) raises NotImplementedError
+    inside the decoders; in
     production swap in PIL/cv2 here — the Spark-side plumbing does not
     change."""
     import struct
@@ -363,8 +364,9 @@ def _decode_image(b: bytes) -> tuple[int, int, np.ndarray]:
 
         return decode_jpeg(b)
     if b[:8] == b"\x89PNG\r\n\x1a\n":
-        # PNG: stdlib zlib + numpy unfilter (operators/png.py). 16-bit and
-        # Adam7-interlaced streams raise NotImplementedError from inside.
+        # PNG: stdlib zlib + numpy unfilter (operators/png.py); 8/16-bit
+        # and Adam7 interlace decode natively, 1/2/4-bit-depth streams
+        # raise NotImplementedError from inside.
         from seronet_data_validator_spark.operators.png import decode_png
 
         return decode_png(b)

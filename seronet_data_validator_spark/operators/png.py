@@ -3,10 +3,12 @@
 PNG's only compression is DEFLATE, which ships in the standard library
 (`zlib`), so unlike JPEG there is no entropy-coding work to hand-roll: the
 decoder is chunk parsing + per-scanline unfiltering (the five public filter
-types, including Paeth) + layout. Supported: 8-bit depth, color types 0
-(grayscale), 2 (truecolor), 3 (palette), 4 (gray+alpha), 6 (RGBA); alpha is
-composited over white (feature extraction wants opaque pixels). Out of
-scope with explicit errors: 1/2/4/16-bit depths, Adam7 interlace.
+types, including Paeth) + layout. Supported: 8- and 16-bit depths (16-bit
+maps to the 8-bit contract by taking the high byte), Adam7 interlace (the
+seven passes unfilter independently and scatter into the output grid),
+color types 0 (grayscale), 2 (truecolor), 3 (palette), 4 (gray+alpha), 6
+(RGBA); alpha is composited over white (feature extraction wants opaque
+pixels). Out of scope with explicit errors: 1/2/4-bit depths.
 
 The encoder (`png_bytes`) writes color type 2 with filter 0 — deterministic
 fixture bytes for tests and a valid PNG for any external viewer.
@@ -65,9 +67,17 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per pass, spec §8.2
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
 def decode_png(b: bytes) -> tuple[int, int, np.ndarray]:
     """Decode a PNG buffer → (width, height, rgb uint8). Alpha composited
-    over white; palette expanded; grayscale replicated to RGB."""
+    over white; palette expanded; grayscale replicated to RGB; 16-bit
+    samples take the high byte; Adam7 passes de-interlaced."""
     if len(b) < 8 or b[:8] != _SIG:
         raise ValueError("not a PNG buffer")
     pos = 8
@@ -95,23 +105,52 @@ def decode_png(b: bytes) -> tuple[int, int, np.ndarray]:
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth} not supported (8 only)")
-    if interlace != 0:
-        raise NotImplementedError("Adam7 interlaced PNG not supported")
+    if depth not in (8, 16):
+        raise NotImplementedError(
+            f"PNG bit depth {depth} not supported (8/16 only)"
+        )
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
     if comp != 0 or filt != 0:
         raise ValueError("invalid PNG compression/filter method")
     if color not in _CHANNELS:
         raise ValueError(f"invalid PNG color type {color}")
     ch = _CHANNELS[color]
-    stride = w * ch
+    bpp = ch * depth // 8
     try:
         raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG IDAT: {exc}") from exc
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG pixel data length mismatch")
-    px = _unfilter(raw, h, stride, ch).reshape(h, w, ch)
+
+    def to_px(flat: np.ndarray, ph: int, pw: int) -> np.ndarray:
+        """(ph, pw*bpp) unfiltered bytes → (ph, pw, ch) uint8 samples."""
+        if depth == 8:
+            return flat.reshape(ph, pw, ch)
+        # 16-bit big-endian: the high byte is the 8-bit contract value
+        return flat.reshape(ph, pw, ch, 2)[:, :, :, 0]
+
+    if interlace == 0:
+        stride = w * bpp
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG pixel data length mismatch")
+        px = to_px(_unfilter(raw, h, stride, bpp), h, w)
+    else:  # Adam7: each pass is an independently filtered sub-image
+        px = np.zeros((h, w, ch), np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = pw * bpp
+            need = ph * (stride + 1)
+            if off + need > len(raw):
+                raise ValueError("PNG pixel data length mismatch (interlaced)")
+            sub = to_px(_unfilter(raw[off : off + need], ph, stride, bpp), ph, pw)
+            px[y0::dy, x0::dx] = sub
+            off += need
+        if off != len(raw):
+            raise ValueError("PNG pixel data length mismatch (interlaced)")
 
     if color == 3:  # palette
         if plte is None:
@@ -136,18 +175,42 @@ def decode_png(b: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, np.round(rgb * a + 255.0 * (1 - a)).astype(np.uint8)
 
 
-def png_bytes(rgb: np.ndarray) -> bytes:
+def png_bytes(
+    rgb: np.ndarray, *, depth: int = 8, interlace: int = 0
+) -> bytes:
     """Encode an (h, w, 3) RGB or (h, w) grayscale uint8 array as PNG
-    (color type 2/0, filter 0 per scanline, one zlib stream)."""
+    (color type 2/0, filter 0 per scanline, one zlib stream). ``depth=16``
+    widens each sample to v*257 (so the decoder's high-byte mapping
+    round-trips exactly); ``interlace=1`` writes Adam7 passes."""
     if rgb.ndim == 2:
         color, arr = 0, rgb[:, :, None]
     else:
         color, arr = 2, rgb
     h, w, ch = arr.shape
-    scan = np.concatenate(
-        [np.zeros((h, 1), np.uint8), arr.reshape(h, w * ch)], axis=1
-    )
-    idat = zlib.compress(scan.tobytes(), 9)
+
+    def scanbytes(a: np.ndarray) -> bytes:
+        ph, pw, _ = a.shape
+        if depth == 8:
+            flat = a.reshape(ph, pw * ch)
+        elif depth == 16:
+            wide = a.astype(np.uint16) * 257  # 0xAB -> 0xABAB
+            flat = wide.astype(">u2").view(np.uint8).reshape(ph, pw * ch * 2)
+        else:
+            raise ValueError(f"unsupported encode depth {depth}")
+        return np.concatenate(
+            [np.zeros((ph, 1), np.uint8), flat], axis=1
+        ).tobytes()
+
+    if interlace == 0:
+        raw = scanbytes(arr)
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                parts.append(scanbytes(sub))
+        raw = b"".join(parts)
+    idat = zlib.compress(raw, 9)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -157,7 +220,7 @@ def png_bytes(rgb: np.ndarray) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
     return (
         _SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
     )

@@ -107,14 +107,15 @@ def test_error_boundaries():
         decode_png(good[:40])  # truncated
     with pytest.raises(ValueError):
         decode_png(b"\x89PNG\r\n\x1a\n fake")  # signature but no chunks
-    # 16-bit depth -> explicit NotImplementedError
+    # 16-bit depth decodes since r5 (high-byte mapping): a hand-built
+    # all-zero 2x2 16-bit truecolor stream yields black pixels
     ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
     png16 = (
         b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr16)
         + _chunk(b"IDAT", zlib.compress(b"\x00" * 26)) + _chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError):
-        decode_png(png16)
+    w16, h16, px16 = decode_png(png16)
+    assert (w16, h16) == (2, 2) and int(px16.max()) == 0
 
 
 def test_image_features_handles_png(spark):
@@ -130,3 +131,52 @@ def test_image_features_handles_png(spark):
     assert (out["png"]["width"], out["png"]["height"]) == (12, 10)
     assert abs(out["png"]["mean_luma"] - 60.0) < 0.01  # lossless
     assert out["fake"]["width"] is None  # corrupt stream still quarantines
+
+
+def test_adam7_interlaced_roundtrip():
+    """Adam7: the seven passes unfilter independently and scatter back —
+    decode(interlaced) must equal decode(sequential) pixel-for-pixel."""
+    rng = np.random.default_rng(12)
+    rgb = rng.integers(0, 256, (23, 17, 3), np.uint8)  # odd dims hit empty/partial passes
+    w, h, seq = decode_png(png_bytes(rgb))
+    w2, h2, ilaced = decode_png(png_bytes(rgb, interlace=1))
+    assert (w, h) == (17, 23) == (w2, h2)
+    assert np.array_equal(seq, rgb) and np.array_equal(ilaced, rgb)
+    # tiny images where several passes are empty
+    for dims in ((1, 1), (2, 3), (5, 4)):
+        small = rng.integers(0, 256, (*dims, 3), np.uint8)
+        _, _, out = decode_png(png_bytes(small, interlace=1))
+        assert np.array_equal(out, small)
+
+
+def test_16bit_depth_high_byte_mapping():
+    """16-bit samples map to the 8-bit contract by the high byte; the
+    encoder widens v -> v*257 so the round trip is exact, including
+    interlaced 16-bit."""
+    rng = np.random.default_rng(13)
+    rgb = rng.integers(0, 256, (9, 11, 3), np.uint8)
+    _, _, out = decode_png(png_bytes(rgb, depth=16))
+    assert np.array_equal(out, rgb)
+    _, _, out2 = decode_png(png_bytes(rgb, depth=16, interlace=1))
+    assert np.array_equal(out2, rgb)
+    gray = rng.integers(0, 256, (7, 5), np.uint8)
+    _, _, outg = decode_png(png_bytes(gray, depth=16))
+    assert np.array_equal(outg, np.repeat(gray[:, :, None], 3, axis=2))
+
+
+def test_unsupported_depths_still_raise():
+    import struct as _s
+    import zlib as _z
+
+    def chunk(ctype, data):
+        return _s.pack(">I", len(data)) + ctype + data + _s.pack(
+            ">I", _z.crc32(ctype + data) & 0xFFFFFFFF
+        )
+
+    ihdr = _s.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 0)  # 4-bit depth
+    blob = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _z.compress(b"\x00" * 12)) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="bit depth 4"):
+        decode_png(blob)
