@@ -5,7 +5,7 @@ mostly JPEG, and this container ships no image codecs. Everything here is
 from the public spec: baseline sequential DCT, 8-bit precision, Huffman
 entropy coding, JFIF YCbCr color, 4:4:4 / 4:2:0 chroma subsampling and
 grayscale. Out of scope (explicit errors, not wrong pixels): progressive
-(SOF2), arithmetic coding, 12-bit precision, restart intervals, sampling
+(SOF2), arithmetic coding, 12-bit precision, sampling
 grids other than 1x1/2x2.
 
 The decoder (`decode_jpeg`) is general over canonical Huffman tables read
@@ -156,6 +156,13 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # 1-fill
         return bytes(self.out)
 
+    def marker(self, m: int) -> None:
+        """Byte-align (1-fill) and emit a raw marker (no byte stuffing)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, m])
+
 
 def _flat_table(symbols: list[int]) -> tuple[list[int], list[int], dict[int, tuple[int, int]]]:
     """Canonical Huffman table with every symbol at one code length L
@@ -231,11 +238,13 @@ def _quantized_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
 
 
 def jpeg_bytes(
-    img: np.ndarray, *, quality: int = 85, subsampling: str = "4:4:4"
+    img: np.ndarray, *, quality: int = 85, subsampling: str = "4:4:4",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode an (h, w, 3) RGB or (h, w) grayscale uint8 array as baseline
     JFIF JPEG. Deterministic; flat canonical Huffman tables (see module
-    docstring)."""
+    docstring). ``restart_interval`` > 0 writes a DRI segment and RSTn
+    markers every that-many MCUs (DC predictors reset)."""
     gray = img.ndim == 2
     h, w = img.shape[:2]
     ql = _scaled_quant(QUANT_LUMA, quality)
@@ -291,8 +300,15 @@ def jpeg_bytes(
 
     writer = _BitWriter()
     prev_dc = [0] * len(planes)
+    mcu_idx = 0
+    rst_no = 0
     for my in range(mcu_rows):
         for mx in range(mcu_cols):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                writer.marker(0xD0 + rst_no)  # RSTn: align + raw marker
+                rst_no = (rst_no + 1) % 8
+                prev_dc = [0] * len(planes)
+            mcu_idx += 1
             for ci, (sh, sv) in enumerate(sampling):
                 for by in range(sv):
                     for bx in range(sh):
@@ -321,6 +337,9 @@ def jpeg_bytes(
     for tc_th, bits, vals in [(0x00, dc_bits, dc_vals), (0x10, ac_bits, ac_vals)]:
         payload = bytes([tc_th]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    # DRI
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS
     sos = bytes([ncomp])
     for ci in range(ncomp):
@@ -375,6 +394,21 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
+    def sync_restart(self) -> None:
+        """Discard padding bits, skip 0xFF fill, consume an RSTn marker."""
+        self.acc = 0
+        self.nbits = 0
+        b = self.buf
+        while self.pos + 1 < len(b) and b[self.pos] == 0xFF and b[self.pos + 1] == 0xFF:
+            self.pos += 1
+        if (
+            self.pos + 1 >= len(b)
+            or b[self.pos] != 0xFF
+            or not (0xD0 <= b[self.pos + 1] <= 0xD7)
+        ):
+            raise ValueError("expected restart marker")
+        self.pos += 2
+
 
 def _build_huffman(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
     """Canonical codes per T.81 C.2: {(length, code): symbol}."""
@@ -409,8 +443,9 @@ def decode_jpeg(b: bytes) -> tuple[int, int, np.ndarray]:
 
     Supported: SOF0 baseline, 8-bit, Huffman; 1 component (grayscale,
     replicated to RGB like the PGM path) or 3 components YCbCr with 4:4:4
-    (1x1,1x1,1x1) or 4:2:0 (2x2,1x1,1x1) sampling. Progressive/arithmetic/
-    12-bit/restart-interval streams raise NotImplementedError."""
+    (1x1,1x1,1x1) or 4:2:0 (2x2,1x1,1x1) sampling; restart intervals
+    (DRI/RSTn) with DC-predictor resets. Progressive/arithmetic/12-bit
+    streams raise NotImplementedError."""
     if len(b) < 4 or b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG buffer")
     try:
@@ -426,6 +461,7 @@ def _decode_jpeg_inner(b: bytes) -> tuple[int, int, np.ndarray]:
     huff_ac: dict[int, dict] = {}
     frame = None
     scan = None
+    restart_interval = 0
     while pos < len(b):
         if b[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -476,8 +512,7 @@ def _decode_jpeg_inner(b: bytes) -> tuple[int, int, np.ndarray]:
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("only baseline sequential (SOF0) supported")
         elif marker == 0xDD:  # DRI
-            if struct.unpack_from(">H", seg, 0)[0] != 0:
-                raise NotImplementedError("restart intervals not supported")
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS
             ns = seg[0]
             sel = {}
@@ -513,8 +548,13 @@ def _decode_jpeg_inner(b: bytes) -> tuple[int, int, np.ndarray]:
 
     reader = _BitReader(b, pos)
     prev_dc = [0] * len(comps)
+    mcu_idx = 0
     for my in range(mcu_rows):
         for mx in range(mcu_cols):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                reader.sync_restart()  # consume RSTn, reset DC predictors
+                prev_dc = [0] * len(comps)
+            mcu_idx += 1
             for ci, (cid, sh, sv, tq) in enumerate(comps):
                 dct_table = huff_dc[scan[cid][0]]
                 act_table = huff_ac[scan[cid][1]]

@@ -126,3 +126,30 @@ def test_fill_bytes_before_marker():
     w, h, dec = decode_jpeg(bytes(out))
     assert (w, h) == (16, 16)
     assert int(np.max(np.abs(dec.astype(int) - 90))) == 0
+
+
+@pytest.mark.parametrize("interval", [1, 3, 7])
+def test_restart_intervals_roundtrip(interval):
+    """DRI/RSTn: the encoder emits restart markers every N MCUs with DC
+    resets; the decoder resynchronizes and must reproduce the same pixels
+    as the no-restart encoding of the same image."""
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (40, 56, 3), np.uint8)
+    plain = decode_jpeg(jpeg_bytes(img, quality=90))
+    rst = decode_jpeg(jpeg_bytes(img, quality=90, restart_interval=interval))
+    assert plain[0:2] == rst[0:2]
+    assert np.array_equal(plain[2], rst[2])
+    # constant image stays exact through the restart path too
+    flat = np.full((24, 24, 3), 77, np.uint8)
+    _, _, out = decode_jpeg(jpeg_bytes(flat, quality=95, restart_interval=2))
+    assert int(np.max(np.abs(out.astype(int) - 77))) == 0
+
+
+def test_restart_interval_420_subsampling():
+    rng = np.random.default_rng(22)
+    img = rng.integers(0, 256, (33, 47, 3), np.uint8)
+    plain = decode_jpeg(jpeg_bytes(img, quality=85, subsampling="4:2:0"))
+    rst = decode_jpeg(
+        jpeg_bytes(img, quality=85, subsampling="4:2:0", restart_interval=2)
+    )
+    assert np.array_equal(plain[2], rst[2])
