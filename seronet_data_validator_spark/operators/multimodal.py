@@ -291,9 +291,9 @@ def _decode_image(b: bytes) -> tuple[int, int, np.ndarray]:
     (BITMAPINFOHEADER, 24-bit BI_RGB) layouts, plus baseline JPEG via the
     T.81 decoder in operators/jpeg.py and PNG (all five filters, palette,
     alpha) via the stdlib-zlib decoder in operators/png.py — no codec
-    library. PNG covers 8/16-bit depths and Adam7 interlace; the remaining
-    boundary (progressive JPEG, 1/2/4-bit PNG) raises NotImplementedError
-    inside the decoders; in
+    library. PNG covers 8/16-bit depths and Adam7 interlace; JPEG covers
+    baseline and progressive; the remaining boundary (arithmetic/12-bit
+    JPEG, 1/2/4-bit PNG) raises NotImplementedError inside the decoders; in
     production swap in PIL/cv2 here — the Spark-side plumbing does not
     change."""
     import struct
@@ -357,9 +357,9 @@ def _decode_image(b: bytes) -> tuple[int, int, np.ndarray]:
         return w, h, rows[:, :, ::-1]  # BGR → RGB
     if b[:2] == b"\xff\xd8":
         # baseline JPEG: pure-numpy T.81 decoder (operators/jpeg.py).
-        # Progressive/arithmetic/12-bit/restart streams raise
-        # NotImplementedError from inside decode_jpeg — the remaining
-        # documented codec boundary for JPEG.
+        # Baseline AND progressive (SOF2) decode natively, incl. restart
+        # intervals; arithmetic/12-bit streams raise NotImplementedError
+        # from inside decode_jpeg — the remaining JPEG boundary.
         from seronet_data_validator_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(b)

@@ -54,12 +54,13 @@ def test_unsupported_and_garbage_streams():
         decode_jpeg(good[: len(good) // 2])  # truncated entropy segment
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01not a jpeg")
-    # progressive marker (SOF2) is an explicit NotImplementedError
-    prog = bytearray(good)
-    idx = prog.find(b"\xff\xc0")
-    prog[idx + 1] = 0xC2
+    # arithmetic-coded frame (SOF9) is the explicit remaining boundary
+    # (SOF2 progressive decodes natively since r5)
+    arith = bytearray(good)
+    idx = arith.find(b"\xff\xc0")
+    arith[idx + 1] = 0xC9
     with pytest.raises(NotImplementedError):
-        decode_jpeg(bytes(prog))
+        decode_jpeg(bytes(arith))
 
 
 def test_image_features_handles_jpeg(spark):
@@ -153,3 +154,40 @@ def test_restart_interval_420_subsampling():
         jpeg_bytes(img, quality=85, subsampling="4:2:0", restart_interval=2)
     )
     assert np.array_equal(plain[2], rst[2])
+
+
+def test_progressive_equals_baseline_pixels():
+    """Progressive (SOF2) is a different entropy layout of the SAME
+    quantized coefficients: decoded pixels must equal the baseline
+    encoding bit-for-bit. Covers spectral selection, successive
+    approximation (Al=1 first passes + refinements), EOB coding and the
+    AC-refinement correction-bit protocol across shapes/subsampling."""
+    from seronet_data_validator_spark.operators.jpeg import jpeg_bytes_progressive
+
+    rng = np.random.default_rng(31)
+    cases = [
+        ((24, 24, 3), "4:4:4"),
+        ((40, 56, 3), "4:4:4"),
+        ((33, 47, 3), "4:2:0"),
+        ((8, 8, 3), "4:4:4"),
+    ]
+    for dims, ss in cases:
+        img = rng.integers(0, 256, dims, np.uint8)
+        base = decode_jpeg(jpeg_bytes(img, quality=85, subsampling=ss))
+        prog = decode_jpeg(jpeg_bytes_progressive(img, quality=85, subsampling=ss))
+        assert base[0:2] == prog[0:2]
+        assert np.array_equal(base[2], prog[2]), (dims, ss)
+    gray = rng.integers(0, 256, (19, 23), np.uint8)
+    assert np.array_equal(
+        decode_jpeg(jpeg_bytes(gray, quality=90))[2],
+        decode_jpeg(jpeg_bytes_progressive(gray, quality=90))[2],
+    )
+
+
+def test_progressive_constant_image_exact():
+    from seronet_data_validator_spark.operators.jpeg import jpeg_bytes_progressive
+
+    img = np.full((24, 17, 3), 130, np.uint8)
+    w, h, out = decode_jpeg(jpeg_bytes_progressive(img, quality=95))
+    assert (w, h) == (17, 24)
+    assert int(np.max(np.abs(out.astype(int) - 130))) == 0
