@@ -1924,11 +1924,12 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal image pass: native decode of public formats — PPM P6 /
-    24-bit BMP (uncompressed), baseline JPEG (operators/jpeg.py, pure-numpy
-    T.81 Huffman+IDCT) and 8-bit PNG (operators/png.py, stdlib zlib +
-    unfilter) → (width, height, mean_luma); a corrupt-PNG row exercises the
-    quarantine path (NULL features). Binary fixtures are built driver-side
-    deterministically → rows-only oracle."""
+    24-bit BMP (uncompressed), baseline AND progressive JPEG incl. restart
+    intervals (operators/jpeg.py, pure-numpy T.81) and PNG (operators/
+    png.py, stdlib zlib + unfilter) → (width, height, mean_luma); a
+    corrupt-PNG row exercises the quarantine path (NULL features). Binary
+    fixtures are built driver-side deterministically → rows-only oracle;
+    pytest holds the strong property (progressive == baseline pixels)."""
     import numpy as np
 
     from seronet_data_validator_spark.operators.jpeg import jpeg_bytes
@@ -1945,10 +1946,22 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         rgb = ((np.arange(h * w * 3).reshape(h, w, 3) * (i + 1)) % 256).astype("uint8")
         enc = ppm_bytes if i % 2 == 0 else bmp_bytes
         rows.append((f"img{i:03d}", bytearray(enc(rgb))))
+    from seronet_data_validator_spark.operators.jpeg import jpeg_bytes_progressive
+
     for i, ss in enumerate(("4:4:4", "4:2:0")):
         w, h = 24, 16
         rgb = ((np.arange(h * w * 3).reshape(h, w, 3) // 3) % 256).astype("uint8")
         rows.append((f"img_jpeg{i}", bytearray(jpeg_bytes(rgb, quality=90, subsampling=ss))))
+        # progressive (SOF2) and restart-interval variants of the SAME
+        # pixels: identical quantized coefficients -> identical features
+        rows.append(
+            (f"img_jpegp{i}",
+             bytearray(jpeg_bytes_progressive(rgb, quality=90, subsampling=ss)))
+        )
+        rows.append(
+            (f"img_jpegr{i}",
+             bytearray(jpeg_bytes(rgb, quality=90, subsampling=ss, restart_interval=2)))
+        )
         rows.append((f"img_png{i}", bytearray(png_bytes(rgb))))
     rows.append(("img_bad", bytearray(b"\x89PNG\r\n\x1a\n fake")))
     images = spark.createDataFrame(rows, "item_id string, bytes binary")
