@@ -1544,6 +1544,43 @@ def _simhash_oracle_sql(bits: int = 64, seed: int = 11) -> str:
     """
 
 
+def q_simhash_neardup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs over PORTABLE signatures, full value oracle.
+
+    Same banded engine as q_simhash_neardup (dedup.banded_hamming_pairs —
+    pigeonhole banding, hot-bucket guard armed) but fed by simhash_portable,
+    whose signatures DuckDB recomputes exactly. Because 4 bands > 3 =
+    max_hamming, the banding is pigeonhole-EXACT: the result set equals the
+    brute-force all-pairs hamming<=3 set, which is what the oracle computes
+    — so this query value-checks the banding + hot-bucket-guard machinery
+    itself, independently verifying the recall-lossless claim the
+    xxhash64-based q_simhash_neardup relies on."""
+    from seronet_data_validator_spark.operators.dedup import (
+        simhash_near_duplicates,
+        simhash_portable,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return simhash_near_duplicates(
+        simhash_portable(docs), max_hamming=3, max_bucket_size=4096
+    )
+
+
+def _simhash_neardup_oracle_sql() -> str:
+    """Brute-force DuckDB replay of q_simhash_neardup_portable: recompute
+    every portable signature (same CTE as the simhash_signatures oracle),
+    then all pairs with bit_count(xor) <= 3 — valid as an oracle for the
+    banded join precisely because 4-band pigeonholing at max_hamming=3 is
+    exact, not approximate."""
+    return f"""
+        WITH sig AS ({_simhash_oracle_sql()})
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicate pairs (hamming-banded; xxhash64-based →
     rows-only oracle)."""
@@ -2295,7 +2332,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (all queries vs DuckDB) + pytest.
     return {
         # -- positions below: the round-3 additions the driver has not seen --
-        "user_sessions": q_user_sessions,
         "views_after_error": q_views_after_error,
         "corpus_split": q_corpus_split,
         "source_quota": q_source_quota,
@@ -2331,6 +2367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "out_of_order": q_out_of_order,
         "time_gaps": q_time_gaps,
         "simhash_signatures": q_simhash_signatures,
+        "simhash_neardup_portable": q_simhash_neardup_portable,
         "simhash_neardup": q_simhash_neardup,
         "ivf_search": q_ivf_search,
         "minhash_neardup": q_minhash_neardup,
@@ -2358,6 +2395,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_na_policy": q_date_na_policy,
         "duration_triplet": q_duration_triplet,
         "embedding_close_pairs": q_embedding_close_pairs,
+        # demoted from the r5 window to make room for
+        # simhash_neardup_portable (driver-green in CORRECTNESS_r04,
+        # unchanged since)
+        "user_sessions": q_user_sessions,
         # -- past the driver cutoff: round 1-2 sentinels, all driver-green in
         # CORRECTNESS_r01-r03; regression net = local oracle replica --
         "revenue_by_nation": q_revenue_by_nation,
@@ -4145,7 +4186,13 @@ def oracle_sql() -> dict[str, str]:
         # portable SimHash: 64 parity lanes over seeded affine transforms of
         # the Karp-Rabin token hash, sign bit handled explicitly
         "simhash_signatures": _simhash_oracle_sql(),
-        # simhash_neardup, ivf_search, minhash_neardup, audio_features,
-        # clips_validation: xxhash64-based signatures / approximate ANN /
-        # pandas-UDF audio passes — non-SQL-expressible, rows-only checks.
+        # brute-force hamming<=3 pairs over the recomputed portable
+        # signatures — exact vs the banded join by pigeonholing
+        "simhash_neardup_portable": _simhash_neardup_oracle_sql(),
+        # simhash_neardup, ivf_search, audio_features, clips_validation,
+        # audio_neardup: xxhash64-based signatures / approximate ANN /
+        # pandas-UDF audio passes — non-SQL-expressible, rows-only checks;
+        # each has a value-exact sibling (simhash_neardup_portable,
+        # ivf_search_exact, audio_basic_features, clips_validation_exact)
+        # or a planted-fixture pytest backstop.
     }
