@@ -2304,6 +2304,12 @@ def q_clips_validation_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seronet_data_validator_spark.sources.clips import codec_registry_df
 
     clips, reference, declared, prior = _exact_lifecycle_tables(spark)
+    # validate_clips is EAGER (the verdict aggregation executes the whole
+    # lifecycle), so this query's wall is pure fixed overhead over the
+    # 80-row fixture — py4j plan build for ~12 violation families plus one
+    # Catalyst pass over the union mega-plan; see PLANS.md §14 (measured:
+    # shuffle-partition count makes no difference, and the same machinery
+    # over 100k staged clips runs FASTER — the plan amortizes with data).
     res = validate_clips(
         spark,
         clips,
