@@ -2247,6 +2247,86 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_stats(_synth_url_docs(spark, sf_dir))
 
 
+# HTML synthesis for q_html_extract — shared Spark-SQL ∩ DuckDB-SQL subset,
+# regenerated verbatim by the oracle. Exercises script/style content drop,
+# comments, entities (incl. the &amp;&amp; no-double-decode case), a
+# boilerplate nav div on every third doc, and whitespace collapse.
+_HTML_SYNTH_SQL = """
+    concat(
+      '<html><head><title>Doc ', CAST(doc_id AS STRING), '</title>',
+      '<script type="text/javascript">var x = 1 &amp;&amp; 2;</script>',
+      '<style>.m{color:red}</style></head><body><h1>Doc ',
+      CAST(doc_id AS STRING), '</h1><!-- id ', CAST(doc_id AS STRING),
+      ' --><p>', text, '</p>',
+      CASE WHEN doc_id % 3 = 0
+           THEN '<div class="nav">home &gt; docs &amp; more&nbsp;links</div>'
+           ELSE '' END,
+      '</body></html>'
+    )
+"""
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate strip (operators/web.html_to_text): script/style
+    content drop, comment removal, tag→space, entity decode (&amp; last),
+    whitespace collapse — one JVM regexp/replace chain per row, plus the
+    text-density boilerplate signal. Full value oracle: DuckDB regenerates
+    the synthesized HTML verbatim and replays the chain (regexp_replace
+    with the 'g' flag — DuckDB defaults to first-match-only)."""
+    from seronet_data_validator_spark.operators.web import (
+        html_text_density,
+        html_to_text,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    h = docs.select("doc_id", F.expr(_HTML_SYNTH_SQL).alias("html"))
+    txt = html_to_text("html")
+    return h.select(
+        "doc_id",
+        txt.alias("text_clean"),
+        html_text_density("html", txt).alias("text_density"),
+    )
+
+
+def _html_extract_oracle_sql() -> str:
+    """DuckDB replay of q_html_extract (same regexes, same pass order; the
+    entity chain is the same replace() sequence with &amp; last)."""
+    entity_chain = "s4"
+    inner = "s4"
+    # build nested replace(...) calls in the SAME order as web.HTML_ENTITIES
+    from seronet_data_validator_spark.operators.web import HTML_ENTITIES
+
+    for ent, ch in HTML_ENTITIES:
+        ch_sql = ch.replace("'", "''")
+        inner = f"replace({inner}, '{ent}', '{ch_sql}')"
+    entity_chain = inner
+    return rf"""
+        WITH h AS (
+          SELECT doc_id, {_HTML_SYNTH_SQL} AS html
+          FROM documents WHERE doc_id < 300
+        ), steps AS (
+          SELECT doc_id, html,
+            regexp_replace(regexp_replace(regexp_replace(html,
+              '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+              '(?s)<!--.*?-->', ' ', 'g') AS s3
+          FROM h
+        ), tagless AS (
+          SELECT doc_id, html,
+            regexp_replace(s3, '<[^>]*>', ' ', 'g') AS s4
+          FROM steps
+        ), decoded AS (
+          SELECT doc_id, html,
+            trim(regexp_replace({entity_chain}, '\s+', ' ', 'g')) AS text_clean
+          FROM tagless
+        )
+        SELECT doc_id, text_clean,
+               length(text_clean)::DOUBLE /
+                 greatest(length(html)::DOUBLE, 1.0) AS text_density
+        FROM decoded
+    """
+
+
 def _url_canon_oracle_cte() -> str:
     """Shared DuckDB CTE chain: synthesized urls → canonicalization replay
     (same regexes, same rule order as operators/web.canonicalize_url)."""
@@ -2472,7 +2552,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (all queries vs DuckDB) + pytest.
     return {
         # -- positions below: the round-3 additions the driver has not seen --
-        "views_after_error": q_views_after_error,
         "doc_packing": q_doc_packing,
         "tfidf_scores": q_tfidf_scores,
         "embedding_outliers": q_embedding_outliers,
@@ -2531,6 +2610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "url_dedup": q_url_dedup,
         "domain_stats": q_domain_stats,
+        "html_extract": q_html_extract,
         "image_basic_features": q_image_basic_features,
         "stream_sessions_replay": q_stream_sessions_replay,
         "date_na_policy": q_date_na_policy,
@@ -2542,6 +2622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "source_quota": q_source_quota,
         "vocab_topk": q_vocab_topk,
+        "views_after_error": q_views_after_error,
         # -- past the driver cutoff: round 1-2 sentinels, all driver-green in
         # CORRECTNESS_r01-r03; regression net = local oracle replica --
         "revenue_by_nation": q_revenue_by_nation,
@@ -4356,6 +4437,9 @@ def oracle_sql() -> dict[str, str]:
                    n_docs / (SELECT sum(n_docs) FROM per)::BIGINT AS corpus_share
             FROM per
         """,
+        # HTML boilerplate strip: synthesized HTML regenerated verbatim,
+        # the regexp/replace chain replayed pass-for-pass
+        "html_extract": _html_extract_oracle_sql(),
         # simhash_neardup, ivf_search, audio_features, clips_validation,
         # audio_neardup: xxhash64-based signatures / approximate ANN /
         # pandas-UDF audio passes — non-SQL-expressible, rows-only checks;

@@ -104,6 +104,51 @@ def test_domain_stats_share_and_weight(spark):
     assert abs(out["b.com"]["corpus_share"] - 1 / 3) < 1e-12
 
 
+def test_html_to_text(spark):
+    from seronet_data_validator_spark.operators.web import (
+        html_text_density,
+        html_to_text,
+    )
+
+    cases = [
+        # script/style contents dropped, tags become spaces, ws collapsed
+        (
+            "<html><head><script>var x=1;\nalert('&amp;');</script>"
+            "<style>.a{color:red}</style></head>"
+            "<body><h1>Title</h1><p>a  b</p></body></html>",
+            "Title a b",
+        ),
+        # comments dropped; entities decoded once, &amp; last (no
+        # double-decode: &amp;lt; must become the literal string &lt;)
+        (
+            "<p>1 &lt; 2 &amp;&amp; 3 &gt; 2</p><!-- hidden --><p>&amp;lt;</p>",
+            "1 < 2 && 3 > 2 &lt;",
+        ),
+        ("<div>a&nbsp;b&quot;c&#39;d</div>", "a b\"c'd"),
+        # case-insensitive script match across newlines
+        ("x<SCRIPT a=b>line1\nline2</ScRiPt>y", "x y"),
+        ("plain text, no markup", "plain text, no markup"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i int, html string"
+    )
+    got = {
+        r["i"]: r["t"]
+        for r in df.select("i", html_to_text("html").alias("t")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+
+    dens = (
+        df.select(
+            "i", html_text_density("html", html_to_text("html")).alias("d")
+        )
+        .where(F.col("i") == 4)
+        .collect()[0]["d"]
+    )
+    assert dens == 1.0  # markup-free doc has density exactly 1
+
+
 def test_canonicalization_is_jvm_only(spark):
     """The canonicalization plan contains no Python evaluation node — the
     100 TB contract for this operator is narrow JVM-side map work."""
