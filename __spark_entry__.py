@@ -2378,16 +2378,19 @@ def _url_canon_oracle_cte() -> str:
 
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling + per-frame luma features under a FULL value
-    oracle, across BOTH native container paths: Y4M (uncompressed, odd k)
-    and MJPEG-in-AVI (RIFF walk + per-frame T.81 decode, even k). Item k
-    has 4+k constant-luma frames ((k*37 + j*11) % 256) — constant frames
-    decode exactly at q=95, so mean_luma is the planted constant and
-    std_luma is 0.0; DuckDB regenerates the evenly-spaced frame sample
-    (numpy linspace = j*((n-1)/3) truncated, endpoint exact) and every
-    feature value arithmetically."""
+    oracle, across ALL THREE native container paths: MJPEG-in-AVI (RIFF
+    walk + per-frame T.81 decode, k%3==0), Y4M (uncompressed planar,
+    k%3==1) and raw BI_RGB 'DIB '-in-AVI (bottom-up padded BGR rows,
+    k%3==2). Item k has 4+k constant-luma frames ((k*37 + j*11) % 256) —
+    constant frames decode exactly in every path (q=95 JPEG included), so
+    mean_luma is the planted constant and std_luma is 0.0; DuckDB
+    regenerates the evenly-spaced frame sample (numpy linspace =
+    j*((n-1)/3) truncated, endpoint exact) and every feature value
+    arithmetically — the oracle is container-agnostic by construction."""
     import numpy as np
 
     from seronet_data_validator_spark.operators.multimodal import (
+        avi_dib_bytes,
         avi_mjpeg_bytes,
         video_frames,
         y4m_bytes,
@@ -2397,14 +2400,14 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in range(10):
         n = 4 + k
         lumas = [(k * 37 + j * 11) % 256 for j in range(n)]
-        if k % 2 == 0:
+        if k % 3 == 1:
+            frames = np.stack([np.full((12, 16), v, np.uint8) for v in lumas])
+            blob = y4m_bytes(frames)
+        else:
             frames = np.stack(
                 [np.full((12, 16, 3), v, np.uint8) for v in lumas]
             )
-            blob = avi_mjpeg_bytes(frames)
-        else:
-            frames = np.stack([np.full((12, 16), v, np.uint8) for v in lumas])
-            blob = y4m_bytes(frames)
+            blob = avi_mjpeg_bytes(frames) if k % 3 == 0 else avi_dib_bytes(frames)
         rows.append((f"v{k:02d}", bytearray(blob)))
     df = spark.createDataFrame(rows, "item_id string, bytes binary")
     return video_frames(df, max_frames=4)

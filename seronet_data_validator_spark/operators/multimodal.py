@@ -522,13 +522,65 @@ def avi_mjpeg_bytes(frames_rgb: np.ndarray, *, fps: int = 25) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def _parse_avi_mjpeg(b: bytes) -> tuple[int, int, list[tuple[int, int]]]:
-    """Walk a RIFF/AVI container → (width, height, [(frame_off, frame_len)])
-    for the MJPEG video chunks ('00dc'/'00db' in the 'movi' LIST). Header-
-    only walk — no frame decodes; the offsets let the caller decode ONLY
-    sampled frames. Non-MJPEG video streams (H.264/VP9/...) raise
-    NotImplementedError: inter-frame codecs need a codec library — swap in
-    pyav/ffmpeg at that single point in production."""
+def avi_dib_bytes(frames_rgb: np.ndarray, *, fps: int = 25) -> bytes:
+    """Minimal uncompressed-RGB AVI encoder ('DIB ' fourcc, BI_RGB): every
+    frame is stored in the standard DIB layout — bottom-up rows, BGR byte
+    order, rows padded to 4-byte boundaries — as a '00db' chunk. Same RIFF
+    scaffolding as avi_mjpeg_bytes; deterministic fixture source for the
+    raw-video decode path in video_frames."""
+    import struct
+
+    n, h, w, _ = frames_rgb.shape
+    stride = (w * 3 + 3) // 4 * 4
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    def dib(frame: np.ndarray) -> bytes:
+        rows = np.zeros((h, stride), np.uint8)
+        rows[:, : w * 3] = frame[::-1, :, ::-1].reshape(h, w * 3)
+        return rows.tobytes()
+
+    frames = [dib(frames_rgb[i]) for i in range(n)]
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, 0, 0, 0x10, n, 0, 1, 0, w, h, 0, 0, 0, 0
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<I", 0) + struct.pack("<HH", 0, 0)
+        + struct.pack("<8I", 0, 1, fps, 0, n, 0, 0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH", 40, w, h, 1, 24) + struct.pack(
+        "<IIiiII", 0, stride * h, 0, 0, 0, 0  # biCompression=0 (BI_RGB)
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", f) for f in frames))
+    idx, off = [], 4
+    for f in frames:
+        idx.append(b"00db" + struct.pack("<III", 0x10, off, len(f)))
+        off += 8 + len(f) + (len(f) % 2)
+    idx1 = chunk(b"idx1", b"".join(idx))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# fourccs that mean "uncompressed BI_RGB frames in DIB layout"
+_AVI_RAW_CODECS = (b"DIB ", b"RGB ", b"raw ", b"\x00\x00\x00\x00")
+
+
+def _parse_avi(b: bytes) -> tuple[int, int, bytes, list[tuple[int, int]]]:
+    """Walk a RIFF/AVI container → (width, height, codec_fourcc,
+    [(frame_off, frame_len)]) for the video chunks ('00dc'/'00db' in the
+    'movi' LIST). Header-only walk — no frame decodes; the offsets let the
+    caller decode ONLY sampled frames."""
     import struct
 
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
@@ -559,14 +611,23 @@ def _parse_avi_mjpeg(b: bytes) -> tuple[int, int, list[tuple[int, int]]]:
         walk(12, min(len(b), 12 + struct.unpack_from("<I", b, 4)[0] - 4))
     except struct.error as e:  # truncated header/chunk reads
         raise ValueError(f"truncated AVI: {e}") from None
+    if w is None or codec is None or not frames:
+        raise ValueError("AVI stream without video headers/frames")
+    return int(w), int(h), codec, frames
+
+
+def _parse_avi_mjpeg(b: bytes) -> tuple[int, int, list[tuple[int, int]]]:
+    """MJPEG-restricted view of :func:`_parse_avi`. Non-intra-frame codecs
+    (H.264/VP9/...) raise NotImplementedError: they need a codec library —
+    swap in pyav/ffmpeg at that single point in production. Raw BI_RGB
+    ('DIB ') streams decode through the _parse_avi path in video_frames."""
+    w, h, codec, frames = _parse_avi(b)
     if codec not in (b"MJPG", b"mjpg"):
         raise NotImplementedError(
-            f"AVI video codec {codec!r}: only MJPEG decodes natively; "
-            "inter-frame codecs need a codec library"
+            f"AVI video codec {codec!r}: only MJPEG and raw BI_RGB decode "
+            "natively; inter-frame codecs need a codec library"
         )
-    if w is None or not frames:
-        raise ValueError("AVI stream without video headers/frames")
-    return int(w), int(h), frames
+    return w, h, frames
 
 
 def _parse_y4m(b: bytes) -> tuple[int, int, int, int, int]:
@@ -639,24 +700,45 @@ def video_frames(
                 seg = get(i)
                 blob = seg.tobytes() if seg is not None else None
                 if blob is not None and blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
-                    # MJPEG-in-AVI: header-only chunk walk, decode ONLY the
-                    # sampled frames through the native T.81 decoder
+                    # AVI: header-only chunk walk, decode ONLY the sampled
+                    # frames — MJPEG through the native T.81 decoder, raw
+                    # BI_RGB ('DIB ') as a pure numpy un-layout (bottom-up
+                    # padded BGR rows → RGB); inter-frame codecs skip
                     from seronet_data_validator_spark.operators.jpeg import decode_jpeg
 
                     try:
-                        _w, _h, frames = _parse_avi_mjpeg(blob)
-                    except (ValueError, NotImplementedError):
+                        aw, ah, codec, frames = _parse_avi(blob)
+                    except ValueError:
                         continue
+                    is_mjpeg = codec in (b"MJPG", b"mjpg")
+                    if not is_mjpeg and codec not in _AVI_RAW_CODECS:
+                        continue  # inter-frame codec: needs a codec library
                     n_frames = len(frames)
                     take = np.unique(
                         np.linspace(0, n_frames - 1,
                                     num=min(max_frames, n_frames)).astype(int)
                     )
                     wl = np.array([0.299, 0.587, 0.114], np.float64)
+                    stride = (aw * 3 + 3) // 4 * 4
                     for fi in take:
                         f_off, f_len = frames[fi]
                         try:
-                            fw, fh, rgb = decode_jpeg(blob[f_off : f_off + f_len])
+                            if is_mjpeg:
+                                fw, fh, rgb = decode_jpeg(
+                                    blob[f_off : f_off + f_len]
+                                )
+                            else:
+                                if f_len < stride * ah:
+                                    raise ValueError("short DIB frame")
+                                fw, fh = aw, ah
+                                rows = np.frombuffer(
+                                    blob, np.uint8, count=stride * ah,
+                                    offset=f_off,
+                                ).reshape(ah, stride)
+                                rgb = (
+                                    rows[:, : aw * 3]
+                                    .reshape(ah, aw, 3)[::-1, :, ::-1]
+                                )
                         except (ValueError, NotImplementedError):
                             continue
                         y = rgb.reshape(-1, 3).astype(np.float64) @ wl

@@ -462,6 +462,33 @@ def test_video_frames_mjpeg_avi(spark):
     assert all(k[0] == "avi1" for k in out)  # truncated AVI skipped
 
 
+def test_video_frames_raw_dib_avi(spark):
+    """Raw BI_RGB ('DIB ') AVI: frames stored bottom-up, BGR, rows padded
+    to 4 bytes — the numpy un-layout must recover the planted pixels
+    exactly, including at a width whose 3-byte rows need padding."""
+    from seronet_data_validator_spark.operators.multimodal import (
+        avi_dib_bytes,
+        video_frames,
+    )
+
+    # non-constant gradient frame: catches row-order/channel-order mistakes
+    grad = np.zeros((6, 7, 3), np.uint8)
+    grad[..., 0] = np.arange(7, dtype=np.uint8)[None, :] * 30  # R by column
+    grad[..., 2] = np.arange(6, dtype=np.uint8)[:, None] * 40  # B by row
+    frames = np.stack([grad, np.full((6, 7, 3), 90, np.uint8)])
+    df = spark.createDataFrame(
+        [("dib1", bytearray(avi_dib_bytes(frames)))],
+        "item_id string, bytes binary",
+    )
+    out = {r["frame_idx"]: r for r in video_frames(df, max_frames=4).collect()}
+    assert sorted(out) == [0, 1]
+    wl = np.array([0.299, 0.587, 0.114])
+    want0 = round(float((grad.reshape(-1, 3).astype(np.float64) @ wl).mean()), 4)
+    assert out[0]["mean_luma"] == want0
+    assert (out[1]["mean_luma"], out[1]["std_luma"]) == (90.0, 0.0)
+    assert (out[0]["width"], out[0]["height"], out[0]["n_frames"]) == (7, 6, 2)
+
+
 def test_avi_non_mjpeg_codec_raises(spark):
     """A vids stream with a non-MJPEG codec must hit the documented
     NotImplementedError boundary, not mis-decode."""
