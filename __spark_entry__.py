@@ -2361,16 +2361,21 @@ def _url_canon_oracle_cte() -> str:
               path,
               CASE WHEN len(list_filter(string_split(qs, '&'),
                      x -> x <> '' AND NOT regexp_matches(x,
-                       '^(utm_[^=]*|fbclid|gclid|msclkid|mc_cid|mc_eid)=')))
+                       '(?i)^(utm_[^=]*|fbclid|gclid|msclkid|mc_cid|mc_eid)=')))
                      > 0
                    THEN concat('?', array_to_string(
                      list_sort(list_filter(string_split(qs, '&'),
                        x -> x <> '' AND NOT regexp_matches(x,
-                         '^(utm_[^=]*|fbclid|gclid|msclkid|mc_cid|mc_eid)='))),
+                         '(?i)^(utm_[^=]*|fbclid|gclid|msclkid|mc_cid|mc_eid)='))),
                      '&'))
                    ELSE '' END
             ) END AS canonical_url,
-            regexp_replace(hostport, ':[0-9]+$', '') AS domain
+            -- domain_of replay: userinfo strip BEFORE www strip (the
+            -- synthesized URLs carry no userinfo, but the chain mirrors
+            -- web.domain_of exactly)
+            regexp_replace(regexp_replace(
+              regexp_replace(hostport, '^[^@/]*@', ''),
+              '^www\.', ''), ':[0-9]+$', '') AS domain
           FROM c
         )
     """

@@ -25,9 +25,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Tracking parameters dropped during canonicalization (public lists: UTM
-# campaign tags + the common click-id params). Kept deliberately short and
-# documented — canonicalization must be auditable, not clever.
-TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_cid|mc_eid)="
+# campaign tags + the common click-id params; case-insensitive — trackers
+# emit both spellings). Kept deliberately short and documented —
+# canonicalization must be auditable, not clever.
+TRACKING_PARAM_RE = r"(?i)^(utm_[^=]*|fbclid|gclid|msclkid|mc_cid|mc_eid)="
 
 # Fallback used when a URL has no scheme://host shape at all: canonical form
 # is NULL (quarantine, don't guess).
@@ -54,8 +55,12 @@ def canonicalize_url(url: Column | str) -> Column:
     rows for the caller to route, not silent passthrough.
 
     Deliberately NOT done: percent-decoding (decoding can change meaning:
-    ``%2F`` vs ``/``) and registrable-domain extraction via the Public
-    Suffix List (a data file, not an algorithm — see :func:`domain_of`).
+    ``%2F`` vs ``/``), registrable-domain extraction via the Public Suffix
+    List (a data file, not an algorithm — see :func:`domain_of`), and
+    userinfo handling (``user:pass@host`` passes through inside the
+    lowered authority — userinfo is vanishingly rare in corpus URLs and
+    case-sensitive per RFC 3986, so no transform is safe; crawl pipelines
+    typically drop such URLs upstream).
     """
     u = F.col(url) if isinstance(url, str) else url
     no_frag = F.regexp_replace(u, r"#.*$", "")
@@ -88,13 +93,15 @@ def canonicalize_url(url: Column | str) -> Column:
 
 
 def domain_of(url: Column | str) -> Column:
-    """Host of an absolute URL, lowercased, ``www.``-stripped, port
-    dropped. This is the HOST, not the PSL registrable domain — correct
-    per-site grouping for single-label hosts and good enough for quota
-    enforcement; swapping in a Public Suffix List broadcast join is a data
-    problem, not a code change (documented limitation)."""
+    """Host of an absolute URL: lowercased, ``user:pass@`` userinfo and
+    ``www.`` stripped, port dropped. This is the HOST, not the PSL
+    registrable domain — correct per-site grouping for single-label hosts
+    and good enough for quota enforcement; swapping in a Public Suffix
+    List broadcast join is a data problem, not a code change (documented
+    limitation)."""
     u = F.col(url) if isinstance(url, str) else url
     hostport = F.lower(F.regexp_extract(u, _SCHEME_RE + r"([^/?#]*)", 2))
+    hostport = F.regexp_replace(hostport, r"^[^@/]*@", "")
     hostport = F.regexp_replace(hostport, r"^www\.", "")
     return F.regexp_replace(hostport, r":[0-9]+$", "")
 

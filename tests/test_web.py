@@ -37,6 +37,12 @@ CASES = [
      "example.com"),
     # fragment stripped even with empty query
     ("https://example.com/p?#sec", "https://example.com/p", "example.com"),
+    # tracking params match case-insensitively; userinfo is stripped from
+    # the DOMAIN but passes through the canonical authority (documented)
+    ("https://example.com/p?UTM_Source=x&A=1",
+     "https://example.com/p?A=1", "example.com"),
+    ("https://user:PW@example.com:443/p",
+     "https://user:pw@example.com/p", "example.com"),
 ]
 
 
