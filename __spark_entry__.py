@@ -1741,6 +1741,52 @@ def q_audio_basic_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_basic_features_exact(_exact_wav_clips(spark))
 
 
+def q_transcript_wer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word error rate under a FULL value oracle with genuinely independent
+    implementations: Spark runs the REAL operator (audio.transcript_wer — a
+    vectorized Wagner-Fischer DP over token arrays in one Arrow-batched
+    pandas UDF), while DuckDB computes the same word-level distance via the
+    injective token→char reduction (each vocab id maps to one codepoint, so
+    char-level levenshtein() == word-level edit distance). Both engines
+    regenerate the hypothesis/reference pairs from the same integer recipe:
+    ref token ids t(k,i) = (k*17 + i*31 + 7) % 26 over L = 6 + k%5 words;
+    the hypothesis applies one deterministic edit per k%4 class (identity /
+    substitution / deletion / insertion at position p = k % L). WER is one
+    IEEE division (dist / L) — bit-identical. Reference analog: the
+    transcript-equality invariant (Validation_Rules.py) graded instead of
+    binary, like transcript_cer."""
+    from seronet_data_validator_spark.operators.audio import transcript_wer
+
+    base = spark.range(0, 80, 1, 4).selectExpr(
+        "concat('wer_', lpad(cast(id as string), 3, '0')) AS clip_id",
+        "cast(id as int) AS k",
+        "cast(6 + id % 5 as int) AS L",
+    )
+    ref = base.selectExpr(
+        "clip_id",
+        "array_join(transform(sequence(0, L - 1), i -> "
+        "concat('w', cast((k*17 + i*31 + 7) % 26 as string))), ' ') AS transcript",
+    )
+    hyp = base.selectExpr(
+        "clip_id",
+        """array_join(
+             CASE cast(k % 4 as int)
+               WHEN 0 THEN transform(sequence(0, L - 1), i ->
+                 concat('w', cast((k*17 + i*31 + 7) % 26 as string)))
+               WHEN 1 THEN transform(sequence(0, L - 1), i ->
+                 concat('w', cast((CASE WHEN i = k % L THEN (k*17 + i*31 + 8) % 26
+                                        ELSE (k*17 + i*31 + 7) % 26 END) as string)))
+               WHEN 2 THEN transform(filter(sequence(0, L - 1), i -> i != k % L), i ->
+                 concat('w', cast((k*17 + i*31 + 7) % 26 as string)))
+               ELSE transform(sequence(0, L), i ->
+                 concat('w', cast((CASE WHEN i < k % L THEN (k*17 + i*31 + 7) % 26
+                                        WHEN i = k % L THEN (k*17 + (k % L)*31 + 12) % 26
+                                        ELSE (k*17 + (i-1)*31 + 7) % 26 END) as string)))
+             END, ' ') AS transcript""",
+    )
+    return transcript_wer(hyp, ref)
+
+
 def q_xlsx_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 Excel ingestion under a FULL value oracle: a registry workbook is
     written with sources/xlsx.write_xlsx (deterministic bytes), read back
@@ -2559,6 +2605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # unchanged — their regression net is tests/test_entry_contract.py
     # (all queries vs DuckDB) + pytest.
     return {
+        # -- round-5 session-3 additions: full value oracles, driver-unseen --
+        "transcript_wer": q_transcript_wer,
         # -- positions below: the round-3 additions the driver has not seen --
         "doc_packing": q_doc_packing,
         "tfidf_scores": q_tfidf_scores,
@@ -3042,6 +3090,42 @@ FROM idx
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # Word-level edit distance replayed via the injective token->char
+        # reduction: every vocab id becomes one codepoint, so DuckDB's
+        # char-level levenshtein() equals the word-level DP the Spark
+        # operator runs. Both engines regenerate the same hyp/ref recipe.
+        "transcript_wer": """
+            WITH ks AS (SELECT CAST(range AS BIGINT) AS k FROM range(0, 80)),
+            params AS (
+              SELECT 'wer_' || lpad(CAST(k AS VARCHAR), 3, '0') AS clip_id, k,
+                     6 + (k % 5) AS L, k % (6 + (k % 5)) AS p
+              FROM ks
+            ),
+            strs AS (
+              SELECT clip_id, L,
+                array_to_string(list_transform(range(0, L), i ->
+                  chr(CAST(97 + (k*17 + i*31 + 7) % 26 AS INTEGER))), '') AS ref_chars,
+                CASE CAST(k % 4 AS INTEGER)
+                  WHEN 0 THEN array_to_string(list_transform(range(0, L), i ->
+                    chr(CAST(97 + (k*17 + i*31 + 7) % 26 AS INTEGER))), '')
+                  WHEN 1 THEN array_to_string(list_transform(range(0, L), i ->
+                    chr(CAST(97 + (CASE WHEN i = p THEN (k*17 + i*31 + 8) % 26
+                                        ELSE (k*17 + i*31 + 7) % 26 END) AS INTEGER))), '')
+                  WHEN 2 THEN array_to_string(list_transform(list_filter(range(0, L), i -> i != p), i ->
+                    chr(CAST(97 + (k*17 + i*31 + 7) % 26 AS INTEGER))), '')
+                  ELSE array_to_string(list_transform(range(0, L + 1), i ->
+                    chr(CAST(97 + (CASE WHEN i < p THEN (k*17 + i*31 + 7) % 26
+                                        WHEN i = p THEN (k*17 + p*31 + 12) % 26
+                                        ELSE (k*17 + (i-1)*31 + 7) % 26 END) AS INTEGER))), '')
+                END AS hyp_chars
+              FROM params
+            )
+            SELECT clip_id,
+                   CAST(L AS BIGINT) AS ref_words,
+                   CAST(levenshtein(hyp_chars, ref_chars) AS BIGINT) AS edit_distance,
+                   CAST(levenshtein(hyp_chars, ref_chars) AS DOUBLE) / L AS wer
+            FROM strs
+        """,
         "clips_validation_exact": _CLIPS_VALIDATION_EXACT_SQL,
         "ivf_search_exact": _IVF_SEARCH_EXACT_SQL,
         "semantic_dedup_exact": _SEMANTIC_DEDUP_EXACT_SQL,

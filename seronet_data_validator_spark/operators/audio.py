@@ -396,3 +396,83 @@ def transcript_cer(
         F.round(cer, 4).alias("cer"),
         (dist == 0).alias("exact_match"),
     )
+
+
+def _word_edit_distances(obs_toks, ref_toks):
+    """Vectorized word-level Levenshtein over one Arrow batch of token-array
+    pairs. The DP is Wagner-Fischer with unit costs; the inner loop is a
+    numpy row update — the insertion recurrence cur[j] <= cur[j-1]+1 is
+    enforced with a min-plus prefix scan (min.accumulate of cur - j), so
+    the only Python-level loop is over the SHORTER sequence's tokens, not
+    over cells. Tokens are interned to int32 ids per pair before the DP so
+    the substitution test is an integer compare, not a string compare."""
+    out = np.empty(len(obs_toks), np.int64)
+    for r in range(len(obs_toks)):
+        ao, bo = obs_toks[r], ref_toks[r]
+        a = [] if ao is None else list(ao)
+        b = [] if bo is None else list(bo)
+        if len(a) < len(b):  # loop over the shorter side
+            a, b = b, a
+        if not b:
+            out[r] = len(a)
+            continue
+        vocab: dict[str, int] = {}
+        ai = np.fromiter(
+            (vocab.setdefault(t, len(vocab)) for t in a), np.int32, len(a)
+        )
+        bi = np.fromiter(
+            (vocab.setdefault(t, len(vocab)) for t in b), np.int32, len(b)
+        )
+        j = np.arange(len(bi) + 1, dtype=np.int64)
+        prev = j.copy()
+        cur = np.empty_like(prev)
+        for x in ai:
+            # deletion (prev[j]+1) and substitution (prev[j-1] + a!=b) lanes
+            cur[0] = prev[0] + 1
+            np.minimum(prev[1:] + 1, prev[:-1] + (bi != x), out=cur[1:])
+            # insertion lane: cur[j] = min_k<=j (cur[k] + (j-k)) as a scan
+            np.minimum.accumulate(cur - j, out=cur)
+            cur += j
+            prev, cur = cur, prev
+        out[r] = prev[-1]
+    return out
+
+
+def transcript_wer(
+    clips: DataFrame,
+    reference: DataFrame,
+    *,
+    id_col: str = "clip_id",
+    text_col: str = "transcript",
+) -> DataFrame:
+    """Word error rate vs the reference transcript — the token-level
+    companion to transcript_cer (ASR convention: WER = word-level edit
+    distance / reference word count). Tokenization (trim/lower/split) is
+    JVM Column code; only the two token ARRAYS cross into Python, through
+    one Arrow-batched pandas UDF running the vectorized DP above — no
+    per-row Python round trips, no full-text shipping beyond the tokens
+    themselves. The join is the same zero-Exchange bucketed reference join
+    as the invariant pass. wer > 1 is possible for insert-heavy hypotheses
+    (standard convention); empty references give wer = dist / 1.
+    Reference parity: /root/reference has exact transcript equality only
+    (Validation_Rules.py); WER is part of the beyond-reference audio-ASR
+    surface."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _dist(obs, ref):
+        return pd.Series(_word_edit_distances(obs.to_numpy(), ref.to_numpy()))
+
+    toks = lambda c: F.split(F.trim(F.lower(c)), r"\s+")  # noqa: E731
+    obs = clips.select(id_col, toks(F.col(text_col)).alias("_obs_toks"))
+    ref = reference.select(id_col, toks(F.col(text_col)).alias("_ref_toks"))
+    j = obs.join(ref, id_col)
+    dist = _dist("_obs_toks", "_ref_toks")
+    ref_words = F.size("_ref_toks").cast("long")
+    return j.select(
+        F.col(id_col),
+        ref_words.alias("ref_words"),
+        dist.alias("edit_distance"),
+        (dist / F.greatest(ref_words, F.lit(1))).alias("wer"),
+    )

@@ -556,3 +556,53 @@ def test_header_only_duration_uses_frames_for_stereo(spark):
     assert "ok" not in out
     assert out["bad"]["rule_id"] == "C13a.dur_mismatch"
     assert "declared dur_ms 400 != decoded 200" in out["bad"]["message"]
+
+
+def test_word_edit_distances_matches_naive_dp():
+    """The vectorized WER DP (min-plus scan for the insertion lane) must
+    equal the textbook O(n*m) Wagner-Fischer on fuzzed token pairs."""
+    import random
+
+    from seronet_data_validator_spark.operators.audio import _word_edit_distances
+
+    def naive(a, b):
+        d = list(range(len(b) + 1))
+        for i, x in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, y in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (x != y))
+        return d[len(b)]
+
+    rng = random.Random(3)
+    pairs = [([], []), (["x"], []), ([], ["x"]), (["a", "b"], ["a", "b"])]
+    for _ in range(200):
+        vocab = [f"w{i}" for i in range(rng.randint(1, 6))]
+        pairs.append(
+            (
+                [rng.choice(vocab) for _ in range(rng.randint(0, 9))],
+                [rng.choice(vocab) for _ in range(rng.randint(0, 9))],
+            )
+        )
+    obs = np.array([p[0] for p in pairs], dtype=object)
+    ref = np.array([p[1] for p in pairs], dtype=object)
+    assert list(_word_edit_distances(obs, ref)) == [naive(a, b) for a, b in pairs]
+
+
+def test_transcript_wer_operator(spark):
+    """End-to-end WER: substitution/deletion/insertion each cost 1 word;
+    wer = dist / ref_words; null-safe on missing hypotheses."""
+    from seronet_data_validator_spark.operators.audio import transcript_wer
+
+    ref = spark.createDataFrame(
+        [("a", "the quick brown fox"), ("b", "hello world"), ("c", "one two")],
+        "clip_id string, transcript string",
+    )
+    hyp = spark.createDataFrame(
+        [("a", "the quick red fox"), ("b", "hello brave new world"), ("c", "one two")],
+        "clip_id string, transcript string",
+    )
+    out = {r["clip_id"]: r for r in transcript_wer(hyp, ref).collect()}
+    assert out["a"]["edit_distance"] == 1 and out["a"]["ref_words"] == 4
+    assert out["a"]["wer"] == 0.25
+    assert out["b"]["edit_distance"] == 2  # two insertions
+    assert out["c"]["edit_distance"] == 0 and out["c"]["wer"] == 0.0
