@@ -1741,6 +1741,22 @@ def q_audio_basic_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_basic_features_exact(_exact_wav_clips(spark))
 
 
+def q_audio_resample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resampler's FULL value oracle: integer-recipe clips through the
+    real decode paths (RIFF PCM16/stereo/24-bit + FLAC fixed/LPC/stereo —
+    the same 6 codec families as audio_basic_features) are resampled by the
+    REAL linear interpolator (multimodal.resample_linear) at two dyadic
+    ratios, 8k->16k (half-position blends) and 8k->4k (sample picks). At
+    dyadic ratios every interpolated value is m/65536 exactly, so
+    dsp.resample_features_exact's int64 aggregates over num = y*65536 are
+    bit-reproducible: DuckDB regenerates the source samples and replays the
+    interpolation as integer CASE arithmetic (even j -> 2*s[j/2], odd j ->
+    s[(j-1)/2] + s[min((j+1)/2, n-1)])."""
+    from seronet_data_validator_spark.operators.dsp import resample_features_exact
+
+    return resample_features_exact(_exact_wav_clips(spark, 24))
+
+
 def q_transcript_wer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word error rate under a FULL value oracle with genuinely independent
     implementations: Spark runs the REAL operator (audio.transcript_wer — a
@@ -2607,6 +2623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-5 session-3 additions: full value oracles, driver-unseen --
         "transcript_wer": q_transcript_wer,
+        "audio_resample_exact": q_audio_resample_exact,
         # -- positions below: the round-3 additions the driver has not seen --
         "doc_packing": q_doc_packing,
         "tfidf_scores": q_tfidf_scores,
@@ -3090,6 +3107,64 @@ FROM idx
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # Replays the linear interpolator as integer CASE arithmetic over
+        # the regenerated source samples: at dyadic ratios num = y*65536 is
+        # exactly 2*s[j/2] (integer positions) or s[i]+s[i+1] (half
+        # positions), so the int64 aggregates are bit-identical to the
+        # float32 pipeline's. Same 6-codec-family params CTE as
+        # audio_basic_features, at 24 clips.
+        "audio_resample_exact": """
+            WITH ks AS (
+                SELECT CAST(range AS BIGINT) AS k FROM range(0, 24)
+            ), params AS (
+                SELECT 'exact_' || lpad(CAST(k AS VARCHAR), 3, '0') AS clip_id,
+                       k, 1200 + (k % 7) * 300 AS n
+                FROM ks
+                UNION ALL
+                SELECT 'exactf_' || lpad(CAST(k AS VARCHAR), 3, '0'), k,
+                       1200 + (k % 7) * 300
+                FROM ks WHERE k % 3 = 0
+                UNION ALL
+                SELECT 'exactl_' || lpad(CAST(k AS VARCHAR), 3, '0'), k,
+                       1200 + (k % 7) * 300
+                FROM ks WHERE k % 3 = 1
+                UNION ALL
+                SELECT 'exacts_' || lpad(CAST(k AS VARCHAR), 3, '0'), k,
+                       1200 + (k % 7) * 300
+                FROM ks WHERE k % 5 = 0
+                UNION ALL
+                SELECT 'exactw2_' || lpad(CAST(k AS VARCHAR), 3, '0'), k,
+                       1200 + (k % 7) * 300
+                FROM ks WHERE k % 5 = 1
+                UNION ALL
+                SELECT 'exactw24_' || lpad(CAST(k AS VARCHAR), 3, '0'), k,
+                       1200 + (k % 7) * 300
+                FROM ks WHERE k % 5 = 2
+            ), grid AS (
+                SELECT clip_id, k, n, target_sr,
+                       CAST(UNNEST(range(0, CASE WHEN target_sr = 16000
+                                                 THEN 2 * n ELSE n // 2 END))
+                            AS BIGINT) AS j
+                FROM params
+                CROSS JOIN (SELECT * FROM (VALUES (16000), (4000)) t(target_sr))
+            ), nums AS (
+                SELECT clip_id, target_sr,
+                       CASE WHEN target_sr = 4000
+                            THEN 2 * (((k*7919 + (2*j)*104729 + 12345) % 65536) - 32768)
+                            WHEN j % 2 = 0
+                            THEN 2 * (((k*7919 + (j//2)*104729 + 12345) % 65536) - 32768)
+                            ELSE (((k*7919 + ((j-1)//2)*104729 + 12345) % 65536) - 32768)
+                               + (((k*7919 + least((j+1)//2, n-1)*104729 + 12345) % 65536) - 32768)
+                       END AS num
+                FROM grid
+            )
+            SELECT clip_id, CAST(target_sr AS INTEGER) AS target_sr,
+                   COUNT(*) AS n_out,
+                   CAST(SUM(num) AS BIGINT) AS sum_num,
+                   CAST(MAX(ABS(num)) AS BIGINT) AS peak_num,
+                   CAST(SUM(num * num) AS BIGINT) AS sumsq_num
+            FROM nums GROUP BY clip_id, target_sr
+        """,
         # Word-level edit distance replayed via the injective token->char
         # reduction: every vocab id becomes one codepoint, so DuckDB's
         # char-level levenshtein() equals the word-level DP the Spark

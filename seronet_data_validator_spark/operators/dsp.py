@@ -522,3 +522,72 @@ def mel_features(
             )
 
     return src.mapInArrow(run, schema=MEL_SCHEMA)
+
+
+RESAMPLE_EXACT_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("target_sr", T.IntegerType()),
+        T.StructField("n_out", T.LongType()),
+        T.StructField("sum_num", T.LongType()),
+        T.StructField("peak_num", T.LongType()),
+        T.StructField("sumsq_num", T.LongType()),
+    ]
+)
+
+
+def resample_features_exact(
+    clips: DataFrame, *, targets: tuple[int, ...] = (16000, 4000), id_col: str = "clip_id"
+) -> DataFrame:
+    """Exact-arithmetic features of the RESAMPLED signal — the value oracle
+    for the linear-interpolation resampler (multimodal.resample_linear,
+    the same code audio_resample re-encodes through).
+
+    For dyadic rate ratios every interpolated value is an exact binary
+    fraction m/65536 with |m| <= 2^17 (m = 2*s at integer positions,
+    s[i]+s[i+1] at half positions), so num = y * 65536 is an exactly
+    representable integer in float32 AND float64, and the int64 aggregates
+    below (sum, peak, sum of squares) are bit-reproducible by any engine
+    that can regenerate the source samples — no FFT, no rounding mode in
+    sight. Narrow mapInArrow pass over the real decode path, one output row
+    per (clip, target rate), no shuffle."""
+    from seronet_data_validator_spark.operators.audio import (
+        _binary_views,
+        _decode_view,
+    )
+    from seronet_data_validator_spark.operators.multimodal import resample_linear
+
+    src = clips.select(id_col, "bytes")
+    names = [f.name for f in RESAMPLE_EXACT_SCHEMA.fields]
+    types = [pa.string(), pa.int32(), pa.int64(), pa.int64(), pa.int64(), pa.int64()]
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols: dict[str, list] = {n: [] for n in names}
+            ids = batch.column(0).to_pylist()
+            get, _ = _binary_views(batch.column(1))
+            for i in range(batch.num_rows):
+                try:
+                    s16, sr = _decode_view(get(i))
+                except ValueError:
+                    continue
+                pcm = s16.astype(np.float32) / 32768.0
+                for t in targets:
+                    y = resample_linear(pcm, sr, t)
+                    num = np.rint(y.astype(np.float64) * 65536.0).astype(np.int64)
+                    row = (
+                        ids[i],
+                        t,
+                        len(num),
+                        int(num.sum()),
+                        int(np.max(np.abs(num))) if len(num) else None,
+                        int(np.dot(num, num)),
+                    )
+                    for name, v in zip(names, row):
+                        cols[name].append(v)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[n], type=ty) for n, ty in zip(names, types)],
+                names=names,
+            )
+
+    return src.mapInArrow(run, schema=RESAMPLE_EXACT_SCHEMA)

@@ -101,6 +101,25 @@ RESAMPLED_SCHEMA = T.StructType(
 )
 
 
+def resample_linear(pcm: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
+    """Position-based linear interpolation: output sample j reads source
+    position j*sr/target_sr (floor + fractional blend), clamped at the
+    tail. Mathematically the same grid mapping as the previous
+    normalized-linspace np.interp formulation, but computed so that for
+    DYADIC rate ratios (8k<->16k, 8k->4k) every position, weight, and
+    blended value is an exact binary fraction — which is what lets
+    resample_features_exact's value oracle replay the interpolation
+    arithmetic bit-for-bit in SQL."""
+    if sr == target_sr or len(pcm) == 0:
+        return pcm
+    n_out = max(1, int(round(len(pcm) * target_sr / sr)))
+    pos = np.arange(n_out, dtype=np.float64) * (sr / target_sr)
+    i0 = np.minimum(pos.astype(np.int64), len(pcm) - 1)
+    i1 = np.minimum(i0 + 1, len(pcm) - 1)
+    frac = (pos - i0).astype(np.float32)
+    return pcm[i0] * (np.float32(1.0) - frac) + pcm[i1] * frac
+
+
 def audio_resample(clips: DataFrame, target_sr: int, *, id_col: str = "clip_id") -> DataFrame:
     """Resample audio to `target_sr` (linear interpolation — numpy; the
     'resize' analog for audio). Returns re-encoded WAV bytes."""
@@ -115,13 +134,7 @@ def audio_resample(clips: DataFrame, target_sr: int, *, id_col: str = "clip_id")
                     blobs.append(None)
                     srs.append(None)
                     continue
-                if sr == target_sr or len(pcm) == 0:
-                    out = pcm
-                else:
-                    n_out = max(1, int(round(len(pcm) * target_sr / sr)))
-                    x_old = np.linspace(0.0, 1.0, num=len(pcm), endpoint=False)
-                    x_new = np.linspace(0.0, 1.0, num=n_out, endpoint=False)
-                    out = np.interp(x_new, x_old, pcm).astype(np.float32)
+                out = resample_linear(pcm, sr, target_sr)
                 blobs.append(wav_bytes((out * 32767).astype(np.int16), target_sr))
                 srs.append(target_sr)
             yield pa.RecordBatch.from_arrays(

@@ -606,3 +606,42 @@ def test_transcript_wer_operator(spark):
     assert out["a"]["wer"] == 0.25
     assert out["b"]["edit_distance"] == 2  # two insertions
     assert out["c"]["edit_distance"] == 0 and out["c"]["wer"] == 0.0
+
+
+def test_resample_linear_dyadic_exactness():
+    """At dyadic ratios the interpolated values are exact binary fractions:
+    y[2m] == x[m], y[2m+1] == (x[m]+x[m+1])/2 (tail clamps), and 8k->4k is a
+    pure even-sample pick."""
+    from seronet_data_validator_spark.operators.multimodal import resample_linear
+
+    s = (np.arange(-7, 9, dtype=np.int64) * 4093 % 65536 - 32768).astype(np.int16)
+    pcm = s.astype(np.float32) / 32768.0
+    up = resample_linear(pcm, 8000, 16000)
+    assert len(up) == 2 * len(pcm)
+    assert np.array_equal(up[0::2], pcm)
+    mids = (pcm[:-1].astype(np.float64) + pcm[1:]) / 2
+    assert np.array_equal(up[1:-1:2].astype(np.float64), mids)
+    assert up[-1] == pcm[-1]  # tail clamp
+    down = resample_linear(pcm, 8000, 4000)
+    assert np.array_equal(down, pcm[0::2])
+
+
+def test_resample_features_exact_schema(spark):
+    """resample_features_exact emits one row per (clip, target) with exact
+    int64 aggregates; num parity: an all-zero clip gives zeros."""
+    from seronet_data_validator_spark.operators.dsp import resample_features_exact
+    from seronet_data_validator_spark.sources.clips import wav_bytes
+
+    s = np.zeros(800, np.int16)
+    s[0] = 16384  # one quarter-scale spike: num = 2*16384 at j=0, 16384 at j=1
+    df = spark.createDataFrame(
+        [("z", bytearray(wav_bytes(s, 8000)))], "clip_id string, bytes binary"
+    )
+    out = {(r["clip_id"], r["target_sr"]): r
+           for r in resample_features_exact(df).collect()}
+    up = out[("z", 16000)]
+    assert up["n_out"] == 1600
+    assert up["peak_num"] == 32768
+    assert up["sum_num"] == 32768 + 16384  # j=0 pick + j=1 half-blend
+    dn = out[("z", 4000)]
+    assert dn["n_out"] == 400 and dn["peak_num"] == 32768
