@@ -1741,6 +1741,47 @@ def q_audio_basic_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_basic_features_exact(_exact_wav_clips(spark))
 
 
+def q_speech_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAD segmentation under a FULL value oracle: integer-recipe clips
+    whose sample stream is gated to zero in pseudo-random 160-sample blocks
+    ((k*13 + frame*7) % 3 == 0 -> silent frame) run through the real decode
+    -> exact frame-energy -> gaps-and-islands pipeline
+    (dsp.energy_segments). Every compared quantity is an int64 — frame
+    sum-of-squares, the >threshold activity test, island grouping — so
+    DuckDB replays the whole segmentation from the regenerated samples,
+    including segment numbering. The audio analog of sentence splitting;
+    one shuffle end-to-end (islands window, reused by both downstream
+    aggregations)."""
+    from seronet_data_validator_spark.operators.dsp import energy_segments
+
+    import numpy as np
+    import pandas as pd
+
+    from seronet_data_validator_spark.sources.clips import wav_bytes
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for k in pdf["id"].to_numpy():
+                k = int(k)
+                n = 1600 + (k % 5) * 480
+                i = np.arange(n, dtype=np.int64)
+                s = ((k * 7919 + i * 104729 + 12345) % 65536) - 32768
+                gate = ((k * 13 + (i // 160) * 7) % 3) != 0
+                rows.append(
+                    {
+                        "clip_id": f"seg_{k:03d}",
+                        "bytes": wav_bytes((s * gate).astype(np.int16), 8000),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    clips = spark.range(0, 40, 1, 4).mapInPandas(
+        gen, schema="clip_id string, bytes binary"
+    )
+    return energy_segments(clips)
+
+
 def q_audio_resample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The resampler's FULL value oracle: integer-recipe clips through the
     real decode paths (RIFF PCM16/stereo/24-bit + FLAC fixed/LPC/stereo —
@@ -2624,6 +2665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-5 session-3 additions: full value oracles, driver-unseen --
         "transcript_wer": q_transcript_wer,
         "audio_resample_exact": q_audio_resample_exact,
+        "speech_segments": q_speech_segments,
         # -- positions below: the round-3 additions the driver has not seen --
         "doc_packing": q_doc_packing,
         "tfidf_scores": q_tfidf_scores,
@@ -3107,6 +3149,50 @@ FROM idx
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # Replays the whole VAD segmentation from regenerated samples:
+        # gated recipe -> frame sum-of-squares (int64) -> threshold ->
+        # gaps-and-islands -> per-clip segment numbering. DuckDB SUM(int)
+        # is HUGEINT, hence the BIGINT casts on energy.
+        "speech_segments": """
+            WITH ks AS (SELECT CAST(range AS BIGINT) AS k FROM range(0, 40)),
+            params AS (
+              SELECT 'seg_' || lpad(CAST(k AS VARCHAR), 3, '0') AS clip_id,
+                     k, 1600 + (k % 5) * 480 AS n
+              FROM ks
+            ),
+            samp AS (
+              SELECT clip_id, k, CAST(UNNEST(range(0, n)) AS BIGINT) AS i
+              FROM params
+            ),
+            vals AS (
+              SELECT clip_id, i // 160 AS f,
+                     CASE WHEN (k*13 + (i // 160)*7) % 3 = 0 THEN 0
+                          ELSE ((k*7919 + i*104729 + 12345) % 65536) - 32768
+                     END AS s
+              FROM samp
+            ),
+            frames AS (
+              SELECT clip_id, f, SUM(s * s) AS sumsq
+              FROM vals GROUP BY clip_id, f
+            ),
+            isl AS (
+              SELECT clip_id, f, sumsq,
+                     f - row_number() OVER (PARTITION BY clip_id ORDER BY f) AS grp
+              FROM frames WHERE sumsq > 1000000
+            ),
+            segs AS (
+              SELECT clip_id, grp,
+                     CAST(MIN(f) AS BIGINT) AS start_frame,
+                     CAST(MAX(f) AS BIGINT) AS end_frame,
+                     COUNT(*) AS n_frames,
+                     CAST(SUM(sumsq) AS BIGINT) AS energy
+              FROM isl GROUP BY clip_id, grp
+            )
+            SELECT clip_id,
+                   row_number() OVER (PARTITION BY clip_id ORDER BY start_frame) AS seg_idx,
+                   start_frame, end_frame, n_frames, energy
+            FROM segs
+        """,
         # Replays the linear interpolator as integer CASE arithmetic over
         # the regenerated source samples: at dyadic ratios num = y*65536 is
         # exactly 2*s[j/2] (integer positions) or s[i]+s[i+1] (half

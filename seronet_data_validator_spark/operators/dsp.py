@@ -591,3 +591,119 @@ def resample_features_exact(
             )
 
     return src.mapInArrow(run, schema=RESAMPLE_EXACT_SCHEMA)
+
+
+FRAME_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("sumsq", T.LongType()),
+    ]
+)
+
+SEGMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("seg_idx", T.LongType()),
+        T.StructField("start_frame", T.LongType()),
+        T.StructField("end_frame", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+
+def frame_energies(
+    clips: DataFrame, *, frame_len: int = 160, id_col: str = "clip_id"
+) -> DataFrame:
+    """Per-frame sum-of-squares over the real decode path, as EXACT int64
+    (int16 samples squared and summed — max 160 * 2^30 per frame, far under
+    int64). One row per full frame (the tail partial frame is dropped, so
+    the frame grid is deterministic); narrow mapInArrow, no shuffle."""
+    from seronet_data_validator_spark.operators.audio import (
+        _binary_views,
+        _decode_view,
+    )
+
+    src = clips.select(id_col, "bytes")
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids_out: list[str] = []
+            fidx: list[np.ndarray] = []
+            sums: list[np.ndarray] = []
+            ids = batch.column(0).to_pylist()
+            get, _ = _binary_views(batch.column(1))
+            for i in range(batch.num_rows):
+                try:
+                    s16, _sr = _decode_view(get(i))
+                except ValueError:
+                    continue
+                nf = len(s16) // frame_len
+                if nf == 0:
+                    continue
+                s = s16[: nf * frame_len].astype(np.int64)
+                e = (s * s).reshape(nf, frame_len).sum(axis=1)
+                ids_out.extend([ids[i]] * nf)
+                fidx.append(np.arange(nf, dtype=np.int64))
+                sums.append(e)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids_out, pa.string()),
+                    pa.array(
+                        np.concatenate(fidx) if fidx else np.empty(0, np.int64)
+                    ),
+                    pa.array(
+                        np.concatenate(sums) if sums else np.empty(0, np.int64)
+                    ),
+                ],
+                names=["clip_id", "frame_idx", "sumsq"],
+            )
+
+    return src.mapInArrow(run, schema=FRAME_ENERGY_SCHEMA)
+
+
+def energy_segments(
+    clips: DataFrame,
+    *,
+    frame_len: int = 160,
+    threshold: int = 1_000_000,
+    id_col: str = "clip_id",
+) -> DataFrame:
+    """VAD-style speech segmentation: frames whose exact integer energy
+    exceeds `threshold` are active; contiguous active runs become segments
+    (gaps-and-islands via frame_idx - row_number). The audio analog of
+    sentence splitting for a training-data pipeline — segment boundaries
+    feed clip chunking and silence-trim decisions.
+
+    Plan shape: ONE shuffle total. The islands window partitions by
+    clip_id; the (clip_id, _grp) aggregation and the per-clip segment
+    numbering both reuse that clustering, so Catalyst inserts no further
+    Exchange. Every compared quantity is an int64 the oracle can replay —
+    no float thresholds, no RMS normalization ambiguity."""
+    from pyspark.sql import Window
+
+    fr = frame_energies(clips, frame_len=frame_len, id_col=id_col)
+    active = fr.filter(F.col("sumsq") > threshold)
+    w = Window.partitionBy("clip_id").orderBy("frame_idx")
+    seg = (
+        active.withColumn(
+            "_grp", F.col("frame_idx") - F.row_number().over(w)
+        )
+        .groupBy("clip_id", "_grp")
+        .agg(
+            F.min("frame_idx").alias("start_frame"),
+            F.max("frame_idx").alias("end_frame"),
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("sumsq").alias("energy"),
+        )
+    )
+    w2 = Window.partitionBy("clip_id").orderBy("start_frame")
+    return seg.select(
+        "clip_id",
+        F.row_number().over(w2).cast("long").alias("seg_idx"),
+        "start_frame",
+        "end_frame",
+        "n_frames",
+        "energy",
+    )

@@ -645,3 +645,22 @@ def test_resample_features_exact_schema(spark):
     assert up["sum_num"] == 32768 + 16384  # j=0 pick + j=1 half-blend
     dn = out[("z", 4000)]
     assert dn["n_out"] == 400 and dn["peak_num"] == 32768
+
+
+def test_energy_segments_islands(spark):
+    """Planted activity pattern: frames 0-1 loud, 2 silent, 3-5 loud ->
+    two segments with exact frame ranges and energies."""
+    from seronet_data_validator_spark.operators.dsp import energy_segments
+    from seronet_data_validator_spark.sources.clips import wav_bytes
+
+    fl = 160
+    s = np.zeros(6 * fl, np.int16)
+    for f in (0, 1, 3, 4, 5):
+        s[f * fl : (f + 1) * fl] = 1000  # sumsq per frame = 160e6 > 1e6
+    df = spark.createDataFrame(
+        [("p", bytearray(wav_bytes(s, 8000)))], "clip_id string, bytes binary"
+    )
+    segs = energy_segments(df).orderBy("seg_idx").collect()
+    assert [(r["seg_idx"], r["start_frame"], r["end_frame"], r["n_frames"])
+            for r in segs] == [(1, 0, 1, 2), (2, 3, 5, 3)]
+    assert segs[0]["energy"] == 2 * 160 * 1000 * 1000
