@@ -1741,6 +1741,49 @@ def q_audio_basic_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_basic_features_exact(_exact_wav_clips(spark))
 
 
+def q_adpcm_features_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMA ADPCM (WAV fmt 0x11) under a FULL value oracle: integer-recipe
+    samples are ENCODED through the real 4-bit codec (operators/adpcm.
+    adpcm_bytes, block_align=16 so every clip spans multiple blocks with a
+    padded tail) and the blobs flow through the real decode dispatch
+    (audio._decode_view -> decode_adpcm_wav, block-parallel numpy) into
+    exact peak/zc/RMS features. ADPCM is LOSSY, so the oracle cannot
+    regenerate the samples directly — instead a RECURSIVE CTE replays the
+    codec state machine itself sample by sample (quantize -> reconstruct ->
+    clamp -> step-index walk, block restarts at i%25==0 re-seeding the
+    predictor from the raw recipe), with the spec step/index tables inlined
+    as list literals. Encoder and decoder share the reconstruction
+    arithmetic, so the CTE's predictor sequence IS the decoded output —
+    verified bit-exact including the float64 RMS."""
+    from seronet_data_validator_spark.operators.dsp import audio_basic_features_exact
+
+    import numpy as np
+    import pandas as pd
+
+    from seronet_data_validator_spark.operators.adpcm import adpcm_bytes
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for k in pdf["id"].to_numpy():
+                k = int(k)
+                n = 40 + (k % 4) * 17
+                i = np.arange(n, dtype=np.int64)
+                s = ((((k + 3) * 641 + i * 193) % 4096) - 2048) * 16
+                rows.append(
+                    {
+                        "clip_id": f"adpcm_{k:03d}",
+                        "bytes": adpcm_bytes(s.astype(np.int16), 8000, block_align=16),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    clips = spark.range(0, 30, 1, 4).mapInPandas(
+        gen, schema="clip_id string, bytes binary"
+    )
+    return audio_basic_features_exact(clips)
+
+
 def q_speech_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VAD segmentation under a FULL value oracle: integer-recipe clips
     whose sample stream is gated to zero in pseudo-random 160-sample blocks
@@ -2666,12 +2709,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_wer": q_transcript_wer,
         "audio_resample_exact": q_audio_resample_exact,
         "speech_segments": q_speech_segments,
+        "adpcm_features_exact": q_adpcm_features_exact,
         # -- positions below: the round-3 additions the driver has not seen --
-        "doc_packing": q_doc_packing,
-        "tfidf_scores": q_tfidf_scores,
-        "embedding_outliers": q_embedding_outliers,
         "test_set_contamination": q_test_set_contamination,
-        "corpus_mix": q_corpus_mix,
         "fingerprints": q_fingerprints,
         "minhash_signature": q_minhash_signature,
         "minhash_neardup_portable": q_minhash_neardup_portable,
@@ -2733,6 +2773,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_close_pairs": q_embedding_close_pairs,
         # demoted from the r5 window to make room for the new full-oracle
         # queries (each driver-green in CORRECTNESS_r04, unchanged since)
+        "doc_packing": q_doc_packing,
+        "tfidf_scores": q_tfidf_scores,
+        "embedding_outliers": q_embedding_outliers,
+        "corpus_mix": q_corpus_mix,
         "user_sessions": q_user_sessions,
         "corpus_split": q_corpus_split,
         "source_quota": q_source_quota,
@@ -3149,6 +3193,69 @@ FROM idx
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # ADPCM is lossy, so this oracle replays the CODEC STATE MACHINE
+        # itself (IMA/DVI 1992 arithmetic) as a recursive CTE: per sample,
+        # quantize delta against the current step, reconstruct, clamp,
+        # walk the step index; block restarts (i % 25 == 0) re-seed the
+        # predictor from the raw recipe exactly like the 4-byte block
+        # headers do. The step/index tables are the public spec constants.
+        "adpcm_features_exact": """
+WITH RECURSIVE params AS (
+  SELECT 'adpcm_' || lpad(CAST(k AS VARCHAR), 3, '0') AS clip_id, k,
+         40 + (k % 4) * 17 AS n
+  FROM (SELECT CAST(range AS BIGINT) AS k FROM range(0, 30))
+),
+dec AS (
+  SELECT clip_id, k, n, CAST(0 AS BIGINT) AS i,
+         (((k+3)*641) % 4096 - 2048) * 16 AS pred,
+         CAST(0 AS BIGINT) AS idx
+  FROM params
+  UNION ALL
+  SELECT clip_id, k, n, i,
+         CASE WHEN i % 25 = 0 THEN s_next
+              ELSE greatest(-32768, least(32767,
+                   pred + CASE WHEN sign THEN -diff ELSE diff END)) END AS pred,
+         CASE WHEN i % 25 = 0 THEN idx
+              ELSE greatest(0, least(88, idx + list_extract([-1,-1,-1,-1,2,4,6,8,-1,-1,-1,-1,2,4,6,8],
+                   CAST((CASE WHEN sign THEN 8 ELSE 0 END) + b4*4 + b2*2 + b1 AS INTEGER) + 1))) END AS idx
+  FROM (
+    SELECT clip_id, k, n, i, pred, idx, s_next, step, sign,
+           b4, b2, b1,
+           (step // 8) + b4 * step + b2 * (step // 2) + b1 * (step // 4) AS diff
+    FROM (
+      SELECT *, CASE WHEN r1 >= step // 2 THEN 1 ELSE 0 END AS b2,
+             CASE WHEN (r1 - (CASE WHEN r1 >= step // 2 THEN step // 2 ELSE 0 END)) >= step // 4
+                  THEN 1 ELSE 0 END AS b1
+      FROM (
+        SELECT *, CASE WHEN ad >= step THEN 1 ELSE 0 END AS b4,
+               ad - (CASE WHEN ad >= step THEN step ELSE 0 END) AS r1
+        FROM (
+          SELECT clip_id, k, n, i + 1 AS i, pred, idx,
+                 (((k+3)*641 + (i+1)*193) % 4096 - 2048) * 16 AS s_next,
+                 list_extract([7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,22385,24623,27086,29794,32767], CAST(idx AS INTEGER) + 1) AS step,
+                 ((((k+3)*641 + (i+1)*193) % 4096 - 2048) * 16 - pred) < 0 AS sign,
+                 abs((((k+3)*641 + (i+1)*193) % 4096 - 2048) * 16 - pred) AS ad
+          FROM dec WHERE i + 1 < n
+        )
+      )
+    )
+  )
+),
+lagged AS (
+  SELECT clip_id, i, pred AS s,
+         lag(pred) OVER (PARTITION BY clip_id ORDER BY i) AS prev
+  FROM dec
+)
+SELECT clip_id,
+       COUNT(*) AS n_samples,
+       8000 AS sr_hz,
+       CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs,
+       CAST(SUM(CASE WHEN prev IS NOT NULL AND prev * s < 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+       SQRT(CAST(SUM(s * s) AS DOUBLE) / COUNT(*)) AS rms
+FROM lagged
+GROUP BY clip_id
+""",
         # Replays the whole VAD segmentation from regenerated samples:
         # gated recipe -> frame sum-of-squares (int64) -> threshold ->
         # gaps-and-islands -> per-clip segment numbering. DuckDB SUM(int)

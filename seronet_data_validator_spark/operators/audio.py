@@ -20,12 +20,13 @@ worker is copied ≥3× (socket write, socket read, Arrow assembly):
 
   * **Identity fast path.** Bit-identical payloads trivially satisfy
     SNR ≥ 30 dB (noise ≡ 0 ⇒ SNR = ∞), and every self-consistency check
-    (magic, truncation, sr, duration) is derivable from the 44-byte WAV
-    header plus the payload LENGTH. So the JVM-side projection compares
+    (magic, truncation, sr, duration) is derivable from a 60-byte WAV
+    prefix (44-byte canonical header + the IMA ADPCM fact/data headers)
+    plus the payload LENGTH. So the JVM-side projection compares
     ``bytes == ref_bytes`` (a streaming memcmp inside the join stage) and
-    ships Python only ``substring(bytes, 1, 44)`` + ``length(bytes)`` unless
+    ships Python only ``substring(bytes, 1, 60)`` + ``length(bytes)`` unless
     a real SNR comparison is required. Clean corpora — the overwhelmingly
-    common case — move ~44 B/clip through Arrow instead of the full clip.
+    common case — move ~60 B/clip through Arrow instead of the full clip.
   * **No-reference mode ships headers only** (SNR needs no payload at all).
   * **Transcript equality is evaluated JVM-side** (a Column comparison);
     only mismatching transcripts cross into Python, as the violation value.
@@ -57,6 +58,9 @@ _SNR_CHUNK = 16384  # samples per dot-product chunk (128 KB of float32 scratch)
 # 8-bit codes to 16-bit linear via a 256-entry gather — fully vectorized,
 # built once at import from the CCITT reference arithmetic.
 _WAVE_PCM, _WAVE_ALAW, _WAVE_MULAW = 1, 6, 7
+_WAVE_IMA_ADPCM = 0x11  # IMA/DVI ADPCM (operators/adpcm.py)
+_FACT = np.frombuffer(b"fact", np.uint8)
+_DATA = np.frombuffer(b"data", np.uint8)
 
 
 def _build_g711_tables() -> tuple[np.ndarray, np.ndarray]:
@@ -148,7 +152,8 @@ def _parse_header(
     """Validate a canonical RIFF/WAVE header of a uint8 view →
     (n_frames, sr, wav_format, channels, bits). Accepted formats: PCM
     16-bit and 24-bit (code 1; mono or stereo) and the G.711 companded
-    codecs A-law/µ-law (codes 6/7, 8-bit mono — ITU-T G.711); anything
+    codecs A-law/µ-law (codes 6/7, 8-bit mono — ITU-T G.711), and
+    canonical-layout IMA ADPCM (code 0x11 — operators/adpcm.py); anything
     else raises, which the invariant pass reports as C13a.decode.
 
     ``payload_len`` is the FULL blob length (the view may be just the
@@ -164,11 +169,13 @@ def _parse_header(
     ch = int.from_bytes(seg[22:24].tobytes(), "little")
     bits = int.from_bytes(seg[34:36].tobytes(), "little")
     sr = int.from_bytes(seg[24:28].tobytes(), "little")
-    n = int.from_bytes(seg[40:44].tobytes(), "little")
-    if n > payload_len - 44:
-        raise ValueError(
-            f"truncated: declared data chunk {n} B exceeds payload {payload_len - 44} B"
-        )
+    if fmt in (_WAVE_PCM, _WAVE_ALAW, _WAVE_MULAW):
+        # canonical 44-byte layout: data chunk header at offset 36
+        n = int.from_bytes(seg[40:44].tobytes(), "little")
+        if n > payload_len - 44:
+            raise ValueError(
+                f"truncated: declared data chunk {n} B exceeds payload {payload_len - 44} B"
+            )
     if fmt == _WAVE_PCM and bits in (16, 24) and ch in (1, 2):
         align = ch * bits // 8
         if n % align:
@@ -176,6 +183,32 @@ def _parse_header(
         return n // align, sr, fmt, ch, bits
     if fmt in (_WAVE_ALAW, _WAVE_MULAW) and bits == 8 and ch == 1:
         return n, sr, fmt, ch, bits
+    if fmt == _WAVE_IMA_ADPCM and ch == 1 and bits == 4:
+        # canonical IMA ADPCM layout (operators/adpcm.adpcm_bytes): fmt(20B)
+        # at 12, fact at 40, data header at 52 -> 60-byte prefix carries
+        # sample count, block geometry and the declared data size. The
+        # full-blob decode path (_decode_view -> decode_adpcm_wav) walks
+        # chunks generically; this fast path validates the canonical shape.
+        if len(seg) < 60 or not (
+            np.array_equal(seg[40:44], _FACT) and np.array_equal(seg[52:56], _DATA)
+        ):
+            raise ValueError("non-canonical IMA ADPCM chunk layout")
+        block_align = int.from_bytes(seg[32:34].tobytes(), "little")
+        spb = int.from_bytes(seg[38:40].tobytes(), "little")
+        n_samples = int.from_bytes(seg[48:52].tobytes(), "little")
+        data_sz = int.from_bytes(seg[56:60].tobytes(), "little")
+        if data_sz > payload_len - 60:
+            raise ValueError(
+                f"truncated: declared data chunk {data_sz} B exceeds payload {payload_len - 60} B"
+            )
+        if block_align < 5 or spb != (block_align - 4) * 2 + 1:
+            raise ValueError("inconsistent ADPCM block geometry")
+        blocks = (n_samples + spb - 1) // spb
+        if blocks * block_align != data_sz:
+            raise ValueError(
+                f"ADPCM data length {data_sz} inconsistent with {n_samples} samples"
+            )
+        return n_samples, sr, fmt, ch, bits
     raise ValueError(f"unsupported WAV format code {fmt} / {ch}ch / {bits}-bit")
 
 
@@ -191,6 +224,15 @@ def _decode_view(seg: np.ndarray | None) -> tuple[np.ndarray, int]:
         from seronet_data_validator_spark.operators.flac import decode_flac
 
         return decode_flac(seg.tobytes())
+    if (
+        seg is not None
+        and len(seg) >= 22
+        and bytes(seg[:4]) == b"RIFF"
+        and int.from_bytes(seg[20:22].tobytes(), "little") == _WAVE_IMA_ADPCM
+    ):
+        from seronet_data_validator_spark.operators.adpcm import decode_adpcm_wav
+
+        return decode_adpcm_wav(seg.tobytes())
     n_frames, sr, fmt, ch, bits = _parse_header(
         seg, len(seg) if seg is not None else 0
     )
@@ -235,7 +277,8 @@ def audio_violations(
     used to benchmark the worst-case full-decode throughput.
     """
     has_ref = reference_clips is not None
-    header = F.substring(F.col("bytes"), 1, 44)
+    header = F.substring(F.col("bytes"), 1, 60)  # 44B canonical PCM header
+    # + 16B so the IMA ADPCM fact/data headers (offsets 40..60) ride along
     if has_ref:
         ref = reference_clips.select(
             F.col(id_column), F.col("ref_bytes"), F.col("ref_transcript")
