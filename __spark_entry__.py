@@ -1741,6 +1741,22 @@ def q_audio_basic_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_basic_features_exact(_exact_wav_clips(spark))
 
 
+def q_clip_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-window chunking (multimodal.clip_chunks — the audio analog
+    of sequence packing) under a FULL value oracle: whisper-style 30 s
+    windows at a 25 s hop over a metadata-only duration recipe
+    dur(k) = (k*937) % 120000, including clips shorter than the 1 s tail
+    minimum (zero chunks) and exact-boundary durations. Pure Column math +
+    one narrow explode; DuckDB replays the window grid with range()."""
+    from seronet_data_validator_spark.operators.multimodal import clip_chunks
+
+    base = spark.range(0, 200, 1, 4).selectExpr(
+        "concat('chunk_', lpad(cast(id as string), 3, '0')) AS clip_id",
+        "cast((id * 937) % 120000 as long) AS dur_ms",
+    )
+    return clip_chunks(base)
+
+
 def q_adpcm_features_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IMA ADPCM (WAV fmt 0x11) under a FULL value oracle: integer-recipe
     samples are ENCODED through the real 4-bit codec (operators/adpcm.
@@ -2710,6 +2726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_resample_exact": q_audio_resample_exact,
         "speech_segments": q_speech_segments,
         "adpcm_features_exact": q_adpcm_features_exact,
+        "clip_chunks": q_clip_chunks,
         # -- positions below: the round-3 additions the driver has not seen --
         "test_set_contamination": q_test_set_contamination,
         "fingerprints": q_fingerprints,
@@ -3193,6 +3210,30 @@ FROM idx
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # Replays the training-window grid: n = floor((dur-1000)/25000)+1
+        # windows for dur >= 1000 ms, chunk i = [i*25000, min(i*25000+30000,
+        # dur)).
+        "clip_chunks": """
+            WITH ks AS (SELECT CAST(range AS BIGINT) AS k FROM range(0, 200)),
+            params AS (
+              SELECT 'chunk_' || lpad(CAST(k AS VARCHAR), 3, '0') AS clip_id,
+                     (k * 937) % 120000 AS dur
+              FROM ks
+            ),
+            cnt AS (
+              SELECT clip_id, dur,
+                     CASE WHEN dur >= 1000 THEN (dur - 1000) // 25000 + 1
+                          ELSE 0 END AS n
+              FROM params
+            ),
+            g AS (
+              SELECT clip_id, dur, CAST(UNNEST(range(0, n)) AS BIGINT) AS i
+              FROM cnt WHERE n > 0
+            )
+            SELECT clip_id, i AS chunk_idx, i * 25000 AS start_ms,
+                   least(i * 25000 + 30000, dur) AS end_ms
+            FROM g
+        """,
         # ADPCM is lossy, so this oracle replays the CODEC STATE MACHINE
         # itself (IMA/DVI 1992 arithmetic) as a recursive CTE: per sample,
         # quantize delta against the current step, reconstruct, clamp,

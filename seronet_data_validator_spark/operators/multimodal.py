@@ -23,6 +23,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from seronet_data_validator_spark.operators.audio import _binary_views, _decode_view
@@ -880,3 +881,46 @@ def image_resize(
             )
 
     return src.mapInArrow(run, schema=IMAGE_RESIZED_SCHEMA)
+
+
+def clip_chunks(
+    clips: DataFrame,
+    *,
+    win_ms: int = 30_000,
+    hop_ms: int = 25_000,
+    min_tail_ms: int = 1_000,
+    id_col: str = "clip_id",
+    dur_col: str = "dur_ms",
+) -> DataFrame:
+    """Split long clips into fixed training windows — the audio analog of
+    sequence packing (sampling.pack_documents): chunk i covers
+    [i*hop_ms, min(i*hop_ms + win_ms, dur)), and a window is emitted while
+    at least `min_tail_ms` of audio remains (so the final partial window is
+    kept unless it is uselessly short). Whisper-style 30 s / 25 s-hop
+    windows by default.
+
+    Pure metadata Column math over dur_ms — one narrow explode of a
+    `sequence`, NO shuffle and NO bytes read: at 100 TB the chunk plan is
+    sized by the row count, not the audio, and the byte-ranged decode can
+    be pushed to whatever reader consumes the chunk table."""
+    n = F.when(
+        F.col(dur_col) >= min_tail_ms,
+        (F.floor((F.col(dur_col) - min_tail_ms) / hop_ms) + 1).cast("int"),
+    ).otherwise(F.lit(0))
+    # sequence(0, -1) DESCENDS in Spark, so zero-chunk rows need an empty
+    # array, not a negative-bound sequence; exploding [] drops the row.
+    idx = F.explode(
+        F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+    )
+    out = clips.select(
+        id_col, F.col(dur_col).cast("long").alias("_dur"), idx.alias("chunk_idx")
+    )
+    start = F.col("chunk_idx").cast("long") * hop_ms
+    return out.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start.alias("start_ms"),
+        F.least(start + win_ms, F.col("_dur")).alias("end_ms"),
+    )

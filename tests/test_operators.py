@@ -1085,3 +1085,21 @@ def test_banded_hamming_hot_bucket_guard_is_exact(spark):
     # the planted genuine near-dup pair survives star mode too
     assert any(r["id_a"] == 10_000 and r["id_b"] == 10_001 for r in star)
     fp.unpersist()
+
+
+def test_clip_chunks_windows(spark):
+    """30s/25s-hop windows: boundary durations, short-clip suppression,
+    and tail clamping."""
+    from seronet_data_validator_spark.operators.multimodal import clip_chunks
+
+    df = spark.createDataFrame(
+        [("a", 70_000), ("b", 999), ("c", 1_000), ("d", 30_000), ("e", 0)],
+        "clip_id string, dur_ms long",
+    )
+    rows = [(r["clip_id"], r["chunk_idx"], r["start_ms"], r["end_ms"])
+            for r in clip_chunks(df).orderBy("clip_id", "chunk_idx").collect()]
+    assert rows == [
+        ("a", 0, 0, 30_000), ("a", 1, 25_000, 55_000), ("a", 2, 50_000, 70_000),
+        ("c", 0, 0, 1_000),
+        ("d", 0, 0, 30_000), ("d", 1, 25_000, 30_000),
+    ]  # b (999 ms) and e (0 ms) fall below the 1 s tail minimum: no chunks
