@@ -1741,6 +1741,51 @@ def q_audio_basic_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_basic_features_exact(_exact_wav_clips(spark))
 
 
+def q_tar_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style tar sharding under a FULL value oracle: recipe WAV
+    clips flow through the real pipeline — shard_assignments (USTAR
+    footprint -> pack_documents start-offset rule) then tar_shard_blobs
+    (deterministic in-memory tarfile per shard) — and the checked values
+    include the ACTUAL archive byte length. The USTAR cost model is
+    spec-fixed (512-B header + payload padded to 512; 1024-B end marker;
+    10240-B record padding), so DuckDB replays shard ids, member counts
+    and tar_len from the metadata recipe alone. sources/tar_shards.py."""
+    import numpy as np
+    import pandas as pd
+
+    from seronet_data_validator_spark.sources.clips import wav_bytes
+    from seronet_data_validator_spark.sources.tar_shards import (
+        shard_assignments,
+        tar_shard_blobs,
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for k in pdf["id"].to_numpy():
+                k = int(k)
+                n = 1200 + (k % 7) * 300
+                i = np.arange(n, dtype=np.int64)
+                s = (((k * 7919 + i * 104729 + 12345) % 65536) - 32768).astype(
+                    np.int16
+                )
+                rows.append(
+                    {"clip_id": f"shard_{k:03d}", "bytes": wav_bytes(s, 8000)}
+                )
+            yield pd.DataFrame(rows)
+
+    clips = spark.range(0, 60, 1, 4).mapInPandas(
+        gen, schema="clip_id string, bytes binary"
+    )
+    assigned = shard_assignments(clips, shard_budget_bytes=65536)
+    shards = tar_shard_blobs(assigned)
+    return shards.select(
+        "shard_id",
+        "n_members",
+        F.length("tar_bytes").cast("long").alias("tar_len"),
+    )
+
+
 def q_clip_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-window chunking (multimodal.clip_chunks — the audio analog
     of sequence packing) under a FULL value oracle: whisper-style 30 s
@@ -2727,6 +2772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "speech_segments": q_speech_segments,
         "adpcm_features_exact": q_adpcm_features_exact,
         "clip_chunks": q_clip_chunks,
+        "tar_shards": q_tar_shards,
         # -- positions below: the round-3 additions the driver has not seen --
         "test_set_contamination": q_test_set_contamination,
         "fingerprints": q_fingerprints,
@@ -2735,9 +2781,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_components": q_neardup_components,
         "duplicate_spans": q_duplicate_spans,
         "semantic_dedup": q_semantic_dedup,
-        "bpe_token_count": q_bpe_token_count,
-        "stratified_sample": q_stratified_sample,
-        "ks_drift_exact": q_ks_drift_exact,
         "editdist_neardup": q_editdist_neardup,
         "char_entropy": q_char_entropy,
         "key_skew": q_key_skew,
@@ -2794,6 +2837,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_scores": q_tfidf_scores,
         "embedding_outliers": q_embedding_outliers,
         "corpus_mix": q_corpus_mix,
+        "bpe_token_count": q_bpe_token_count,
+        "stratified_sample": q_stratified_sample,
+        "ks_drift_exact": q_ks_drift_exact,
         "user_sessions": q_user_sessions,
         "corpus_split": q_corpus_split,
         "source_quota": q_source_quota,
@@ -3210,6 +3256,36 @@ FROM idx
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # Replays the USTAR cost model from the metadata recipe: member
+        # footprint 512 + pad512(44 + 2n), start-offset shard rule, and
+        # the final archive length incl. end marker + record padding. The
+        # Spark side reports length(tar_bytes) of the REAL archive.
+        "tar_shards": """
+            WITH ks AS (SELECT CAST(range AS BIGINT) AS k FROM range(0, 60)),
+            params AS (
+              SELECT 'shard_' || lpad(CAST(k AS VARCHAR), 3, '0') AS clip_id,
+                     44 + 2 * (1200 + (k % 7) * 300) AS blen
+              FROM ks
+            ),
+            fp AS (
+              SELECT clip_id, 512 + ((blen + 511) // 512) * 512 AS f
+              FROM params
+            ),
+            run AS (
+              SELECT clip_id, f,
+                     SUM(f) OVER (ORDER BY clip_id ROWS UNBOUNDED PRECEDING) - f
+                       AS preceding
+              FROM fp
+            ),
+            asg AS (
+              SELECT clip_id, f, CAST(preceding // 65536 AS BIGINT) AS shard_id
+              FROM run
+            )
+            SELECT shard_id, COUNT(*) AS n_members,
+                   CAST(((SUM(f) + 1024 + 10239) // 10240) * 10240 AS BIGINT)
+                     AS tar_len
+            FROM asg GROUP BY shard_id
+        """,
         # Replays the training-window grid: n = floor((dur-1000)/25000)+1
         # windows for dur >= 1000 ms, chunk i = [i*25000, min(i*25000+30000,
         # dur)).
