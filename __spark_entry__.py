@@ -1741,6 +1741,98 @@ def q_audio_basic_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_basic_features_exact(_exact_wav_clips(spark))
 
 
+def _qc_wav_clips(spark: SparkSession, n_clips: int = 50) -> DataFrame:
+    """Deterministic QC fixture: five clip kinds by k%5, all INTEGER-recipe
+    replayable so DuckDB regenerates every sample — 0: the _exact_wav_clips
+    pseudo-random recipe (healthy), 1: all zeros (digital silence, the
+    NULL-gain path), 2: full-scale +/- square wave in 8-sample blocks (hard
+    clipping), 3: near-constant 3000+(i%7) (DC bias), 4: one 20000-sample
+    spike then zeros (silent-majority verdict + peak-limited gain). Clip k
+    has 1200+(k%7)*300 samples at 8 kHz through the real RIFF encoder, so
+    the decode path sits INSIDE the oracled pipeline."""
+    import numpy as np
+    import pandas as pd
+
+    from seronet_data_validator_spark.sources.clips import wav_bytes
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for k in pdf["id"].to_numpy():
+                k = int(k)
+                n = 1200 + (k % 7) * 300
+                i = np.arange(n, dtype=np.int64)
+                kind = k % 5
+                if kind == 0:
+                    s = ((k * 7919 + i * 104729 + 12345) % 65536) - 32768
+                elif kind == 1:
+                    s = np.zeros(n, dtype=np.int64)
+                elif kind == 2:
+                    s = np.where((i // 8) % 2 == 0, 32767, -32768)
+                elif kind == 3:
+                    s = 3000 + (i % 7)
+                else:
+                    s = np.where(i == 0, 20000, 0)
+                rows.append(
+                    {
+                        "clip_id": f"qc_{k:03d}",
+                        "bytes": wav_bytes(s.astype(np.int16), 8000),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n_clips, 1, 8).mapInPandas(
+        gen, schema="clip_id string, bytes binary"
+    )
+
+
+def q_audio_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip QC verdicts (clipping / silence / DC bias) under a FULL
+    value oracle: every rule is an integer comparison over int64 aggregates
+    of the decoded samples (operators/qc.audio_qc), so DuckDB replays the
+    booleans bit-for-bit from the integer recipe. Reference analog: the
+    per-cell pass/fail rules of Validation_Rules.py, applied to PCM."""
+    from seronet_data_validator_spark.operators.qc import audio_qc
+
+    return audio_qc(_qc_wav_clips(spark))
+
+
+def q_loudness_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loudness-normalization gain with the int16 peak cap
+    (operators/qc.loudness_gain): two IEEE divisions over the exact
+    peak/RMS, cap decided by comparing the two candidate gains themselves —
+    DuckDB evaluates the identical expressions, so gain AND branch match
+    bit-for-bit. The silent kind exercises the NULL-gain path and the
+    spike kind the peak-limited branch."""
+    from seronet_data_validator_spark.operators.qc import loudness_gain
+
+    return loudness_gain(_qc_wav_clips(spark))
+
+
+def q_speaking_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript/duration consistency (operators/qc.speaking_rate) over an
+    in-query deterministic fixture both engines regenerate with repeat():
+    tokens-per-second against human-speech bounds, with bad-duration and
+    empty-transcript lanes. Native Column code only — regex split + one
+    multiply/divide — the cross-column invariant family (reference
+    Validation_Rules.py compare-columns rules) on the audio+transcript pair."""
+    from seronet_data_validator_spark.operators.qc import speaking_rate
+
+    base = spark.range(0, 400).select(
+        F.format_string("srk_%03d", F.col("id")).alias("clip_id"),
+        F.expr(
+            "CASE CAST(id % 11 AS INT) WHEN 0 THEN '' WHEN 1 THEN '   ' "
+            "ELSE repeat('tok ', CAST(1 + (id * 13) % 40 AS INT)) || 'end' "
+            "END"
+        ).alias("transcript"),
+        F.expr(
+            "CASE WHEN id % 13 = 0 THEN 0 "
+            "ELSE CAST(400 + (id % 50) * 173 AS INT) END"
+        ).alias("dur_ms"),
+    )
+    return speaking_rate(base)
+
+
 def q_tar_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset-style tar sharding under a FULL value oracle: recipe WAV
     clips flow through the real pipeline — shard_assignments (USTAR
@@ -2766,6 +2858,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # unchanged — their regression net is tests/test_entry_contract.py
     # (all queries vs DuckDB) + pytest.
     return {
+        # -- round-5 session-4 additions: the audio QC verdict family
+        # (operators/qc.py), all full value oracles, driver-unseen --
+        "audio_qc": q_audio_qc,
+        "loudness_gain": q_loudness_gain,
+        "speaking_rate": q_speaking_rate,
         # -- round-5 session-3 additions: full value oracles, driver-unseen --
         "transcript_wer": q_transcript_wer,
         "audio_resample_exact": q_audio_resample_exact,
@@ -2774,15 +2871,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_chunks": q_clip_chunks,
         "tar_shards": q_tar_shards,
         # -- positions below: the round-3 additions the driver has not seen --
-        "test_set_contamination": q_test_set_contamination,
-        "fingerprints": q_fingerprints,
         "minhash_signature": q_minhash_signature,
         "minhash_neardup_portable": q_minhash_neardup_portable,
         "neardup_components": q_neardup_components,
         "duplicate_spans": q_duplicate_spans,
         "semantic_dedup": q_semantic_dedup,
         "editdist_neardup": q_editdist_neardup,
-        "char_entropy": q_char_entropy,
         "key_skew": q_key_skew,
         "dedup_survivors": q_dedup_survivors,
         "skew_split_join": q_skew_split_join,
@@ -2833,6 +2927,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_close_pairs": q_embedding_close_pairs,
         # demoted from the r5 window to make room for the new full-oracle
         # queries (each driver-green in CORRECTNESS_r04, unchanged since)
+        "test_set_contamination": q_test_set_contamination,
+        "fingerprints": q_fingerprints,
+        "char_entropy": q_char_entropy,
         "doc_packing": q_doc_packing,
         "tfidf_scores": q_tfidf_scores,
         "embedding_outliers": q_embedding_outliers,
@@ -3516,6 +3613,142 @@ GROUP BY clip_id
         "semantic_dedup_exact": _SEMANTIC_DEDUP_EXACT_SQL,
         "minhash_neardup": _MINHASH_NEARDUP_SQL,
         "video_frames": _VIDEO_FRAMES_SQL,
+        # Regenerates the five-kind _qc_wav_clips recipe and replays every
+        # verdict as the SAME integer comparison (clip_count*1000 > n etc.);
+        # framewise silence is a plain GROUP BY i//160 — the Spark side's
+        # zero-padded partial frame cannot raise a max-of-abs, so the two
+        # framings agree. All SUMs cast ::BIGINT (DuckDB SUM(int)=HUGEINT).
+        "audio_qc": """
+            WITH ks AS (
+                SELECT CAST(range AS BIGINT) AS k FROM range(0, 50)
+            ), params AS (
+                SELECT 'qc_' || lpad(CAST(k AS VARCHAR), 3, '0') AS clip_id,
+                       k, 1200 + (k % 7) * 300 AS n
+                FROM ks
+            ), samp AS (
+                SELECT clip_id, k,
+                       CAST(UNNEST(range(0, n)) AS BIGINT) AS i
+                FROM params
+            ), vals AS (
+                SELECT clip_id, i,
+                       CASE CAST(k % 5 AS INTEGER)
+                         WHEN 0 THEN ((k * 7919 + i * 104729 + 12345) % 65536) - 32768
+                         WHEN 1 THEN 0
+                         WHEN 2 THEN CASE WHEN ((i // 8) % 2) = 0
+                                          THEN 32767 ELSE -32768 END
+                         WHEN 3 THEN 3000 + (i % 7)
+                         ELSE CASE WHEN i = 0 THEN 20000 ELSE 0 END
+                       END AS s
+                FROM samp
+            ), frames AS (
+                SELECT clip_id, i // 160 AS f, MAX(ABS(s)) AS fpeak
+                FROM vals GROUP BY 1, 2
+            ), fr AS (
+                SELECT clip_id, COUNT(*) AS n_frames,
+                       CAST(SUM(CASE WHEN fpeak < 328 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS silence_frames
+                FROM frames GROUP BY clip_id
+            ), agg AS (
+                SELECT clip_id, COUNT(*) AS n_samples,
+                       CAST(SUM(CASE WHEN ABS(s) >= 32767 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS clip_count,
+                       CAST(SUM(s) AS BIGINT) AS dc_sum
+                FROM vals GROUP BY clip_id
+            )
+            SELECT a.clip_id, a.n_samples, 8000 AS sr_hz,
+                   a.clip_count, a.dc_sum, f.n_frames, f.silence_frames,
+                   a.clip_count * 1000 > a.n_samples AS is_clipped,
+                   f.silence_frames * 2 > f.n_frames AS is_silent,
+                   ABS(a.dc_sum) * 20 > 32767 * a.n_samples AS dc_biased,
+                   NOT (a.clip_count * 1000 > a.n_samples
+                        OR f.silence_frames * 2 > f.n_frames
+                        OR ABS(a.dc_sum) * 20 > 32767 * a.n_samples) AS qc_pass
+            FROM agg a JOIN fr f USING (clip_id)
+        """,
+        # Same sample recipe; rms via the proven exact idiom (int64 sum of
+        # squares < 2^53 cast to DOUBLE, one division + sqrt), then the two
+        # candidate gains as single IEEE divisions — both engines evaluate
+        # the identical expressions, so value AND peak_limited branch match.
+        "loudness_gain": """
+            WITH ks AS (
+                SELECT CAST(range AS BIGINT) AS k FROM range(0, 50)
+            ), params AS (
+                SELECT 'qc_' || lpad(CAST(k AS VARCHAR), 3, '0') AS clip_id,
+                       k, 1200 + (k % 7) * 300 AS n
+                FROM ks
+            ), samp AS (
+                SELECT clip_id, k,
+                       CAST(UNNEST(range(0, n)) AS BIGINT) AS i
+                FROM params
+            ), vals AS (
+                SELECT clip_id, i,
+                       CASE CAST(k % 5 AS INTEGER)
+                         WHEN 0 THEN ((k * 7919 + i * 104729 + 12345) % 65536) - 32768
+                         WHEN 1 THEN 0
+                         WHEN 2 THEN CASE WHEN ((i // 8) % 2) = 0
+                                          THEN 32767 ELSE -32768 END
+                         WHEN 3 THEN 3000 + (i % 7)
+                         ELSE CASE WHEN i = 0 THEN 20000 ELSE 0 END
+                       END AS s
+                FROM samp
+            ), agg AS (
+                SELECT clip_id, COUNT(*) AS n_samples,
+                       CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs,
+                       SQRT(CAST(SUM(s * s) AS DOUBLE) / COUNT(*)) AS rms
+                FROM vals GROUP BY clip_id
+            )
+            SELECT clip_id, n_samples, peak_abs, rms,
+                   CASE WHEN peak_abs > 0
+                        THEN least(3276.8 / rms, 32767.0 / peak_abs)
+                   END AS gain,
+                   CASE WHEN peak_abs > 0
+                        THEN (32767.0 / peak_abs) < (3276.8 / rms)
+                   END AS peak_limited
+            FROM agg
+        """,
+        # Regenerates the transcript/duration fixture with repeat() and
+        # replays the token count (regex split of the trimmed string, the
+        # empty case pinned to 0) and wps = tokens * 1000.0 / dur_ms in the
+        # identical IEEE evaluation order; the status CASE mirrors the
+        # operator's branch order exactly.
+        "speaking_rate": """
+            WITH ks AS (
+                SELECT CAST(range AS BIGINT) AS k FROM range(0, 400)
+            ), base AS (
+                SELECT 'srk_' || lpad(CAST(k AS VARCHAR), 3, '0') AS clip_id,
+                       CASE CAST(k % 11 AS INTEGER)
+                         WHEN 0 THEN ''
+                         WHEN 1 THEN '   '
+                         ELSE repeat('tok ', CAST(1 + (k * 13) % 40 AS INTEGER))
+                              || 'end'
+                       END AS transcript,
+                       CASE WHEN k % 13 = 0 THEN 0
+                            ELSE CAST(400 + (k % 50) * 173 AS INTEGER)
+                       END AS dur_ms
+                FROM ks
+            ), toks AS (
+                SELECT clip_id, dur_ms,
+                       CASE WHEN trim(transcript) = '' THEN 0
+                            ELSE len(string_split_regex(trim(transcript), '\\s+'))
+                       END AS n_tokens
+                FROM base
+            )
+            SELECT clip_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(dur_ms AS INTEGER) AS dur_ms,
+                   CASE WHEN dur_ms > 0
+                        THEN CAST(n_tokens AS DOUBLE) * 1000.0 / dur_ms
+                   END AS words_per_sec,
+                   CASE WHEN dur_ms IS NULL OR dur_ms <= 0 THEN 'bad_duration'
+                        WHEN n_tokens = 0 THEN 'empty_transcript'
+                        WHEN CAST(n_tokens AS DOUBLE) * 1000.0 / dur_ms > 6.0
+                             THEN 'too_fast'
+                        WHEN CAST(n_tokens AS DOUBLE) * 1000.0 / dur_ms < 0.5
+                             THEN 'too_slow'
+                        ELSE 'ok'
+                   END AS rate_status
+            FROM toks
+        """,
         # Regenerates _exact_wav_clips' integer sample recipe and recomputes
         # every feature: peak/zero-crossings as integer aggregates (BIGINT
         # casts — DuckDB SUM(int) is HUGEINT and would reach pandas as

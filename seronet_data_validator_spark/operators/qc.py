@@ -1,0 +1,262 @@
+"""Audio corpus QC verdict operators: clipping / silence / DC-offset
+checks, loudness-normalization gain, and transcript speaking-rate
+consistency.
+
+These are the per-clip acceptance rules a training-data pipeline runs
+before admitting audio into a corpus — the audio analog of the
+reference's per-column value rules (reference: Validation_Rules.py's
+check_* functions assign a pass/fail verdict per cell; here the "cell"
+is a decoded PCM stream or a transcript/duration pair). Each verdict is
+derived from EXACT arithmetic so the whole family carries full value
+oracles:
+
+* ``audio_qc_stats`` / ``audio_qc`` — clipping count, DC sum, and
+  framewise silence counts are pure int64 aggregates over the decoded
+  int16 samples; every verdict is an integer comparison (no float
+  thresholds), so an external engine regenerating the samples replays
+  the booleans bit-for-bit.
+* ``loudness_gain`` — the gain that normalizes a clip to a target RMS,
+  capped so the scaled peak stays inside int16. Two IEEE divisions over
+  exactly-accumulated integers; the cap comparison is done on the two
+  candidate gains themselves so both engines take the identical branch.
+* ``speaking_rate`` — tokens-per-second of the transcript against the
+  declared duration, flagged against plausibility bounds. Native Column
+  code end to end (regex token split + one multiply/divide).
+
+Execution shape: one narrow ``mapInArrow`` decode pass (zero-copy binary
+views, no shuffle) produces the integer stats; every verdict and the
+gain math is native Column code on top, so Catalyst sees ordinary
+projections. At 10^12-clip scale the pass is embarrassingly parallel and
+emits a fixed-width row per clip — the stats table is ~10^6× smaller
+than the corpus.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+QC_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sr_hz", T.IntegerType()),
+        T.StructField("clip_count", T.LongType()),
+        T.StructField("dc_sum", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("silence_frames", T.LongType()),
+    ]
+)
+
+#: Frame length (samples) for the silence profile. 160 samples = 20 ms at
+#: 8 kHz — the usual VAD hop. A frame is silent when max|s| stays under
+#: SILENCE_PEAK (~-40 dBFS for int16).
+QC_FRAME = 160
+SILENCE_PEAK = 328
+
+
+def audio_qc_stats(
+    clips: DataFrame,
+    *,
+    id_col: str = "clip_id",
+    frame: int = QC_FRAME,
+    silence_peak: int = SILENCE_PEAK,
+) -> DataFrame:
+    """Integer QC aggregates per clip: samples at full scale (|s| >= 32767),
+    DC sum, and silent-frame counts over non-overlapping ``frame``-sample
+    windows (the trailing partial frame counts as a frame; zero-padding it
+    cannot raise a max-of-abs, so the framing matches a plain
+    ``GROUP BY i // frame`` replay).
+
+    Narrow mapInArrow pass over the real RIFF/FLAC decode
+    (operators/audio._decode_view) — a decode bug surfaces as a value
+    mismatch in the oracle, exactly like audio_basic_features.
+    """
+    from seronet_data_validator_spark.operators.audio import (
+        _binary_views,
+        _decode_view,
+    )
+
+    src = clips.select(id_col, "bytes")
+    names = [f.name for f in QC_STATS_SCHEMA.fields]
+    types = [
+        pa.string(),
+        pa.int64(),
+        pa.int32(),
+        pa.int64(),
+        pa.int64(),
+        pa.int64(),
+        pa.int64(),
+    ]
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols: dict[str, list] = {n: [] for n in names}
+            ids = batch.column(0).to_pylist()
+            get, _ = _binary_views(batch.column(1))
+            for i in range(batch.num_rows):
+                try:
+                    s16, sr = _decode_view(get(i))
+                except ValueError:
+                    row = (ids[i], 0, 0, None, None, None, None)
+                else:
+                    s = s16.astype(np.int64)
+                    n = len(s)
+                    if n == 0:
+                        row = (ids[i], 0, sr, None, None, None, None)
+                    else:
+                        a = np.abs(s)
+                        clip_count = int((a >= 32767).sum())
+                        dc_sum = int(s.sum())
+                        nf = (n + frame - 1) // frame
+                        pad = nf * frame - n
+                        if pad:
+                            a = np.concatenate([a, np.zeros(pad, np.int64)])
+                        fpeak = a.reshape(nf, frame).max(axis=1)
+                        silent = int((fpeak < silence_peak).sum())
+                        row = (ids[i], n, sr, clip_count, dc_sum, nf, silent)
+                for name, v in zip(names, row):
+                    cols[name].append(v)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[n], type=t) for n, t in zip(names, types)],
+                names=names,
+            )
+
+    return src.mapInArrow(run, schema=QC_STATS_SCHEMA)
+
+
+def audio_qc(
+    clips: DataFrame,
+    *,
+    id_col: str = "clip_id",
+    frame: int = QC_FRAME,
+    silence_peak: int = SILENCE_PEAK,
+) -> DataFrame:
+    """Per-clip QC verdicts over :func:`audio_qc_stats`.
+
+    Every rule is an INTEGER comparison so the booleans replay exactly:
+
+    * ``is_clipped`` — more than 0.1% of samples at full scale
+      (``clip_count * 1000 > n_samples``).
+    * ``is_silent`` — a majority of 20 ms frames under the silence
+      threshold (``silence_frames * 2 > n_frames``).
+    * ``dc_biased`` — |mean| above 5% of full scale, compared in the
+      integer domain (``|dc_sum| * 20 > 32767 * n_samples``).
+    * ``qc_pass`` — none of the above (undecodable clips get NULL
+      verdicts and qc_pass = false).
+    """
+    stats = audio_qc_stats(
+        clips, id_col=id_col, frame=frame, silence_peak=silence_peak
+    )
+    decoded = F.col("clip_count").isNotNull()
+    is_clipped = F.col("clip_count") * F.lit(1000) > F.col("n_samples")
+    is_silent = F.col("silence_frames") * F.lit(2) > F.col("n_frames")
+    dc_biased = F.abs(F.col("dc_sum")) * F.lit(20) > F.lit(32767) * F.col(
+        "n_samples"
+    )
+    return stats.select(
+        id_col,
+        "n_samples",
+        "sr_hz",
+        "clip_count",
+        "dc_sum",
+        "n_frames",
+        "silence_frames",
+        F.when(decoded, is_clipped).alias("is_clipped"),
+        F.when(decoded, is_silent).alias("is_silent"),
+        F.when(decoded, dc_biased).alias("dc_biased"),
+        F.coalesce(
+            F.when(decoded, ~(is_clipped | is_silent | dc_biased)),
+            F.lit(False),
+        ).alias("qc_pass"),
+    )
+
+
+def loudness_gain(
+    clips: DataFrame,
+    *,
+    id_col: str = "clip_id",
+    target_rms: float = 3276.8,
+) -> DataFrame:
+    """Loudness-normalization gain per clip: the multiplier that brings the
+    clip's RMS to ``target_rms`` (default -20 dBFS for int16), capped so
+    the scaled peak cannot exceed int16 full scale.
+
+    ``gain = least(target_rms / rms, 32767 / peak)``; ``peak_limited`` is
+    true when the peak cap is the binding constraint. Both candidate
+    gains are single IEEE divisions over the exact peak / RMS from
+    audio_basic_features_exact, and the cap decision compares those two
+    computed quotients (not a rearranged product), so an external engine
+    evaluating the identical expressions reproduces gain AND branch
+    bit-for-bit. Silent clips (peak 0) get NULL gain — there is nothing
+    to normalize.
+    """
+    from seronet_data_validator_spark.operators.dsp import (
+        audio_basic_features_exact,
+    )
+
+    feats = audio_basic_features_exact(clips, id_col=id_col)
+    g_rms = F.lit(float(target_rms)) / F.col("rms")
+    g_peak = F.lit(32767.0) / F.col("peak_abs").cast("double")
+    audible = F.col("peak_abs") > 0
+    return feats.select(
+        id_col,
+        "n_samples",
+        "peak_abs",
+        "rms",
+        F.when(audible, F.least(g_rms, g_peak)).alias("gain"),
+        F.when(audible, g_peak < g_rms).alias("peak_limited"),
+    )
+
+
+def speaking_rate(
+    df: DataFrame,
+    *,
+    id_col: str = "clip_id",
+    transcript_col: str = "transcript",
+    dur_col: str = "dur_ms",
+    min_wps: float = 0.5,
+    max_wps: float = 6.0,
+) -> DataFrame:
+    """Transcript/duration consistency: whitespace tokens per second of
+    declared audio, flagged against plausibility bounds (defaults bracket
+    human speech, ~0.5–6 words/sec).
+
+    This is the cross-column invariant family (reference
+    Validation_Rules.py's compare-two-columns rules) applied to the
+    audio+transcript pair: a wildly implausible rate means the transcript
+    does not belong to the clip. Native Column code only — one regex
+    split, one multiply/divide — so it runs inside whole-stage codegen.
+    """
+    t = F.trim(F.col(transcript_col))
+    n_tokens = (
+        F.when(t == "", F.lit(0))
+        .otherwise(F.size(F.split(t, r"\s+")))
+        .cast("long")
+    )
+    wps = F.when(
+        F.col(dur_col) > 0,
+        n_tokens.cast("double") * F.lit(1000.0) / F.col(dur_col),
+    )
+    status = (
+        F.when(
+            F.col(dur_col).isNull() | (F.col(dur_col) <= 0),
+            F.lit("bad_duration"),
+        )
+        .when(n_tokens == 0, F.lit("empty_transcript"))
+        .when(wps > F.lit(float(max_wps)), F.lit("too_fast"))
+        .when(wps < F.lit(float(min_wps)), F.lit("too_slow"))
+        .otherwise(F.lit("ok"))
+    )
+    return df.select(
+        id_col,
+        n_tokens.alias("n_tokens"),
+        F.col(dur_col).cast("int").alias("dur_ms"),
+        wps.alias("words_per_sec"),
+        status.alias("rate_status"),
+    )

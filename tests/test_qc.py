@@ -1,0 +1,123 @@
+"""Unit tests for the audio QC verdict family (operators/qc.py): planted
+clips with known verdicts, the partial-frame silence rule, the NULL-gain
+and peak-limited branches, and every speaking-rate status lane."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from seronet_data_validator_spark.operators.qc import (
+    audio_qc,
+    loudness_gain,
+    speaking_rate,
+)
+from seronet_data_validator_spark.sources.clips import wav_bytes
+
+
+def _clips_df(spark, named_samples):
+    rows = [
+        {"clip_id": cid, "bytes": wav_bytes(np.asarray(s, np.int16), 8000)}
+        for cid, s in named_samples
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+@pytest.fixture(scope="module")
+def qc_rows(spark):
+    rng_i = np.arange(2000, dtype=np.int64)
+    healthy = ((3 * 7919 + rng_i * 104729 + 12345) % 65536) - 32768
+    clips = _clips_df(
+        spark,
+        [
+            ("healthy", healthy),
+            ("silent", np.zeros(2000, np.int64)),
+            ("clipped", np.where((rng_i // 8) % 2 == 0, 32767, -32768)),
+            ("dc", np.full(2000, 3000, np.int64)),
+            ("spike", np.where(rng_i == 0, 20000, 0)),
+        ],
+    )
+    return {r["clip_id"]: r.asDict() for r in audio_qc(clips).collect()}
+
+
+def test_audio_qc_verdicts(qc_rows):
+    assert qc_rows["healthy"]["qc_pass"] is True
+    assert qc_rows["silent"]["is_silent"] is True
+    assert qc_rows["silent"]["qc_pass"] is False
+    assert qc_rows["clipped"]["is_clipped"] is True
+    assert qc_rows["clipped"]["clip_count"] == 2000
+    assert qc_rows["dc"]["dc_biased"] is True
+    assert qc_rows["dc"]["is_silent"] is False
+    # spike: one loud frame, the rest silent -> silent-majority verdict
+    assert qc_rows["spike"]["is_silent"] is True
+    assert qc_rows["spike"]["silence_frames"] == qc_rows["spike"]["n_frames"] - 1
+
+
+def test_audio_qc_partial_frame(spark):
+    # 170 samples = one full frame + a 10-sample partial frame; the partial
+    # frame counts, and its silence is judged over the real samples only
+    s = np.zeros(170, np.int64)
+    s[165] = 5000  # loud sample inside the partial frame
+    rows = {
+        r["clip_id"]: r.asDict()
+        for r in audio_qc(_clips_df(spark, [("part", s)])).collect()
+    }
+    assert rows["part"]["n_frames"] == 2
+    assert rows["part"]["silence_frames"] == 1
+
+
+def test_audio_qc_undecodable(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame([{"clip_id": "junk", "bytes": b"not a riff"}])
+    )
+    row = audio_qc(df).collect()[0].asDict()
+    assert row["is_clipped"] is None
+    assert row["qc_pass"] is False
+
+
+def test_loudness_gain_branches(spark):
+    rng_i = np.arange(2000, dtype=np.int64)
+    clips = _clips_df(
+        spark,
+        [
+            ("dc", np.full(2000, 3000, np.int64)),
+            ("silent", np.zeros(2000, np.int64)),
+            ("spike", np.where(rng_i == 0, 20000, 0)),
+        ],
+    )
+    rows = {r["clip_id"]: r.asDict() for r in loudness_gain(clips).collect()}
+    # constant 3000: rms == 3000 exactly, gain = 3276.8/3000, not limited
+    assert rows["dc"]["peak_limited"] is False
+    assert rows["dc"]["gain"] == pytest.approx(3276.8 / 3000.0, rel=0, abs=0)
+    # silence: nothing to normalize
+    assert rows["silent"]["gain"] is None
+    assert rows["silent"]["peak_limited"] is None
+    # impulse: rms-gain would push the peak past full scale -> capped
+    assert rows["spike"]["peak_limited"] is True
+    assert rows["spike"]["gain"] == pytest.approx(32767.0 / 20000.0, rel=0, abs=0)
+    # the cap really keeps the scaled peak inside int16
+    assert rows["spike"]["gain"] * 20000.0 <= 32767.0
+
+
+def test_speaking_rate_statuses(spark):
+    pdf = pd.DataFrame(
+        [
+            {"clip_id": "ok", "transcript": "one two three", "dur_ms": 1500},
+            {"clip_id": "fast", "transcript": " ".join(["w"] * 40), "dur_ms": 1000},
+            {"clip_id": "slow", "transcript": "just two", "dur_ms": 9000},
+            {"clip_id": "empty", "transcript": "   ", "dur_ms": 1000},
+            {"clip_id": "baddur", "transcript": "some words", "dur_ms": 0},
+        ]
+    )
+    rows = {
+        r["clip_id"]: r.asDict()
+        for r in speaking_rate(spark.createDataFrame(pdf)).collect()
+    }
+    assert rows["ok"]["rate_status"] == "ok"
+    assert rows["ok"]["n_tokens"] == 3
+    assert rows["ok"]["words_per_sec"] == pytest.approx(2.0)
+    assert rows["fast"]["rate_status"] == "too_fast"
+    assert rows["slow"]["rate_status"] == "too_slow"
+    assert rows["empty"]["rate_status"] == "empty_transcript"
+    assert rows["empty"]["n_tokens"] == 0
+    assert rows["baddur"]["rate_status"] == "bad_duration"
+    assert rows["baddur"]["words_per_sec"] is None
