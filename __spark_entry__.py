@@ -1809,6 +1809,83 @@ def q_loudness_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return loudness_gain(_qc_wav_clips(spark))
 
 
+def _mix_fixture(spark: SparkSession, n_clips: int = 24):
+    """Signal clips (the kind-0 integer recipe, 'mx_' ids, noise_id = k%4)
+    plus a 4-clip noise bank nz(j,i) = ((j*31 + i*97) % 2001) - 1000 of
+    1600 samples — both fully regenerable in SQL, both shipped through the
+    real RIFF encoder."""
+    import numpy as np
+    import pandas as pd
+
+    from seronet_data_validator_spark.sources.clips import wav_bytes
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for k in pdf["id"].to_numpy():
+                k = int(k)
+                n = 1200 + (k % 7) * 300
+                i = np.arange(n, dtype=np.int64)
+                s = ((k * 7919 + i * 104729 + 12345) % 65536) - 32768
+                rows.append(
+                    {
+                        "clip_id": f"mx_{k:03d}",
+                        "bytes": wav_bytes(s.astype(np.int16), 8000),
+                        "noise_id": k % 4,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    sig = spark.range(0, n_clips, 1, 8).mapInPandas(
+        gen, schema="clip_id string, bytes binary, noise_id long"
+    )
+    i = np.arange(1600, dtype=np.int64)
+    bank = pd.DataFrame(
+        [
+            {
+                "noise_id": j,
+                "bytes": wav_bytes(
+                    (((j * 31 + i * 97) % 2001) - 1000).astype(np.int16), 8000
+                ),
+            }
+            for j in range(4)
+        ]
+    )
+    return sig, spark.createDataFrame(bank)
+
+
+def q_mix_at_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive noise mixing at a fixed amplitude ratio
+    (operators/augment.mix_at_snr) under a FULL value oracle: the scale is
+    exact-int64 RMS arithmetic, each mixed sample is
+    clamp(s + floor(scale*noise + 0.5)) — all correctly-rounded IEEE ops
+    DuckDB replays bit-for-bit — and the checked features come from
+    re-DECODING the re-encoded RIFF bytes, so the whole
+    mix→encode→decode→feature pipeline sits inside the oracle."""
+    from seronet_data_validator_spark.operators.augment import mix_at_snr
+    from seronet_data_validator_spark.operators.dsp import (
+        audio_basic_features_exact,
+    )
+
+    sig, bank = _mix_fixture(spark)
+    mixed = mix_at_snr(sig, bank, ratio=10.0)
+    feats = audio_basic_features_exact(mixed)
+    meta = mixed.select("clip_id", "snr_scale", "clipped_samples")
+    return feats.join(meta, "clip_id")
+
+
+def q_pitch_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-domain pitch tracking (operators/dsp.pitch_lag_exact) under a
+    FULL value oracle: r(L) is a pure int64 autocorrelation sum, argmax
+    ties break toward the smallest lag, and periodicity is the one IEEE
+    division at the end. The five-kind QC fixture plants a period-16
+    square wave (best_lag 16), a period-7 DC ramp (best_lag 14), digital
+    silence (NULL periodicity), and a single spike (r(L)=0 for every lag)."""
+    from seronet_data_validator_spark.operators.dsp import pitch_lag_exact
+
+    return pitch_lag_exact(_qc_wav_clips(spark, 24))
+
+
 def q_speaking_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcript/duration consistency (operators/qc.speaking_rate) over an
     in-query deterministic fixture both engines regenerate with repeat():
@@ -2863,6 +2940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_qc": q_audio_qc,
         "loudness_gain": q_loudness_gain,
         "speaking_rate": q_speaking_rate,
+        "mix_at_snr": q_mix_at_snr,
+        "pitch_lag": q_pitch_lag,
         # -- round-5 session-3 additions: full value oracles, driver-unseen --
         "transcript_wer": q_transcript_wer,
         "audio_resample_exact": q_audio_resample_exact,
@@ -2876,8 +2955,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_components": q_neardup_components,
         "duplicate_spans": q_duplicate_spans,
         "semantic_dedup": q_semantic_dedup,
-        "editdist_neardup": q_editdist_neardup,
-        "key_skew": q_key_skew,
         "dedup_survivors": q_dedup_survivors,
         "skew_split_join": q_skew_split_join,
         "json_props": q_json_props,
@@ -2930,6 +3007,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "test_set_contamination": q_test_set_contamination,
         "fingerprints": q_fingerprints,
         "char_entropy": q_char_entropy,
+        "editdist_neardup": q_editdist_neardup,
+        "key_skew": q_key_skew,
         "doc_packing": q_doc_packing,
         "tfidf_scores": q_tfidf_scores,
         "embedding_outliers": q_embedding_outliers,
@@ -3705,6 +3784,118 @@ GROUP BY clip_id
                         THEN (32767.0 / peak_abs) < (3276.8 / rms)
                    END AS peak_limited
             FROM agg
+        """,
+        # Replays the full mix pipeline from the two integer recipes: tiled
+        # noise (i % 1600 indexing), exact-int64 sums of squares, the scale
+        # in the operator's own evaluation order SQRT(ss/n)/(SQRT(st/n)*R),
+        # per-sample clamp(s + FLOOR(scale*t + 0.5)), then the features of
+        # the MIXED stream (the Spark side re-decodes re-encoded RIFF, so
+        # the codec round trip is inside the check).
+        "mix_at_snr": """
+            WITH ks AS (
+                SELECT CAST(range AS BIGINT) AS k FROM range(0, 24)
+            ), params AS (
+                SELECT 'mx_' || lpad(CAST(k AS VARCHAR), 3, '0') AS clip_id,
+                       k, 1200 + (k % 7) * 300 AS n
+                FROM ks
+            ), samp AS (
+                SELECT clip_id, k,
+                       CAST(UNNEST(range(0, n)) AS BIGINT) AS i
+                FROM params
+            ), vals AS (
+                SELECT clip_id, i,
+                       ((k * 7919 + i * 104729 + 12345) % 65536) - 32768 AS s,
+                       (((k % 4) * 31 + (i % 1600) * 97) % 2001) - 1000 AS t
+                FROM samp
+            ), sums AS (
+                SELECT clip_id, COUNT(*) AS n,
+                       CAST(SUM(s * s) AS BIGINT) AS ss,
+                       CAST(SUM(t * t) AS BIGINT) AS st
+                FROM vals GROUP BY clip_id
+            ), scales AS (
+                SELECT clip_id,
+                       SQRT(CAST(ss AS DOUBLE) / n)
+                         / (SQRT(CAST(st AS DOUBLE) / n) * 10.0) AS snr_scale
+                FROM sums
+            ), mixed AS (
+                SELECT v.clip_id, v.i,
+                       GREATEST(LEAST(
+                           v.s + CAST(FLOOR(sc.snr_scale * v.t + 0.5) AS BIGINT),
+                           32767), -32768) AS m,
+                       CASE WHEN v.s + CAST(FLOOR(sc.snr_scale * v.t + 0.5)
+                                            AS BIGINT)
+                                 NOT BETWEEN -32768 AND 32767
+                            THEN 1 ELSE 0 END AS cl
+                FROM vals v JOIN scales sc USING (clip_id)
+            ), lagged AS (
+                SELECT clip_id, i, m, cl,
+                       lag(m) OVER (PARTITION BY clip_id ORDER BY i) AS prev
+                FROM mixed
+            ), feat AS (
+                SELECT clip_id,
+                       COUNT(*) AS n_samples,
+                       CAST(MAX(ABS(m)) AS BIGINT) AS peak_abs,
+                       CAST(SUM(CASE WHEN prev IS NOT NULL AND prev * m < 0
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS zero_crossings,
+                       SQRT(CAST(SUM(m * m) AS DOUBLE) / COUNT(*)) AS rms,
+                       CAST(SUM(cl) AS BIGINT) AS clipped_samples
+                FROM lagged GROUP BY clip_id
+            )
+            SELECT f.clip_id, f.n_samples, 8000 AS sr_hz, f.peak_abs,
+                   f.zero_crossings, f.rms, sc.snr_scale, f.clipped_samples
+            FROM feat f JOIN scales sc USING (clip_id)
+        """,
+        # Replays the int64 autocorrelation over the five-kind QC recipe:
+        # r(L) = SUM(s_i * s_{i+L}) via a shifted self-join, argmax with
+        # the operator's smallest-lag tie-break (ORDER BY r DESC, lag ASC),
+        # periodicity as the one BIGINT/BIGINT -> DOUBLE division.
+        "pitch_lag": """
+            WITH ks AS (
+                SELECT CAST(range AS BIGINT) AS k FROM range(0, 24)
+            ), params AS (
+                SELECT 'qc_' || lpad(CAST(k AS VARCHAR), 3, '0') AS clip_id,
+                       k, 1200 + (k % 7) * 300 AS n
+                FROM ks
+            ), samp AS (
+                SELECT clip_id, k,
+                       CAST(UNNEST(range(0, n)) AS BIGINT) AS i
+                FROM params
+            ), vals AS (
+                SELECT clip_id, i,
+                       CASE CAST(k % 5 AS INTEGER)
+                         WHEN 0 THEN ((k * 7919 + i * 104729 + 12345) % 65536) - 32768
+                         WHEN 1 THEN 0
+                         WHEN 2 THEN CASE WHEN ((i // 8) % 2) = 0
+                                          THEN 32767 ELSE -32768 END
+                         WHEN 3 THEN 3000 + (i % 7)
+                         ELSE CASE WHEN i = 0 THEN 20000 ELSE 0 END
+                       END AS s
+                FROM samp
+            ), lags AS (
+                SELECT CAST(UNNEST(range(8, 201)) AS BIGINT) AS lag
+            ), prods AS (
+                SELECT a.clip_id, l.lag,
+                       CAST(SUM(a.s * b.s) AS BIGINT) AS r
+                FROM vals a
+                JOIN lags l ON TRUE
+                JOIN vals b ON b.clip_id = a.clip_id AND b.i = a.i + l.lag
+                GROUP BY a.clip_id, l.lag
+            ), zeros AS (
+                SELECT clip_id, COUNT(*) AS n_samples,
+                       CAST(SUM(s * s) AS BIGINT) AS r_zero
+                FROM vals GROUP BY clip_id
+            ), ranked AS (
+                SELECT clip_id, lag, r,
+                       ROW_NUMBER() OVER (PARTITION BY clip_id
+                                          ORDER BY r DESC, lag ASC) AS rn
+                FROM prods
+            )
+            SELECT z.clip_id, z.n_samples,
+                   rk.lag AS best_lag, rk.r AS r_best, z.r_zero,
+                   CASE WHEN z.r_zero > 0 THEN CAST(rk.r AS DOUBLE) / z.r_zero
+                   END AS periodicity
+            FROM zeros z JOIN ranked rk ON rk.clip_id = z.clip_id AND rk.rn = 1
         """,
         # Regenerates the transcript/duration fixture with repeat() and
         # replays the token count (regex split of the trimmed string, the

@@ -707,3 +707,81 @@ def energy_segments(
         "n_frames",
         "energy",
     )
+
+
+PITCH_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("best_lag", T.LongType()),
+        T.StructField("r_best", T.LongType()),
+        T.StructField("r_zero", T.LongType()),
+        T.StructField("periodicity", T.DoubleType()),
+    ]
+)
+
+
+def pitch_lag_exact(
+    clips: DataFrame,
+    *,
+    min_lag: int = 8,
+    max_lag: int = 200,
+    id_col: str = "clip_id",
+) -> DataFrame:
+    """Autocorrelation pitch-lag estimate with engine-portable EXACT
+    arithmetic: ``r(L) = sum(s[i] * s[i+L])`` is a pure int64 sum (max
+    |s|^2 * n ~ 3e12, far inside int64), ``best_lag`` is the argmax over
+    ``[min_lag, max_lag]`` with ties broken toward the SMALLEST lag, and
+    ``periodicity = r_best / r_zero`` is the single IEEE division at the
+    end (both operands < 2^53, so the double quotient is identical in any
+    engine). Clips with ``r_zero = 0`` (digital silence) report NULL
+    periodicity and the tie-broken ``best_lag = min_lag``.
+
+    This is the classic time-domain pitch tracker a speech-corpus QA pass
+    runs (voiced-ness + F0 plausibility); the integer formulation is what
+    lets the driver contract value-check it (``pitch_lag``) instead of a
+    rows-only FFT variant. Same narrow mapInArrow shape as the other DSP
+    passes — the per-clip lag scan is ~200 vectorized dot products.
+    """
+    from seronet_data_validator_spark.operators.audio import (
+        _binary_views,
+        _decode_view,
+    )
+
+    src = clips.select(id_col, "bytes")
+    names = [f.name for f in PITCH_SCHEMA.fields]
+    types = [pa.string(), pa.int64(), pa.int64(), pa.int64(), pa.int64(), pa.float64()]
+    lo, hi = int(min_lag), int(max_lag)
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols: dict[str, list] = {n: [] for n in names}
+            ids = batch.column(0).to_pylist()
+            get, _ = _binary_views(batch.column(1))
+            for i in range(batch.num_rows):
+                try:
+                    s16, _sr = _decode_view(get(i))
+                except ValueError:
+                    row = (ids[i], 0, None, None, None, None)
+                else:
+                    s = s16.astype(np.int64)
+                    n = len(s)
+                    if n == 0:
+                        row = (ids[i], 0, None, None, None, None)
+                    else:
+                        r_zero = int(np.dot(s, s))
+                        best_lag, r_best = lo, None
+                        for lag in range(lo, hi + 1):
+                            r = int(np.dot(s[:-lag], s[lag:])) if lag < n else 0
+                            if r_best is None or r > r_best:
+                                best_lag, r_best = lag, r
+                        per = (r_best / r_zero) if r_zero > 0 else None
+                        row = (ids[i], n, best_lag, r_best, r_zero, per)
+                for name, v in zip(names, row):
+                    cols[name].append(v)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[n], type=t) for n, t in zip(names, types)],
+                names=names,
+            )
+
+    return src.mapInArrow(run, schema=PITCH_SCHEMA)
