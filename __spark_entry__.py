@@ -1886,6 +1886,63 @@ def q_pitch_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pitch_lag_exact(_qc_wav_clips(spark, 24))
 
 
+def q_alignment_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forced-alignment QA (operators/qc.alignment_check) under a FULL
+    value oracle: the fixture plants one corruption family per k%7 class
+    (overlap / inverted span / end-past-duration / negative start) inside
+    an array<struct> column built with JVM transform(); Spark checks it
+    with higher-order array functions (no explode, no shuffle) while
+    DuckDB replays the identical integer span recipe as a FLAT (k, j)
+    table with a lag window — two genuinely different formulations of the
+    same invariants."""
+    from seronet_data_validator_spark.operators.qc import alignment_check
+
+    base = spark.range(0, 350).select(
+        F.format_string("al_%03d", F.col("id")).alias("clip_id"),
+        F.expr("CAST((3 + id % 6) * 250 AS INT)").alias("dur_ms"),
+        F.expr(
+            "transform(sequence(0, CAST(2 + id % 6 AS INT)), j -> struct("
+            " concat('t', CAST(j AS STRING)) AS token,"
+            " CAST(CASE WHEN id % 7 = 4 AND j = 0 THEN -10"
+            "           WHEN id % 7 = 1 AND j = 1 THEN 200"
+            "           ELSE j * 250 END AS INT) AS start_ms,"
+            " CAST(CASE WHEN id % 7 = 2 AND j = 2 THEN j * 250 - 30"
+            "           WHEN id % 7 = 3 AND j = CAST(2 + id % 6 AS INT)"
+            "                THEN (3 + id % 6) * 250 + 30"
+            "           ELSE j * 250 + 210 END AS INT) AS end_ms))"
+        ).alias("alignment"),
+    )
+    return alignment_check(base)
+
+
+def q_transcript_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASR text normalization (operators/text.normalize_transcript) under a
+    FULL value oracle: the fixture mixes case, punctuation, apostrophes,
+    digits, bracketed tokens and double-dash compounds (which SPLIT under
+    normalization, so n_norm > n_raw on some rows), plus leading-space and
+    empty lanes; both engines regenerate the raw strings and replay the
+    lower -> strip -> collapse -> trim chain with portable regexes."""
+    from seronet_data_validator_spark.operators.text import normalize_transcript
+
+    base = spark.range(0, 300).select(
+        F.format_string("tn_%03d", F.col("id")).alias("clip_id"),
+        F.expr(
+            "CASE WHEN id % 10 = 0 THEN '' ELSE concat("
+            " CASE WHEN id % 9 = 0 THEN '   ' ELSE '' END,"
+            " array_join(transform(sequence(0, CAST(3 + id % 5 AS INT)), j ->"
+            "   CASE CAST((id * 7 + j) % 6 AS INT)"
+            "     WHEN 0 THEN 'Hello,'"
+            "     WHEN 1 THEN 'WORLD!!'"
+            "     WHEN 2 THEN 'don\\'t'"
+            "     WHEN 3 THEN 'x123'"
+            "     WHEN 4 THEN '(Spark)'"
+            "     ELSE 'mid--dash'"
+            "   END), ' ')) END"
+        ).alias("transcript"),
+    )
+    return normalize_transcript(base)
+
+
 def q_speaking_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcript/duration consistency (operators/qc.speaking_rate) over an
     in-query deterministic fixture both engines regenerate with repeat():
@@ -2942,6 +2999,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "speaking_rate": q_speaking_rate,
         "mix_at_snr": q_mix_at_snr,
         "pitch_lag": q_pitch_lag,
+        "alignment_check": q_alignment_check,
+        "transcript_normalize": q_transcript_normalize,
         # -- round-5 session-3 additions: full value oracles, driver-unseen --
         "transcript_wer": q_transcript_wer,
         "audio_resample_exact": q_audio_resample_exact,
@@ -2958,11 +3017,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": q_dedup_survivors,
         "skew_split_join": q_skew_split_join,
         "json_props": q_json_props,
-        "value_histogram": q_value_histogram,
         "psi_by_group": q_psi_by_group,
         "snapshot_diff": q_snapshot_diff,
         "group_quantiles": q_group_quantiles,
-        "benford": q_benford,
         "tdigest_profile": q_tdigest_profile,
         "compression_ratio": q_compression_ratio,
         "null_rates_by_group": q_null_rates_by_group,
@@ -3009,6 +3066,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "editdist_neardup": q_editdist_neardup,
         "key_skew": q_key_skew,
+        "value_histogram": q_value_histogram,
+        "benford": q_benford,
         "doc_packing": q_doc_packing,
         "tfidf_scores": q_tfidf_scores,
         "embedding_outliers": q_embedding_outliers,
@@ -3896,6 +3955,89 @@ GROUP BY clip_id
                    CASE WHEN z.r_zero > 0 THEN CAST(rk.r AS DOUBLE) / z.r_zero
                    END AS periodicity
             FROM zeros z JOIN ranked rk ON rk.clip_id = z.clip_id AND rk.rn = 1
+        """,
+        # Replays the span recipe as a FLAT (k, j) table (Spark checks the
+        # nested array with higher-order functions; the oracle never builds
+        # an array at all): inverted/oob as CASE sums, overlaps via a lag
+        # window, the same k%7 corruption classes.
+        "alignment_check": """
+            WITH ks AS (
+                SELECT CAST(range AS BIGINT) AS k FROM range(0, 350)
+            ), params AS (
+                SELECT 'al_' || lpad(CAST(k AS VARCHAR), 3, '0') AS clip_id,
+                       k, 3 + k % 6 AS m, (3 + k % 6) * 250 AS dur
+                FROM ks
+            ), spans AS (
+                SELECT clip_id, k, m, dur,
+                       CAST(UNNEST(range(0, m)) AS BIGINT) AS j
+                FROM params
+            ), se AS (
+                SELECT clip_id, m, dur, j,
+                       CASE WHEN k % 7 = 4 AND j = 0 THEN -10
+                            WHEN k % 7 = 1 AND j = 1 THEN 200
+                            ELSE j * 250 END AS s,
+                       CASE WHEN k % 7 = 2 AND j = 2 THEN j * 250 - 30
+                            WHEN k % 7 = 3 AND j = m - 1 THEN m * 250 + 30
+                            ELSE j * 250 + 210 END AS e
+                FROM spans
+            ), lagged AS (
+                SELECT clip_id, dur, j, s, e,
+                       lag(e) OVER (PARTITION BY clip_id ORDER BY j) AS prev_e
+                FROM se
+            )
+            SELECT clip_id,
+                   COUNT(*) AS n_tokens,
+                   CAST(SUM(CASE WHEN e <= s THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_inverted,
+                   CAST(SUM(CASE WHEN s < 0 OR e > dur THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_oob,
+                   CAST(SUM(CASE WHEN prev_e IS NOT NULL AND s < prev_e
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlaps,
+                   (COUNT(*) > 0
+                    AND SUM(CASE WHEN e <= s THEN 1 ELSE 0 END)
+                        + SUM(CASE WHEN s < 0 OR e > dur THEN 1 ELSE 0 END)
+                        + SUM(CASE WHEN prev_e IS NOT NULL AND s < prev_e
+                                   THEN 1 ELSE 0 END) = 0) AS align_ok
+            FROM lagged GROUP BY clip_id
+        """,
+        # Regenerates the punctuated fixture and replays the normalization
+        # chain lower -> [^a-z0-9' ]+ -> ' +' -> trim with portable
+        # regexes (DuckDB regexp_replace needs the 'g' flag).
+        "transcript_normalize": """
+            WITH ks AS (
+                SELECT CAST(range AS BIGINT) AS k FROM range(0, 300)
+            ), base AS (
+                SELECT 'tn_' || lpad(CAST(k AS VARCHAR), 3, '0') AS clip_id,
+                       CASE WHEN k % 10 = 0 THEN '' ELSE
+                         (CASE WHEN k % 9 = 0 THEN '   ' ELSE '' END) ||
+                         array_to_string(list_transform(
+                           range(0, 4 + CAST(k % 5 AS INTEGER)), j ->
+                           CASE CAST((k * 7 + j) % 6 AS INTEGER)
+                             WHEN 0 THEN 'Hello,'
+                             WHEN 1 THEN 'WORLD!!'
+                             WHEN 2 THEN 'don''t'
+                             WHEN 3 THEN 'x123'
+                             WHEN 4 THEN '(Spark)'
+                             ELSE 'mid--dash'
+                           END), ' ')
+                       END AS transcript
+                FROM ks
+            ), norm AS (
+                SELECT clip_id, trim(transcript) AS raw,
+                       trim(regexp_replace(regexp_replace(
+                           lower(trim(transcript)),
+                           '[^a-z0-9'' ]+', ' ', 'g'),
+                           ' +', ' ', 'g')) AS collapsed
+                FROM base
+            )
+            SELECT clip_id, collapsed AS norm_transcript,
+                   CAST(CASE WHEN raw = '' THEN 0
+                             ELSE len(string_split_regex(raw, '\\s+'))
+                        END AS BIGINT) AS n_raw_tokens,
+                   CAST(CASE WHEN collapsed = '' THEN 0
+                             ELSE len(string_split(collapsed, ' '))
+                        END AS BIGINT) AS n_norm_tokens
+            FROM norm
         """,
         # Regenerates the transcript/duration fixture with repeat() and
         # replays the token count (regex split of the trimmed string, the

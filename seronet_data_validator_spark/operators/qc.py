@@ -260,3 +260,60 @@ def speaking_rate(
         wps.alias("words_per_sec"),
         status.alias("rate_status"),
     )
+
+
+def alignment_check(
+    df: DataFrame,
+    *,
+    id_col: str = "clip_id",
+    align_col: str = "alignment",
+    dur_col: str = "dur_ms",
+) -> DataFrame:
+    """Forced-alignment QA: validate per-token timestamp spans
+    (``array<struct<token, start_ms, end_ms>>``) against the clip —
+    inverted spans (end <= start), out-of-bounds spans (start < 0 or
+    end > dur_ms), and overlaps (a token starting before its predecessor
+    ends). ``align_ok`` requires a non-empty alignment with zero
+    violations.
+
+    Spark-first shape: ALL checks run as JVM higher-order array functions
+    (filter/transform/sequence) inside a single projection — no explode,
+    no shuffle, no Python. At 10^12 clips this matters: exploding a
+    ~200-token alignment per clip would multiply the row count 200×
+    before a window shuffle; the array form touches each row once.
+
+    Reference analog: the cross-column ordering invariants
+    (Validation_Rules.py's duration/date comparisons), applied inside a
+    nested column.
+    """
+    a = F.col(align_col)
+    n = F.size(a)
+    inverted = F.size(
+        F.filter(a, lambda x: x["end_ms"] <= x["start_ms"])
+    ).cast("long")
+    dur = F.col(dur_col)
+    oob = F.size(
+        F.filter(a, lambda x: (x["start_ms"] < F.lit(0)) | (x["end_ms"] > dur))
+    ).cast("long")
+    # pairwise starts-before-previous-end; sequence() is inclusive and
+    # descends when stop < start, so gate on n >= 2
+    overlap_expr = F.size(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: a[i]["start_ms"] < a[i - 1]["end_ms"],
+            ),
+            lambda b: b,
+        )
+    ).cast("long")
+    overlaps = F.when(n >= 2, overlap_expr).otherwise(F.lit(0).cast("long"))
+    return df.select(
+        id_col,
+        n.cast("long").alias("n_tokens"),
+        inverted.alias("n_inverted"),
+        oob.alias("n_oob"),
+        overlaps.alias("n_overlaps"),
+        (
+            (n > 0) & (inverted + oob + overlaps == 0)
+        ).alias("align_ok"),
+    )

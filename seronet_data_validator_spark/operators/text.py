@@ -611,3 +611,42 @@ def compression_ratio(
             )
 
     return src.mapInArrow(run, schema=out_schema)
+
+
+def normalize_transcript(
+    df: DataFrame,
+    *,
+    text_col: str = "transcript",
+    id_col: str = "clip_id",
+) -> DataFrame:
+    """ASR-scoring text normalization: lowercase, strip everything outside
+    ``[a-z0-9' ]`` to a space (keeping intra-word apostrophes: "don't"
+    survives), collapse whitespace runs, trim. Emits the normalized text
+    plus raw/normalized token counts — the preprocessing step WER/CER
+    comparisons assume, and the reason two transcripts that differ only in
+    punctuation or casing dedup to the same string downstream.
+
+    Native Column code: one lower(), two regexp_replace passes, one
+    split — whole-stage codegen end to end, and the regexes stay in the
+    Java∩RE2-portable subset so external engines replay the values
+    exactly (driver contract ``transcript_normalize``).
+    """
+    raw = F.trim(F.col(text_col))
+    n_raw = (
+        F.when(raw == "", F.lit(0))
+        .otherwise(F.size(F.split(raw, r"\s+")))
+        .cast("long")
+    )
+    stripped = F.regexp_replace(F.lower(raw), r"[^a-z0-9' ]+", " ")
+    collapsed = F.trim(F.regexp_replace(stripped, r" +", " "))
+    n_norm = (
+        F.when(collapsed == "", F.lit(0))
+        .otherwise(F.size(F.split(collapsed, " ")))
+        .cast("long")
+    )
+    return df.select(
+        id_col,
+        collapsed.alias("norm_transcript"),
+        n_raw.alias("n_raw_tokens"),
+        n_norm.alias("n_norm_tokens"),
+    )

@@ -121,3 +121,66 @@ def test_speaking_rate_statuses(spark):
     assert rows["empty"]["n_tokens"] == 0
     assert rows["baddur"]["rate_status"] == "bad_duration"
     assert rows["baddur"]["words_per_sec"] is None
+
+
+def test_alignment_check_violation_classes(spark):
+    from seronet_data_validator_spark.operators.qc import alignment_check
+
+    def clip(cid, dur, spans):
+        return {
+            "clip_id": cid,
+            "dur_ms": dur,
+            "alignment": [
+                {"token": f"t{j}", "start_ms": s, "end_ms": e}
+                for j, (s, e) in enumerate(spans)
+            ],
+        }
+
+    pdf = pd.DataFrame(
+        [
+            clip("clean", 1000, [(0, 210), (250, 460), (500, 710)]),
+            clip("overlap", 1000, [(0, 210), (200, 460)]),
+            clip("inverted", 1000, [(0, 210), (500, 470)]),
+            clip("oob", 500, [(0, 210), (250, 530)]),
+            clip("neg", 1000, [(-10, 210), (250, 460)]),
+            clip("empty", 1000, []),
+            clip("single", 1000, [(0, 210)]),  # n<2: no overlap lane
+        ]
+    )
+    rows = {
+        r["clip_id"]: r.asDict()
+        for r in alignment_check(spark.createDataFrame(pdf)).collect()
+    }
+    assert rows["clean"]["align_ok"] is True
+    assert rows["overlap"]["n_overlaps"] == 1 and not rows["overlap"]["align_ok"]
+    assert rows["inverted"]["n_inverted"] == 1
+    assert rows["oob"]["n_oob"] == 1
+    assert rows["neg"]["n_oob"] == 1
+    assert rows["empty"]["align_ok"] is False  # empty alignment never passes
+    assert rows["empty"]["n_overlaps"] == 0
+    assert rows["single"]["align_ok"] is True
+
+
+def test_normalize_transcript(spark):
+    from seronet_data_validator_spark.operators.text import normalize_transcript
+
+    pdf = pd.DataFrame(
+        [
+            {"clip_id": "a", "transcript": "  Hello,   WORLD!! don't (Spark) "},
+            {"clip_id": "b", "transcript": "mid--dash x123"},
+            {"clip_id": "c", "transcript": "   "},
+        ]
+    )
+    rows = {
+        r["clip_id"]: r.asDict()
+        for r in normalize_transcript(spark.createDataFrame(pdf)).collect()
+    }
+    assert rows["a"]["norm_transcript"] == "hello world don't spark"
+    assert rows["a"]["n_raw_tokens"] == 4
+    assert rows["a"]["n_norm_tokens"] == 4
+    # double-dash compounds SPLIT under normalization: norm > raw
+    assert rows["b"]["norm_transcript"] == "mid dash x123"
+    assert rows["b"]["n_raw_tokens"] == 2
+    assert rows["b"]["n_norm_tokens"] == 3
+    assert rows["c"]["norm_transcript"] == ""
+    assert rows["c"]["n_norm_tokens"] == 0
