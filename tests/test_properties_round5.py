@@ -145,3 +145,126 @@ def test_canonicalization_invariant_under_spelling(spark, parts, data):
     df2 = spark.createDataFrame([(base_c,)], "url string")
     again = df2.select(canonicalize_url("url").alias("c")).collect()[0]["c"]
     assert again == base_c
+
+
+# ---------------------------------------------------------------------------
+# Session-4 QC/augmentation family properties
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FF),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_normalize_transcript_idempotent(spark, texts):
+    """normalize(normalize(x)) == normalize(x): after one pass only
+    [a-z0-9' ] and single spaces remain, so a second pass is a no-op."""
+    import pandas as pd
+
+    from seronet_data_validator_spark.operators.text import normalize_transcript
+
+    pdf = pd.DataFrame(
+        [{"clip_id": f"p{i}", "transcript": t} for i, t in enumerate(texts)]
+    )
+    once = normalize_transcript(spark.createDataFrame(pdf)).collect()
+    pdf2 = pd.DataFrame(
+        [
+            {"clip_id": r["clip_id"], "transcript": r["norm_transcript"]}
+            for r in once
+        ]
+    )
+    twice = normalize_transcript(spark.createDataFrame(pdf2)).collect()
+    a = {r["clip_id"]: (r["norm_transcript"], r["n_norm_tokens"]) for r in once}
+    b = {r["clip_id"]: (r["norm_transcript"], r["n_norm_tokens"]) for r in twice}
+    assert a == b
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    sig=st.lists(
+        st.integers(min_value=-16000, max_value=16000), min_size=50, max_size=400
+    ),
+    nz=st.lists(
+        st.sampled_from([-1000, -800, -600, 600, 800, 1000]),
+        min_size=20,
+        max_size=60,
+    ),
+    ratio=st.sampled_from([2.0, 10.0]),
+)
+def test_mix_at_snr_achieves_ratio(spark, sig, nz, ratio):
+    """The added noise component's RMS lands within the 0.5 rounding bound
+    of rms_signal / ratio (reverse triangle inequality on the per-sample
+    floor(+0.5) quantization), and with the bounded fixture no sample
+    clamps — so decode(mixed) - signal recovers the component exactly."""
+    import pandas as pd
+
+    from seronet_data_validator_spark.operators.augment import mix_at_snr
+    from seronet_data_validator_spark.operators.audio import _decode_view
+    from seronet_data_validator_spark.sources.clips import wav_bytes
+
+    s = np.array(sig, np.int64)
+    s[0] = 12000  # guarantee a nonzero signal
+    clips = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "clip_id": "p",
+                    "bytes": wav_bytes(s.astype(np.int16), 8000),
+                    "noise_id": 0,
+                }
+            ]
+        )
+    )
+    bank = spark.createDataFrame(
+        pd.DataFrame(
+            [{"noise_id": 0, "bytes": wav_bytes(np.array(nz, np.int16), 8000)}]
+        )
+    )
+    row = mix_at_snr(clips, bank, ratio=ratio).collect()[0]
+    assert row["clipped_samples"] == 0
+    mixed, _sr = _decode_view(np.frombuffer(bytes(row["bytes"]), np.uint8))
+    add = mixed.astype(np.int64) - s
+    rms_s = float(np.sqrt(np.dot(s, s) / len(s)))
+    rms_add = float(np.sqrt(np.dot(add, add) / len(add)))
+    assert abs(rms_add - rms_s / ratio) <= 0.51
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    sig=st.lists(
+        st.integers(min_value=-12000, max_value=12000),
+        min_size=300,
+        max_size=600,
+    )
+)
+def test_pitch_lag_negation_invariant(spark, sig):
+    """r(L) = sum(s_i * s_{i+L}) is invariant under s -> -s, so the whole
+    pitch row (lag, correlations, periodicity) must match exactly."""
+    import pandas as pd
+
+    from seronet_data_validator_spark.operators.dsp import pitch_lag_exact
+    from seronet_data_validator_spark.sources.clips import wav_bytes
+
+    s = np.array(sig, np.int64)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"clip_id": "pos", "bytes": wav_bytes(s.astype(np.int16), 8000)},
+                {"clip_id": "neg", "bytes": wav_bytes((-s).astype(np.int16), 8000)},
+            ]
+        )
+    )
+    rows = {
+        r["clip_id"]: r.asDict()
+        for r in pitch_lag_exact(df, min_lag=8, max_lag=60).collect()
+    }
+    pos, neg = rows["pos"], rows["neg"]
+    for k in ("best_lag", "r_best", "r_zero", "periodicity"):
+        assert pos[k] == neg[k]
