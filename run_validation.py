@@ -56,6 +56,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--presence-pass", action="store_true",
                    help="C17: flag clips absent from --reference (Error) and "
                         "reference ids with no clip (Warning)")
+    p.add_argument("--qc-pass", dest="qc_pass", action="store_true",
+                   help="QC1: corpus acceptance verdicts over decoded PCM "
+                        "(clipping Error; silence-majority / DC-bias Warnings)")
     p.add_argument("--prior-violations",
                    help="C20: prior violation table (column_name, column_value); "
                         "codec referential check suppresses already-reported keys")
@@ -98,6 +101,7 @@ def main(argv: list[str] | None = None) -> int:
         prior_violations=_read(spark, args.prior_violations) if args.prior_violations else None,
         site_consistency=site_spec,
         run_presence_pass=args.presence_pass,
+        run_qc_pass=args.qc_pass,
     )
     print(
         json.dumps(

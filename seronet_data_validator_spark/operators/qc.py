@@ -66,6 +66,7 @@ def audio_qc_stats(
     id_col: str = "clip_id",
     frame: int = QC_FRAME,
     silence_peak: int = SILENCE_PEAK,
+    keep_columns: tuple = (),
 ) -> DataFrame:
     """Integer QC aggregates per clip: samples at full scale (|s| >= 32767),
     DC sum, and silent-frame counts over non-overlapping ``frame``-sample
@@ -82,7 +83,7 @@ def audio_qc_stats(
         _decode_view,
     )
 
-    src = clips.select(id_col, "bytes")
+    src = clips.select(id_col, "bytes", *keep_columns)
     names = [f.name for f in QC_STATS_SCHEMA.fields]
     types = [
         pa.string(),
@@ -93,6 +94,11 @@ def audio_qc_stats(
         pa.int64(),
         pa.int64(),
     ]
+    # passthrough columns ride the batch unchanged (rows map 1:1 in order)
+    out_schema = T.StructType(
+        list(QC_STATS_SCHEMA.fields)
+        + [src.schema[c] for c in keep_columns]
+    )
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -123,11 +129,12 @@ def audio_qc_stats(
                 for name, v in zip(names, row):
                     cols[name].append(v)
             yield pa.RecordBatch.from_arrays(
-                [pa.array(cols[n], type=t) for n, t in zip(names, types)],
-                names=names,
+                [pa.array(cols[n], type=t) for n, t in zip(names, types)]
+                + [batch.column(2 + j) for j in range(len(keep_columns))],
+                names=names + list(keep_columns),
             )
 
-    return src.mapInArrow(run, schema=QC_STATS_SCHEMA)
+    return src.mapInArrow(run, schema=out_schema)
 
 
 def audio_qc(
@@ -136,6 +143,7 @@ def audio_qc(
     id_col: str = "clip_id",
     frame: int = QC_FRAME,
     silence_peak: int = SILENCE_PEAK,
+    keep_columns: tuple = (),
 ) -> DataFrame:
     """Per-clip QC verdicts over :func:`audio_qc_stats`.
 
@@ -151,7 +159,11 @@ def audio_qc(
       verdicts and qc_pass = false).
     """
     stats = audio_qc_stats(
-        clips, id_col=id_col, frame=frame, silence_peak=silence_peak
+        clips,
+        id_col=id_col,
+        frame=frame,
+        silence_peak=silence_peak,
+        keep_columns=keep_columns,
     )
     decoded = F.col("clip_count").isNotNull()
     is_clipped = F.col("clip_count") * F.lit(1000) > F.col("n_samples")
@@ -174,6 +186,7 @@ def audio_qc(
             F.when(decoded, ~(is_clipped | is_silent | dc_biased)),
             F.lit(False),
         ).alias("qc_pass"),
+        *keep_columns,
     )
 
 
@@ -317,3 +330,90 @@ def alignment_check(
             (n > 0) & (inverted + oob + overlaps == 0)
         ).alias("align_ok"),
     )
+
+
+def qc_violations(
+    clips: DataFrame,
+    *,
+    table_name: str = "clips",
+    id_column: str = "clip_id",
+    frame: int = QC_FRAME,
+    silence_peak: int = SILENCE_PEAK,
+    keep_columns: tuple = (),
+) -> DataFrame:
+    """Lifecycle adapter: :func:`audio_qc` verdicts as violation rows
+    (model.VIOLATION_SCHEMA), for the optional QC pass in
+    runner.validate_clips — clipping is an Error (irreversibly damaged
+    payload), silence-majority and DC bias are Warnings (salvageable, but
+    a training pipeline wants them surfaced). Undecodable clips emit
+    NOTHING here: the C13 audio-invariant pass owns decode failures, and
+    the C22 dedup would otherwise have to break the tie.
+
+    Same emission shape as the fused rule pass (plans/compile.py):
+    array_compact over per-rule structs + explode_outer, so clean clips
+    cost one NULL row and the pass adds no join or shuffle.
+    """
+    qc = audio_qc(
+        clips,
+        id_col=id_column,
+        frame=frame,
+        silence_peak=silence_peak,
+        keep_columns=keep_columns,
+    )
+
+    def emit(cond, severity, rule_id, value, message):
+        return F.when(
+            F.coalesce(cond, F.lit(False)),
+            F.struct(
+                F.lit(severity).alias("severity"),
+                F.lit(table_name).alias("table_name"),
+                F.col(id_column).cast("string").alias("row_ref"),
+                F.lit("bytes").alias("column_name"),
+                value.cast("string").alias("column_value"),
+                F.lit(rule_id).alias("rule_id"),
+                message.alias("message"),
+            ),
+        )
+
+    pct = F.round(
+        F.col("clip_count") * F.lit(100.0) / F.col("n_samples"), 2
+    ).cast("string")
+    arr = F.array_compact(
+        F.array(
+            emit(
+                F.col("is_clipped"),
+                "Error",
+                "QC1.clipped",
+                F.col("clip_count"),
+                F.concat(
+                    F.lit("Clipping on "), pct, F.lit("% of samples (>0.1% allowed)")
+                ),
+            ),
+            emit(
+                F.col("is_silent"),
+                "Warning",
+                "QC1.silent",
+                F.col("silence_frames"),
+                F.concat(
+                    F.lit("Silent majority: "),
+                    F.col("silence_frames").cast("string"),
+                    F.lit("/"),
+                    F.col("n_frames").cast("string"),
+                    F.lit(" frames under the silence threshold"),
+                ),
+            ),
+            emit(
+                F.col("dc_biased"),
+                "Warning",
+                "QC1.dc_offset",
+                F.col("dc_sum"),
+                F.lit("DC offset above 5% of full scale"),
+            ),
+        )
+    )
+    out = (
+        qc.select(*keep_columns, F.explode_outer(arr).alias("_v"))
+        .where(F.col("_v").isNotNull())
+        .select("_v.*", *keep_columns)
+    )
+    return out

@@ -103,6 +103,7 @@ def validate_clips(
     prior_violations: DataFrame | None = None,
     site_consistency: SiteConsistencySpec | None = None,
     run_presence_pass: bool = False,
+    run_qc_pass: bool = False,
 ) -> ValidationResult:
     """Full validation lifecycle over a clips DataFrame.
 
@@ -120,6 +121,10 @@ def validate_clips(
     * ``run_presence_pass`` — C17 cross-table presence vs
       ``reference_clips``: clip ids absent from the reference → Error
       (orphan), reference ids with no clip row → Warning (childless).
+    * ``run_qc_pass`` — QC1 corpus acceptance verdicts over the decoded
+      PCM (operators/qc.py): clipping → Error, silence-majority and DC
+      bias → Warnings. Beyond-reference: the audio analog of the
+      reference's per-cell value rules, as a second narrow Arrow pass.
     """
     rs = ruleset or clips_ruleset()
 
@@ -270,6 +275,21 @@ def validate_clips(
                               id_column=rs.row_ref_column,
                               force_full_decode=audio_force_full_decode)
         parts.append(_with_null_part(av, partition_column))
+
+    # (5b) optional QC1 acceptance pass — same narrow Arrow shape as (5);
+    # the partition column rides the batch through, so each verdict lands
+    # on its real partition (no NULL-sentinel needed).
+    if run_qc_pass and "bytes" in clips.columns:
+        from seronet_data_validator_spark.operators.qc import qc_violations
+
+        parts.append(
+            qc_violations(
+                clips,
+                table_name=rs.table_name,
+                id_column=rs.row_ref_column,
+                keep_columns=(partition_column,),
+            )
+        )
 
     # (6) union + C22 dedup (reference File_Submission_Object.py:255-256):
     # first-writer-wins on (table, row, column, value), "first" = pass order

@@ -184,3 +184,68 @@ def test_normalize_transcript(spark):
     assert rows["b"]["n_norm_tokens"] == 3
     assert rows["c"]["norm_transcript"] == ""
     assert rows["c"]["n_norm_tokens"] == 0
+
+
+def test_qc_pass_in_lifecycle(spark, tmp_path):
+    """validate_clips(run_qc_pass=True): planted QC-bad payloads produce
+    QC1 violation rows attributed to their REAL partition, the clipping
+    Error fails that partition's verdict, and the clean fixture stays
+    clean with the pass enabled."""
+    from pyspark.sql import functions as F
+
+    from seronet_data_validator_spark.model import VIOLATION_SCHEMA
+    from seronet_data_validator_spark.runner import validate_clips
+    from seronet_data_validator_spark.sources.clips import generate_clips
+
+    clips = generate_clips(spark, 200, seed=11, bad=False)
+    victims = [
+        r["clip_id"]
+        for r in clips.select("clip_id").orderBy("clip_id").limit(3).collect()
+    ]
+    i = np.arange(2000, dtype=np.int64)
+    bad_bytes = {
+        victims[0]: wav_bytes(
+            np.where((i // 8) % 2 == 0, 32767, -32768).astype(np.int16), 8000
+        ),  # clipped -> Error
+        victims[1]: wav_bytes(np.zeros(2000, np.int16), 8000),  # silent -> Warning
+        victims[2]: wav_bytes(np.full(2000, 3000, np.int16), 8000),  # DC -> Warning
+    }
+    planted = clips.withColumn(
+        "bytes",
+        F.when(F.col("clip_id") == victims[0], F.lit(bad_bytes[victims[0]]))
+        .when(F.col("clip_id") == victims[1], F.lit(bad_bytes[victims[1]]))
+        .when(F.col("clip_id") == victims[2], F.lit(bad_bytes[victims[2]]))
+        .otherwise(F.col("bytes")),
+    )
+    out = str(tmp_path / "qc_out")
+    res = validate_clips(
+        spark, planted, run_id="QC1", output_root=out,
+        run_audio_pass=False, run_qc_pass=True,
+    )
+    assert res.passed is False
+    import pyspark.sql.types as T
+
+    stored = T.StructType(
+        list(VIOLATION_SCHEMA.fields) + [T.StructField("site", T.StringType())]
+    )
+    v = spark.read.schema(stored).parquet(f"{out}/violations/QC1")
+    qc = {r["row_ref"]: r.asDict() for r in v.where(
+        F.col("rule_id").startswith("QC1")).collect()}
+    assert set(qc) == set(victims)
+    assert qc[victims[0]]["rule_id"] == "QC1.clipped"
+    assert qc[victims[0]]["severity"] == "Error"
+    assert qc[victims[1]]["rule_id"] == "QC1.silent"
+    assert qc[victims[1]]["severity"] == "Warning"
+    assert qc[victims[2]]["rule_id"] == "QC1.dc_offset"
+    # partition attribution: each QC row carries the victim's REAL site
+    for cid in victims:
+        assert qc[cid]["site"] == cid.split("_")[0]
+    # the clipping Error fails exactly that partition's verdict
+    verdicts = {r["partition_key"]: r["pass"] for r in res.verdicts}
+    assert verdicts[victims[0].split("_")[0]] is False
+    # clean fixture with the pass on: QC adds nothing
+    res2 = validate_clips(
+        spark, clips, run_id="QC2", output_root=str(tmp_path / "qc_out2"),
+        run_audio_pass=False, run_qc_pass=True,
+    )
+    assert res2.passed is True
