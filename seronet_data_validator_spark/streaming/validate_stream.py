@@ -65,6 +65,7 @@ def stream_validate_clips(
     trigger_available_now: bool = True,
     max_files_per_trigger: int | None = None,
     compact_seen_keys_every: int = 16,
+    run_qc_pass: bool = False,
 ):
     """Continuously validate clip files landing in ``input_path``.
 
@@ -161,8 +162,19 @@ def stream_validate_clips(
                                  table_name=rs.table_name,
                                  id_column=rs.row_ref_column)
             )
+        # optional QC1 acceptance pass, mirroring the batch runner's step 5b
+        # — stream and backfill emit the same QC verdict family
+        if run_qc_pass and "bytes" in batch_df.columns:
+            from seronet_data_validator_spark.operators.qc import qc_violations
+
+            parts.append(
+                qc_violations(
+                    batch_df, table_name=rs.table_name,
+                    id_column=rs.row_ref_column,
+                )
+            )
         # same first-writer-wins C22 dedup as the batch runner (pass order =
-        # rules, uniqueness, cross-batch, referential, audio) so batch
+        # rules, uniqueness, cross-batch, referential, audio, qc) so batch
         # backfill and stream emit identical violation sets for identical rows
         v = parts[0].withColumn("_ord", F.lit(0))
         for i, p in enumerate(parts[1:], start=1):

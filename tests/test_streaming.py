@@ -255,3 +255,44 @@ def test_stream_sessionize_stateful(spark, tmp_path):
     stream_set = {(r["key"], str(r["session_start"]), str(r["session_end"]),
                    r["n_events"]) for r in sess.where(F.col("key") < 3).collect()}
     assert stream_set == batch_set
+
+
+def test_stream_qc_pass_matches_batch(spark, tmp_path):
+    """run_qc_pass=True in the stream emits the same QC1 verdict rows the
+    batch adapter produces over the same input (stream/backfill parity for
+    the acceptance family)."""
+    import numpy as np
+
+    from seronet_data_validator_spark.operators.qc import qc_violations
+    from seronet_data_validator_spark.sources.clips import wav_bytes
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    clips = generate_clips(spark, 80, seed=5, bad=False)
+    victim = clips.select("clip_id").orderBy("clip_id").limit(1).collect()[0][0]
+    i = np.arange(2000, dtype=np.int64)
+    clipped = wav_bytes(
+        np.where((i // 8) % 2 == 0, 32767, -32768).astype(np.int16), 8000
+    )
+    planted = clips.withColumn(
+        "bytes",
+        F.when(F.col("clip_id") == victim, F.lit(clipped)).otherwise(
+            F.col("bytes")
+        ),
+    )
+    planted.write.parquet(inp)
+
+    q = stream_validate_clips(spark, inp, out, run_qc_pass=True)
+    q.awaitTermination(120)
+    sv = (
+        spark.read.parquet(os.path.join(out, "violations_stream"))
+        .where(F.col("rule_id").startswith("QC1"))
+        .select("severity", "row_ref", "rule_id", "column_value")
+    )
+    bv = qc_violations(spark.read.parquet(inp)).select(
+        "severity", "row_ref", "rule_id", "column_value"
+    )
+    s_rows = sorted(map(tuple, sv.collect()))
+    b_rows = sorted(map(tuple, bv.collect()))
+    assert s_rows == b_rows
+    assert any(r[1] == victim and r[2] == "QC1.clipped" for r in s_rows)
