@@ -2917,6 +2917,16 @@ def _exact_lifecycle_tables(spark: SparkSession):
             transcript = base_t + " xdiff"
         elif k == 14:
             transcript = ref_t = " ".join(f"r{j % 7}" for j in range(80))
+        # QC1 lanes (identical ref bytes -> the C13 fast path stays silent;
+        # only the acceptance pass flags them)
+        elif k == 16:  # full-scale square wave -> QC1.clipped (Error)
+            b = ref_b = wav_bytes(
+                np.where((i // 8) % 2 == 0, 32767, -32768).astype(np.int16), 8000
+            )
+        elif k == 17:  # digital silence -> QC1.silent (Warning)
+            b = ref_b = wav_bytes(np.zeros(n, np.int16), 8000)
+        elif k == 18:  # constant 3000 -> QC1.dc_offset (Warning)
+            b = ref_b = wav_bytes(np.full(n, 3000, np.int16), 8000)
         row = (cid, bytearray(b), sr_decl, dur_decl, codec, transcript, site)
         clips_rows.append(row)
         if k == 2:
@@ -2972,6 +2982,7 @@ def q_clips_validation_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         prior_violations=prior,
         site_consistency=SiteConsistencySpec(declared=declared),
         run_presence_pass=True,
+        run_qc_pass=True,
     )
     return res.violations
 
@@ -3343,6 +3354,28 @@ allv AS (
            'C13a.transcript', 'transcript does not equal reference transcript', 5
     FROM clips
     WHERE ref_transcript IS NOT NULL AND transcript IS DISTINCT FROM ref_transcript
+    -- ord 6: QC1 acceptance pass (k=16 square wave: every sample at full
+    -- scale so clip_count = n; k=17 silence: all ceil(n/160) frames silent;
+    -- k=18 constant 3000: dc_sum = 3000*n) ----------------------------
+    UNION ALL
+    SELECT 'Error', 'clips', clip_id, 'bytes', CAST(n AS VARCHAR),
+           'QC1.clipped',
+           'Clipping on ' || CAST(round(n * 100.0 / n, 2) AS VARCHAR)
+           || '% of samples (>0.1% allowed)', 6
+    FROM clips WHERE k = 16
+    UNION ALL
+    -- k=17 is digital silence; k=12's constant-272 SNR clip is ALSO under
+    -- the 328 silence threshold, so the acceptance pass rightly flags both
+    SELECT 'Warning', 'clips', clip_id, 'bytes',
+           CAST((n + 159) // 160 AS VARCHAR), 'QC1.silent',
+           'Silent majority: ' || CAST((n + 159) // 160 AS VARCHAR) || '/'
+           || CAST((n + 159) // 160 AS VARCHAR)
+           || ' frames under the silence threshold', 6
+    FROM clips WHERE k IN (12, 17)
+    UNION ALL
+    SELECT 'Warning', 'clips', clip_id, 'bytes', CAST(3000 * n AS VARCHAR),
+           'QC1.dc_offset', 'DC offset above 5% of full scale', 6
+    FROM clips WHERE k = 18
 )
 SELECT severity, table_name, row_ref, column_name, column_value, rule_id, message
 FROM (
