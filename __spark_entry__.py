@@ -1943,6 +1943,47 @@ def q_transcript_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_transcript(base)
 
 
+def q_codec_container_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-codec vs container-magic consistency
+    (operators/qc.codec_container_check): the Spark side reads the REAL
+    first four bytes of genuinely encoded RIFF/FLAC payloads; the oracle
+    replays the verdict from the (k%3 container, k%5 codec) recipe plus the
+    public container-family table — mislabeled codec columns (including a
+    case-variant lane) flag, correct ones pass."""
+    import numpy as np
+    import pandas as pd
+
+    from seronet_data_validator_spark.operators.flac import flac_bytes
+    from seronet_data_validator_spark.operators.qc import codec_container_check
+    from seronet_data_validator_spark.sources.clips import wav_bytes
+
+    codecs = ["pcm_s16le", "flac", "opus", "mp3", "PCM_S16LE"]
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for k in pdf["id"].to_numpy():
+                k = int(k)
+                i = np.arange(200, dtype=np.int64)
+                s = ((((k * 7919 + i * 104729 + 12345) % 65536) - 32768)).astype(
+                    np.int16
+                )
+                b = flac_bytes(s, 8000) if k % 3 == 1 else wav_bytes(s, 8000)
+                rows.append(
+                    {
+                        "clip_id": f"cc_{k:03d}",
+                        "bytes": b,
+                        "codec": codecs[k % 5],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    fix = spark.range(0, 60, 1, 8).mapInPandas(
+        gen, schema="clip_id string, bytes binary, codec string"
+    )
+    return codec_container_check(fix)
+
+
 def q_speaking_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcript/duration consistency (operators/qc.speaking_rate) over an
     in-query deterministic fixture both engines regenerate with repeat():
@@ -3012,6 +3053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pitch_lag": q_pitch_lag,
         "alignment_check": q_alignment_check,
         "transcript_normalize": q_transcript_normalize,
+        "codec_container_check": q_codec_container_check,
         # -- round-5 session-3 additions: full value oracles, driver-unseen --
         "transcript_wer": q_transcript_wer,
         "audio_resample_exact": q_audio_resample_exact,
@@ -3029,7 +3071,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_split_join": q_skew_split_join,
         "json_props": q_json_props,
         "psi_by_group": q_psi_by_group,
-        "snapshot_diff": q_snapshot_diff,
         "group_quantiles": q_group_quantiles,
         "tdigest_profile": q_tdigest_profile,
         "compression_ratio": q_compression_ratio,
@@ -3079,6 +3120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew": q_key_skew,
         "value_histogram": q_value_histogram,
         "benford": q_benford,
+        "snapshot_diff": q_snapshot_diff,
         "doc_packing": q_doc_packing,
         "tfidf_scores": q_tfidf_scores,
         "embedding_outliers": q_embedding_outliers,
@@ -3784,6 +3826,31 @@ GROUP BY clip_id
         "semantic_dedup_exact": _SEMANTIC_DEDUP_EXACT_SQL,
         "minhash_neardup": _MINHASH_NEARDUP_SQL,
         "video_frames": _VIDEO_FRAMES_SQL,
+        # Replays the container/codec verdict from the recipe plus the
+        # public container-family table (Spark reads the REAL magic bytes
+        # of genuinely encoded payloads; the oracle knows which encoder the
+        # recipe selected — the tar_shards spec-knowledge pattern).
+        "codec_container_check": """
+            WITH ks AS (
+                SELECT CAST(range AS BIGINT) AS k FROM range(0, 60)
+            ), rows0 AS (
+                SELECT 'cc_' || lpad(CAST(k AS VARCHAR), 3, '0') AS clip_id,
+                       ['pcm_s16le','flac','opus','mp3','PCM_S16LE']
+                           [CAST(k % 5 AS INT) + 1] AS codec,
+                       CASE WHEN k % 3 = 1 THEN 'fLaC' ELSE 'RIFF'
+                       END AS container
+                FROM ks
+            )
+            SELECT clip_id, codec, container,
+                   CASE WHEN container = 'RIFF'
+                        THEN lower(trim(codec)) IN
+                             ('pcm_s16le','pcm_s24le','pcm_mulaw',
+                              'pcm_alaw','adpcm_ima_wav')
+                        WHEN container = 'fLaC'
+                        THEN lower(trim(codec)) IN ('flac')
+                   END AS codec_matches
+            FROM rows0
+        """,
         # Regenerates the five-kind _qc_wav_clips recipe and replays every
         # verdict as the SAME integer comparison (clip_count*1000 > n etc.);
         # framewise silence is a plain GROUP BY i//160 — the Spark side's

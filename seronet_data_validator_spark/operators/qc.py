@@ -417,3 +417,57 @@ def qc_violations(
         .select("_v.*", *keep_columns)
     )
     return out
+
+
+#: Container magic → the codec families that legitimately ship in it.
+#: RIFF carries every WAV-family codec the decoder dispatches (PCM,
+#: G.711, IMA ADPCM); fLaC is FLAC's stream marker (public specs).
+CONTAINER_CODECS = {
+    "RIFF": ("pcm_s16le", "pcm_s24le", "pcm_mulaw", "pcm_alaw", "adpcm_ima_wav"),
+    "fLaC": ("flac",),
+}
+
+
+def codec_container_check(
+    clips: DataFrame,
+    *,
+    id_col: str = "clip_id",
+    codec_col: str = "codec",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Cross-modal metadata/payload consistency: the container magic (first
+    four payload bytes) must agree with the DECLARED codec string — a
+    mislabeled codec column routes a clip to the wrong decoder, so this is
+    the cheap screen a validator runs before any decode. Pure Column code:
+    ``substring(bytes, 1, 4)`` against the public container markers
+    (RIFF / fLaC), no decode, no shuffle.
+
+    ``container``: the recognized magic (NULL = unknown/empty payload).
+    ``codec_matches``: true when the declared codec belongs to the
+    container's family; NULL when the container is unrecognized (rule C1
+    semantics: can't validate against an unknown container — the decode
+    pass owns those).
+
+    At 10^12 clips, note the scan caveat: parquet still materializes the
+    full binary column to slice 4 bytes. Production runs either persist a
+    ``magic`` metadata column at ingest or lean on the lifecycle passes
+    that already decode; this operator is the standalone screen for tables
+    that carry one.
+    """
+    magic = F.substring(F.col(bytes_col), 1, 4).cast("string")
+    container = (
+        F.when(magic == "RIFF", F.lit("RIFF"))
+        .when(magic == "fLaC", F.lit("fLaC"))
+    )
+    declared = F.lower(F.trim(F.col(codec_col)))
+    matches = F.lit(None).cast("boolean")
+    for cont, codecs in CONTAINER_CODECS.items():
+        matches = F.when(container == cont, declared.isin(*codecs)).otherwise(
+            matches
+        )
+    return clips.select(
+        id_col,
+        F.col(codec_col).alias("codec"),
+        container.alias("container"),
+        matches.alias("codec_matches"),
+    )

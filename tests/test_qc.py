@@ -249,3 +249,34 @@ def test_qc_pass_in_lifecycle(spark, tmp_path):
         run_audio_pass=False, run_qc_pass=True,
     )
     assert res2.passed is True
+
+
+def test_codec_container_check(spark):
+    from seronet_data_validator_spark.operators.flac import flac_bytes
+    from seronet_data_validator_spark.operators.qc import codec_container_check
+
+    s = np.arange(100, dtype=np.int16)
+    pdf = pd.DataFrame(
+        [
+            {"clip_id": "wav_ok", "bytes": wav_bytes(s, 8000), "codec": "pcm_s16le"},
+            {"clip_id": "wav_case", "bytes": wav_bytes(s, 8000), "codec": " PCM_S16LE "},
+            {"clip_id": "wav_mis", "bytes": wav_bytes(s, 8000), "codec": "flac"},
+            {"clip_id": "flac_ok", "bytes": flac_bytes(s, 8000), "codec": "flac"},
+            {"clip_id": "flac_mis", "bytes": flac_bytes(s, 8000), "codec": "opus"},
+            {"clip_id": "junk", "bytes": b"\x00\x01\x02\x03junk", "codec": "mp3"},
+            {"clip_id": "tiny", "bytes": b"RI", "codec": "pcm_s16le"},
+        ]
+    )
+    rows = {
+        r["clip_id"]: r.asDict()
+        for r in codec_container_check(spark.createDataFrame(pdf)).collect()
+    }
+    assert rows["wav_ok"]["codec_matches"] is True
+    assert rows["wav_case"]["codec_matches"] is True  # case/space-insensitive
+    assert rows["wav_mis"]["codec_matches"] is False
+    assert rows["flac_ok"]["codec_matches"] is True
+    assert rows["flac_mis"]["codec_matches"] is False
+    # unrecognized containers can't be validated -> NULL (decode pass owns them)
+    assert rows["junk"]["container"] is None
+    assert rows["junk"]["codec_matches"] is None
+    assert rows["tiny"]["codec_matches"] is None
