@@ -1943,6 +1943,54 @@ def q_transcript_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_transcript(base)
 
 
+def q_msadpcm_features_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Microsoft ADPCM (WAV fmt 0x0002) under a FULL value oracle:
+    integer-recipe samples are ENCODED through the real codec
+    (operators/msadpcm.msadpcm_bytes, block_align=16 so every clip spans
+    multiple 20-sample blocks; predictor set k%7 exercises ALL SEVEN
+    published coefficient pairs) and the blobs flow through the real
+    decode dispatch (audio._decode_view -> decode_msadpcm_wav,
+    block-parallel numpy) into exact peak/zc/RMS features. MS ADPCM is
+    LOSSY, so the oracle replays the codec state machine as a RECURSIVE
+    CTE: two verbatim header samples per block, then
+    pred = (s1*c1 + s2*c2) >> 8, nearest-step quantize, clamp, and the
+    published 16-entry delta adaptation — DuckDB's >> is arithmetic
+    (floor), matching numpy, and the quantizer floor is exact in doubles
+    at these magnitudes. Encoder and decoder share the reconstruction, so
+    the CTE's sample sequence IS the decoded output."""
+    import numpy as np
+    import pandas as pd
+
+    from seronet_data_validator_spark.operators.dsp import (
+        audio_basic_features_exact,
+    )
+    from seronet_data_validator_spark.operators.msadpcm import msadpcm_bytes
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for k in pdf["id"].to_numpy():
+                k = int(k)
+                n = 50 + (k % 4) * 21
+                i = np.arange(n, dtype=np.int64)
+                s = ((((k + 5) * 487 + i * 331) % 4096) - 2048) * 12
+                rows.append(
+                    {
+                        "clip_id": f"msadpcm_{k:03d}",
+                        "bytes": msadpcm_bytes(
+                            s.astype(np.int16), 8000,
+                            block_align=16, predictor=k % 7,
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    clips = spark.range(0, 28, 1, 4).mapInPandas(
+        gen, schema="clip_id string, bytes binary"
+    )
+    return audio_basic_features_exact(clips)
+
+
 def q_codec_container_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared-codec vs container-magic consistency
     (operators/qc.codec_container_check): the Spark side reads the REAL
@@ -3054,6 +3102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alignment_check": q_alignment_check,
         "transcript_normalize": q_transcript_normalize,
         "codec_container_check": q_codec_container_check,
+        "msadpcm_features_exact": q_msadpcm_features_exact,
         # -- round-5 session-3 additions: full value oracles, driver-unseen --
         "transcript_wer": q_transcript_wer,
         "audio_resample_exact": q_audio_resample_exact,
@@ -3071,7 +3120,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_split_join": q_skew_split_join,
         "json_props": q_json_props,
         "psi_by_group": q_psi_by_group,
-        "group_quantiles": q_group_quantiles,
         "tdigest_profile": q_tdigest_profile,
         "compression_ratio": q_compression_ratio,
         "null_rates_by_group": q_null_rates_by_group,
@@ -3121,6 +3169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "benford": q_benford,
         "snapshot_diff": q_snapshot_diff,
+        "group_quantiles": q_group_quantiles,
         "doc_packing": q_doc_packing,
         "tfidf_scores": q_tfidf_scores,
         "embedding_outliers": q_embedding_outliers,
@@ -3826,6 +3875,78 @@ GROUP BY clip_id
         "semantic_dedup_exact": _SEMANTIC_DEDUP_EXACT_SQL,
         "minhash_neardup": _MINHASH_NEARDUP_SQL,
         "video_frames": _VIDEO_FRAMES_SQL,
+        # Recursive-CTE replay of the MS ADPCM state machine (the IMA
+        # oracle's pattern for the 0x0002 codec): per 20-sample block, two
+        # verbatim header samples then pred = (s1*c1 + s2*c2) >> 8 (DuckDB
+        # >> is arithmetic = floor, matching numpy), nearest-step quantize
+        # (floor exact in doubles at these magnitudes), int16 clamp, and
+        # the published delta adaptation with the 16 shared table entries.
+        "msadpcm_features_exact": """
+WITH RECURSIVE params AS (
+  SELECT 'msadpcm_' || lpad(CAST(k AS VARCHAR), 3, '0') AS clip_id, k,
+         50 + (k % 4) * 21 AS n,
+         list_extract([256,512,0,192,240,460,392], CAST(k % 7 AS INTEGER) + 1) AS c1,
+         list_extract([0,-256,0,64,0,-208,-232], CAST(k % 7 AS INTEGER) + 1) AS c2
+  FROM (SELECT CAST(range AS BIGINT) AS k FROM range(0, 28))
+),
+dec AS (
+  -- state after emitting sample i: out (the sample), s1/s2/delta
+  SELECT clip_id, k, n, c1, c2, CAST(1 AS BIGINT) AS i,
+         ((((k+5)*487 + 331) % 4096) - 2048) * 12 AS out,
+         ((((k+5)*487 + 331) % 4096) - 2048) * 12 AS s1,
+         ((((k+5)*487) % 4096) - 2048) * 12 AS s2,
+         CAST(16 AS BIGINT) AS delta
+  FROM params WHERE n > 1
+  UNION ALL
+  SELECT clip_id, k, n, c1, c2, i,
+         CASE WHEN m <= 1 THEN raw ELSE rec END AS out,
+         CASE WHEN m = 1 THEN raw WHEN m = 0 THEN s1o ELSE rec END AS s1,
+         CASE WHEN m = 1 THEN prev_out WHEN m = 0 THEN s2o ELSE s1o END AS s2,
+         CASE WHEN m = 1 THEN 16 WHEN m = 0 THEN deltao
+              ELSE greatest(16, (list_extract(
+                     [230,230,230,230,307,409,512,614,768,614,512,409,307,230,230,230],
+                     CAST(CASE WHEN q < 0 THEN q + 16 ELSE q END AS INTEGER) + 1)
+                   * deltao) >> 8) END AS delta
+  FROM (
+    SELECT clip_id, k, n, c1, c2, i, m, raw, prev_out, s1o, s2o, deltao, q,
+           greatest(-32768, least(32767, pred + q * deltao)) AS rec
+    FROM (
+      SELECT *,
+             greatest(-8, least(7, CAST(floor(
+                 (2 * (raw - pred) + deltao) / (2.0 * deltao)) AS BIGINT))) AS q
+      FROM (
+        SELECT clip_id, k, n, c1, c2, i + 1 AS i,
+               (i + 1) % 20 AS m,
+               ((((k+5)*487 + (i+1)*331) % 4096) - 2048) * 12 AS raw,
+               out AS prev_out, s1 AS s1o, s2 AS s2o, delta AS deltao,
+               (s1 * c1 + s2 * c2) >> 8 AS pred
+        FROM dec WHERE i + 1 < n
+      )
+    )
+  )
+),
+allsamp AS (
+  SELECT clip_id, CAST(0 AS BIGINT) AS i,
+         ((((k+5)*487) % 4096) - 2048) * 12 AS s
+  FROM params
+  UNION ALL
+  SELECT clip_id, i, out AS s FROM dec
+),
+lagged AS (
+  SELECT clip_id, i, s,
+         lag(s) OVER (PARTITION BY clip_id ORDER BY i) AS prev
+  FROM allsamp
+)
+SELECT clip_id,
+       COUNT(*) AS n_samples,
+       8000 AS sr_hz,
+       CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs,
+       CAST(SUM(CASE WHEN prev IS NOT NULL AND prev * s < 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+       SQRT(CAST(SUM(s * s) AS DOUBLE) / COUNT(*)) AS rms
+FROM lagged
+GROUP BY clip_id
+""",
         # Replays the container/codec verdict from the recipe plus the
         # public container-family table (Spark reads the REAL magic bytes
         # of genuinely encoded payloads; the oracle knows which encoder the

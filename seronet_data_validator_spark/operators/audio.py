@@ -59,6 +59,7 @@ _SNR_CHUNK = 16384  # samples per dot-product chunk (128 KB of float32 scratch)
 # built once at import from the CCITT reference arithmetic.
 _WAVE_PCM, _WAVE_ALAW, _WAVE_MULAW = 1, 6, 7
 _WAVE_IMA_ADPCM = 0x11  # IMA/DVI ADPCM (operators/adpcm.py)
+_WAVE_MS_ADPCM = 0x02  # Microsoft ADPCM (operators/msadpcm.py)
 _FACT = np.frombuffer(b"fact", np.uint8)
 _DATA = np.frombuffer(b"data", np.uint8)
 
@@ -233,6 +234,17 @@ def _decode_view(seg: np.ndarray | None) -> tuple[np.ndarray, int]:
         from seronet_data_validator_spark.operators.adpcm import decode_adpcm_wav
 
         return decode_adpcm_wav(seg.tobytes())
+    if (
+        seg is not None
+        and len(seg) >= 22
+        and bytes(seg[:4]) == b"RIFF"
+        and int.from_bytes(seg[20:22].tobytes(), "little") == _WAVE_MS_ADPCM
+    ):
+        from seronet_data_validator_spark.operators.msadpcm import (
+            decode_msadpcm_wav,
+        )
+
+        return decode_msadpcm_wav(seg.tobytes())
     n_frames, sr, fmt, ch, bits = _parse_header(
         seg, len(seg) if seg is not None else 0
     )
