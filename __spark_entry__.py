@@ -1722,6 +1722,29 @@ def _exact_wav_clips(spark: SparkSession, n_clips: int = 60) -> DataFrame:
                             ),
                         }
                     )
+                # k%7==0: 24-bit mono FLAC carrying s<<8 — the deep-depth
+                # decode lane; the mono contract rescales >> (24-16) and
+                # restores s exactly
+                if k % 7 == 0:
+                    rows.append(
+                        {
+                            "clip_id": f"exactf24_{k:03d}",
+                            "bytes": flac_bytes(
+                                s.astype(np.int64) << 8, 8000, bps=24, lpc_order=4
+                            ),
+                        }
+                    )
+                # k%7==1: 4-channel FLAC with every channel = s — the
+                # multichannel independent-decode lane; the floor-mean
+                # downmix (4s)//4 == s exactly
+                if k % 7 == 1:
+                    quad = np.stack([s, s, s, s], axis=1).astype(np.int64)
+                    rows.append(
+                        {
+                            "clip_id": f"exactf4c_{k:03d}",
+                            "bytes": flac_bytes(quad, 8000, lpc_order=2),
+                        }
+                    )
             yield pd.DataFrame(rows)
 
     return spark.range(0, n_clips, 1, 8).mapInPandas(
@@ -4345,6 +4368,18 @@ GROUP BY clip_id
                 SELECT 'exactw24_' || lpad(CAST(k AS VARCHAR), 3, '0') AS clip_id,
                        k, 1200 + (k % 7) * 300 AS n
                 FROM ks WHERE k % 5 = 2
+                UNION ALL
+                -- 'exactf24_': 24-bit mono FLAC carrying s<<8; the mono
+                -- contract rescale >>8 == s — deep-depth FLAC decode lane
+                SELECT 'exactf24_' || lpad(CAST(k AS VARCHAR), 3, '0') AS clip_id,
+                       k, 1200 + (k % 7) * 300 AS n
+                FROM ks WHERE k % 7 = 0
+                UNION ALL
+                -- 'exactf4c_': 4-channel FLAC, every channel = s; the
+                -- floor-mean downmix (4s)//4 == s — multichannel lane
+                SELECT 'exactf4c_' || lpad(CAST(k AS VARCHAR), 3, '0') AS clip_id,
+                       k, 1200 + (k % 7) * 300 AS n
+                FROM ks WHERE k % 7 = 1
             ), samp AS (
                 SELECT clip_id, k,
                        CAST(UNNEST(range(0, n)) AS BIGINT) AS i

@@ -5,16 +5,17 @@ Closes the lossless-audio-codec boundary the codec registry names
 fixed-predictor subset of FLAC plus a matching encoder for fixtures and
 round-trip tests. FLAC is lossless, so every test is bit-exact.
 
-Supported (decode): mono + stereo (independent, left/side, right/side,
-mid/side decorrelation), 16-bit, CONSTANT / VERBATIM / FIXED order 0-4 /
+Supported (decode): 1-8 channels (stereo additionally via left/side,
+right/side, mid/side decorrelation), every spec bit depth 4-32 (frame
+header override or STREAMINFO), CONSTANT / VERBATIM / FIXED order 0-4 /
 LPC order 1-32 subframes, wasted-bits shifts, Rice-coded residuals (both
 4- and 5-bit parameter variants, any partition order, escape-to-raw
 partitions including the nbits=0 all-zero case), UTF-8 frame numbers,
-CRC-8 header verification. Explicit NotImplementedError: >2 channels and
-non-16-bit depths — the documented boundary. The matching encoder emits
-fixed predictors 0-2, genuine LPC subframes (Levinson-Durbin quantized
-coefficients), and all three stereo decorrelation modes, so every decode
-path round-trips bit-exactly in tests.
+CRC-8 header verification — no remaining NotImplementedError boundary on
+the decode side. The matching encoder emits fixed predictors 0-2, genuine
+LPC subframes (Levinson-Durbin quantized coefficients), all three stereo
+decorrelation modes, bit depths 8/12/16/20/24/32 and up to 8 independent
+channels, so every decode path round-trips bit-exactly in tests.
 
 Execution shape: like the other codecs this is a per-row decode behind
 the Arrow feature passes; entropy decoding is a per-symbol Python loop —
@@ -308,11 +309,22 @@ def _write_subframe(
         for s in blk[:order]:
             w.write(int(s) & ((1 << sbps) - 1), sbps)
     mean = float(np.mean(np.abs(res))) if len(res) else 0.0
-    param = min(14, max(0, int(np.ceil(np.log2(mean + 1))) + 1))
-    w.write(0b00, 2)  # residual method: 4-bit Rice
-    w.write(0, 4)  # partition order 0
-    w.write(param, 4)
+    param = max(0, int(np.ceil(np.log2(mean + 1))) + 1)
+    if param <= 14:  # 4-bit Rice (escape code 15 reserved)
+        w.write(0b00, 2)
+        w.write(0, 4)  # partition order 0
+        w.write(param, 4)
+    else:  # high bit depths: 5-bit Rice parameter (escape code 31)
+        param = min(30, param)
+        w.write(0b01, 2)
+        w.write(0, 4)
+        w.write(param, 5)
     _rice_write(w, res, param)
+
+
+# frame-header bits-per-sample codes (RFC 9639 §9.1.3); 0b000 = STREAMINFO
+_BPS_CODE = {8: 0b001, 12: 0b010, 16: 0b100, 20: 0b101, 24: 0b110, 32: 0b111}
+_BPS_FROM_CODE = {v: k for k, v in _BPS_CODE.items()}
 
 
 def flac_bytes(
@@ -322,22 +334,32 @@ def flac_bytes(
     block_size: int = 4096,
     lpc_order: int = 0,
     stereo_mode: str = "left_side",
+    bps: int = 16,
 ) -> bytes:
-    """Encode int16 samples as a FLAC stream. `samples` is 1-D (mono) or
-    (n, 2) stereo; `lpc_order` > 0 emits genuine LPC subframes
+    """Encode integer samples as a FLAC stream. `samples` is 1-D (mono) or
+    (n, ch) with up to 8 channels; `bps` is any spec depth 4-32 (depths
+    with a frame-header code are signalled per-frame, others via
+    STREAMINFO); `lpc_order` > 0 emits genuine LPC subframes
     (Levinson-Durbin, 12-bit quantized coefs) instead of FIXED 0-2;
-    `stereo_mode` picks the decorrelation: independent / left_side /
-    right_side / mid_side. Deterministic; spec-conforming CRCs."""
-    samples = np.asarray(samples, np.int16)
-    stereo = samples.ndim == 2
-    if stereo and samples.shape[1] != 2:
-        raise NotImplementedError("only mono or 2-channel encode supported")
+    `stereo_mode` (2-channel input only) picks the decorrelation:
+    independent / left_side / right_side / mid_side. 3+ channels always
+    encode independently. Deterministic; spec-conforming CRCs."""
+    if not 4 <= bps <= 32:
+        raise ValueError(f"FLAC bits-per-sample must be 4-32, got {bps}")
+    samples = np.asarray(samples, np.int64)
+    multi = samples.ndim == 2
+    n_ch = samples.shape[1] if multi else 1
+    if not 1 <= n_ch <= 8:
+        raise ValueError(f"FLAC supports 1-8 channels, got {n_ch}")
+    lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
+    if samples.size and (samples.min() < lo or samples.max() > hi):
+        raise ValueError(f"sample out of range for {bps}-bit encode")
     n = samples.shape[0]
-    n_ch = 2 if stereo else 1
+    stereo = multi and n_ch == 2
     # STREAMINFO: min/max block, min/max frame (0 = unknown), sr/ch/bps/total
     si = struct.pack(">HH", min(block_size, max(n, 16)), block_size)
     si += b"\x00\x00\x00" * 2  # min/max frame size unknown
-    packed = (sr << 44) | ((n_ch - 1) << 41) | (15 << 36) | n  # bps-1=15
+    packed = (sr << 44) | ((n_ch - 1) << 41) | ((bps - 1) << 36) | n
     si += packed.to_bytes(8, "big")
     si += b"\x00" * 16  # md5 unset
     header = b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si
@@ -351,7 +373,7 @@ def flac_bytes(
     out = bytearray(header)
     frame_no = 0
     for start in range(0, n, block_size):
-        blk = samples[start : start + block_size].astype(np.int64)
+        blk = samples[start : start + block_size]
         bs = blk.shape[0]
         w = _BitWriter()
         w.write(_SYNC, 14)
@@ -362,9 +384,9 @@ def flac_bytes(
         if stereo:
             code, extra = ch_code[stereo_mode]
         else:
-            code, extra = 0b0000, (0,)
+            code, extra = n_ch - 1, (0,) * n_ch
         w.write(code, 4)
-        w.write(0b100, 3)  # bits per sample: 16
+        w.write(_BPS_CODE.get(bps, 0b000), 3)
         w.write(0, 1)  # reserved
         for b in _utf8_number(frame_no):
             w.write(b, 8)
@@ -382,10 +404,12 @@ def flac_bytes(
                 chans = [left - right, right]
             else:  # mid_side
                 chans = [(left + right) >> 1, left - right]
+        elif multi:
+            chans = [blk[:, c] for c in range(n_ch)]
         else:
             chans = [blk]
         for ch, x in enumerate(chans):
-            _write_subframe(w, x, 16 + extra[ch], lpc_order=lpc_order)
+            _write_subframe(w, x, bps + extra[ch], lpc_order=lpc_order)
         w.align()
         frame = bytes(w.out)
         out += frame + struct.pack(">H", _crc16(frame))
@@ -447,11 +471,12 @@ def _read_subframe(r: _BitReader, bs: int, sbps: int) -> np.ndarray:
     return samples << wasted if wasted else samples
 
 
-def decode_flac_full(b: bytes) -> tuple[np.ndarray, int]:
-    """Decode a FLAC stream → (int16 samples shaped (n, channels), sr).
+def _decode_all(b: bytes) -> tuple[np.ndarray, int, int]:
+    """Decode a FLAC stream → (int64 samples shaped (n, channels), sr, bps).
 
     Full channel fidelity: stereo streams return both channels after
-    undoing the frame's decorrelation mode."""
+    undoing the frame's decorrelation mode; 3+ channels decode
+    independently in stream order."""
     if len(b) < 42 or b[:4] != b"fLaC":
         raise ValueError("not a FLAC stream")
     pos = 4
@@ -475,10 +500,8 @@ def decode_flac_full(b: bytes) -> tuple[np.ndarray, int]:
             break
     if sr is None:
         raise ValueError("FLAC stream without STREAMINFO")
-    if channels > 2 or bps != 16:
-        raise NotImplementedError(
-            f"only mono/stereo 16-bit FLAC supported (got {channels}ch/{bps}-bit)"
-        )
+    if not 1 <= channels <= 8 or not 4 <= bps <= 32:
+        raise ValueError(f"invalid STREAMINFO: {channels}ch/{bps}-bit")
 
     chunks: list[np.ndarray] = []
     while pos < len(b):
@@ -512,21 +535,25 @@ def decode_flac_full(b: bytes) -> tuple[np.ndarray, int]:
             r.read(8)
         elif sr_code in (0b1101, 0b1110):
             r.read(16)
+        if bps_code == 0b000:
+            frame_bps = bps  # from STREAMINFO
+        elif bps_code in _BPS_FROM_CODE:
+            frame_bps = _BPS_FROM_CODE[bps_code]
+        else:
+            raise ValueError(f"reserved bits-per-sample code {bps_code}")
         hdr_end = r.pos  # byte-aligned by construction of the header fields
         expect = r.read(8)
         if expect != _crc8(b[pos:hdr_end]):
             raise ValueError("FLAC frame header CRC mismatch")
 
-        if ch_code <= 0b0111:  # 1-8 independent channels (we cap at 2)
+        if ch_code <= 0b0111:  # 1-8 independent channels
             n_frame_ch = ch_code + 1
-            if n_frame_ch > 2:
-                raise NotImplementedError("more than 2 channels")
-            subs = [_read_subframe(r, bs, 16) for _ in range(n_frame_ch)]
+            subs = [_read_subframe(r, bs, frame_bps) for _ in range(n_frame_ch)]
             frame = np.stack(subs, axis=1)
         else:  # stereo decorrelation: the side channel carries one extra bit
             extra = (0, 1) if ch_code in (0b1000, 0b1010) else (1, 0)
-            c0 = _read_subframe(r, bs, 16 + extra[0])
-            c1 = _read_subframe(r, bs, 16 + extra[1])
+            c0 = _read_subframe(r, bs, frame_bps + extra[0])
+            c1 = _read_subframe(r, bs, frame_bps + extra[1])
             if ch_code == 0b1000:  # left/side
                 left, right = c0, c0 - c1
             elif ch_code == 0b1001:  # right/side
@@ -549,18 +576,32 @@ def decode_flac_full(b: bytes) -> tuple[np.ndarray, int]:
     )
     if total:
         out = out[:total]
-    if np.any(out > 32767) or np.any(out < -32768):
-        raise ValueError("decoded sample out of int16 range")
-    return out.astype(np.int16), int(sr)
+    lim = 1 << (bps - 1)
+    if np.any(out >= lim) or np.any(out < -lim):
+        raise ValueError(f"decoded sample out of {bps}-bit range")
+    return out, int(sr), int(bps)
+
+
+def decode_flac_full(b: bytes) -> tuple[np.ndarray, int]:
+    """Decode a FLAC stream → (samples shaped (n, channels), sr) at native
+    bit depth: int16 for depths ≤16, int32 above. Samples are NOT
+    renormalized — a 24-bit stream returns its raw 24-bit integers."""
+    out, sr, bps = _decode_all(b)
+    return out.astype(np.int32 if bps > 16 else np.int16), sr
 
 
 def decode_flac(b: bytes) -> tuple[np.ndarray, int]:
     """Decode a FLAC stream → (mono int16 samples, sr) — the engine's
-    audio-contract shape (operators/audio._decode_view). Mono streams are
-    bit-exact; stereo streams downmix deterministically as (L+R)>>1
-    (floor-shift on the exact integer sum)."""
-    full, sr = decode_flac_full(b)
-    if full.shape[1] == 1:
-        return full[:, 0], sr
-    mix = (full[:, 0].astype(np.int64) + full[:, 1].astype(np.int64)) >> 1
+    audio-contract shape (operators/audio._decode_view). Mono 16-bit
+    streams are bit-exact; multichannel streams downmix deterministically
+    as the floor-shift mean of the exact integer channel sum (for stereo:
+    (L+R)>>1); non-16-bit depths rescale by a power of two (>> for deeper,
+    << for shallower), all before any dtype narrowing."""
+    full, sr, bps = _decode_all(b)
+    n_ch = full.shape[1]
+    mix = full[:, 0] if n_ch == 1 else full.sum(axis=1) // n_ch
+    if bps > 16:
+        mix = mix >> (bps - 16)
+    elif bps < 16:
+        mix = mix << (16 - bps)
     return mix.astype(np.int16), sr

@@ -144,12 +144,14 @@ def test_streaminfo_spec_literal_field_layout():
     full, sr = decode_flac_full(blob)
     assert sr == 44100
     assert full.shape == (0, 2)
-    # a 24-bit declaration must hit the documented boundary, not mis-read
-    packed24 = (48000 << 44) | (0 << 41) | (23 << 36) | 10
+    # a 24-bit mono declaration reads back as a deep (int32) empty stream
+    packed24 = (48000 << 44) | (0 << 41) | (23 << 36) | 0
     si24 = si[:10] + packed24.to_bytes(8, "big") + b"\x00" * 16
     blob24 = b"fLaC" + bytes([0x80]) + len(si24).to_bytes(3, "big") + si24
-    with pytest.raises(NotImplementedError, match="24-bit"):
-        decode_flac_full(blob24)
+    full24, sr24 = decode_flac_full(blob24)
+    assert sr24 == 48000
+    assert full24.shape == (0, 1)
+    assert full24.dtype == np.int32
 
 
 def test_escaped_partition_nbits_zero_decodes_zeros():
@@ -249,3 +251,78 @@ def test_wasted_bits_subframe():
     out += frame + struct.pack(">H", crc16(frame))
     dec, _ = decode_flac(bytes(out))
     assert np.array_equal(dec, vals.astype(np.int16))
+
+
+@pytest.mark.parametrize("bps", [8, 12, 16, 20, 24, 32])
+@pytest.mark.parametrize("order", [0, 6])
+def test_any_bit_depth_roundtrip(bps, order):
+    """Every spec-coded bit depth round-trips bit-exactly, through both the
+    frame-header bps code path and (bps=14 below) the STREAMINFO path."""
+    from seronet_data_validator_spark.operators.flac import decode_flac_full
+
+    rng = np.random.default_rng(bps * 100 + order)
+    lim = 1 << (bps - 1)
+    t = np.arange(4000)
+    base = (lim * 0.6 * np.sin(2 * np.pi * 440 * t / 16000)).astype(np.int64)
+    x = np.clip(base + rng.integers(-lim // 64, lim // 64, 4000), -lim, lim - 1)
+    enc = flac_bytes(x, 16000, bps=bps, block_size=1024, lpc_order=order)
+    full, sr = decode_flac_full(enc)
+    assert sr == 16000
+    assert full.dtype == (np.int32 if bps > 16 else np.int16)
+    assert np.array_equal(full[:, 0].astype(np.int64), x)
+    # mono contract rescales by a power of two to the 16-bit lane
+    mono, _ = decode_flac(enc)
+    exp = x >> (bps - 16) if bps >= 16 else x << (16 - bps)
+    assert np.array_equal(mono.astype(np.int64), exp)
+
+
+def test_uncoded_bit_depth_via_streaminfo():
+    """A depth with no frame-header code (14-bit) signals via STREAMINFO
+    (frame bps code 0b000) and still round-trips bit-exactly."""
+    from seronet_data_validator_spark.operators.flac import decode_flac_full
+
+    rng = np.random.default_rng(14)
+    x = rng.integers(-(1 << 13), 1 << 13, 3000).astype(np.int64)
+    full, sr = decode_flac_full(flac_bytes(x, 8000, bps=14, block_size=512))
+    assert sr == 8000
+    assert np.array_equal(full[:, 0].astype(np.int64), x)
+
+
+@pytest.mark.parametrize("n_ch", [3, 4, 6, 8])
+def test_multichannel_independent_roundtrip(n_ch):
+    """3-8 channels encode/decode independently, channel order preserved;
+    the mono contract downmixes as the floor mean of the channel sum."""
+    from seronet_data_validator_spark.operators.flac import decode_flac_full
+
+    rng = np.random.default_rng(n_ch)
+    x = rng.integers(-20000, 20000, (2500, n_ch)).astype(np.int64)
+    enc = flac_bytes(x, 16000, block_size=800, lpc_order=4)
+    full, sr = decode_flac_full(enc)
+    assert sr == 16000
+    assert full.shape == (2500, n_ch)
+    assert np.array_equal(full.astype(np.int64), x)
+    mono, _ = decode_flac(enc)
+    assert np.array_equal(mono.astype(np.int64), x.sum(axis=1) // n_ch)
+
+
+def test_stereo_24bit_decorrelated_roundtrip():
+    """Deep stereo exercises the side channel's bps+1 lane above 16 bits."""
+    from seronet_data_validator_spark.operators.flac import decode_flac_full
+
+    rng = np.random.default_rng(24)
+    lim = 1 << 23
+    x = rng.integers(-lim, lim, (2000, 2)).astype(np.int64)
+    for mode in ("left_side", "right_side", "mid_side"):
+        enc = flac_bytes(x, 48000, bps=24, stereo_mode=mode, lpc_order=2)
+        full, sr = decode_flac_full(enc)
+        assert sr == 48000 and full.dtype == np.int32
+        assert np.array_equal(full.astype(np.int64), x), mode
+
+
+def test_encode_range_and_channel_validation():
+    with pytest.raises(ValueError, match="out of range"):
+        flac_bytes(np.array([300], np.int64), 8000, bps=8)
+    with pytest.raises(ValueError, match="1-8 channels"):
+        flac_bytes(np.zeros((10, 9), np.int64), 8000)
+    with pytest.raises(ValueError, match="4-32"):
+        flac_bytes(np.zeros(10, np.int64), 8000, bps=33)
