@@ -1809,6 +1809,64 @@ def _qc_wav_clips(spark: SparkSession, n_clips: int = 50) -> DataFrame:
     )
 
 
+def _dropout_wav_clips(spark: SparkSession, n_clips: int = 40) -> DataFrame:
+    """Deterministic dropout fixture, INTEGER-recipe replayable: clip k has
+    n = 1600 + (k%5)*400 samples of the _exact_wav_clips pseudo-random
+    recipe with zero-runs planted by k%4 — 0: none; 1: one interior run
+    [400,640); 2: two qualifying runs [300,460) + [900,1400) and one
+    too-short run [1500,1580) that must NOT count; 3: leading [0,300) and
+    trailing [n-200,n) silence (interior-only rule: neither counts) plus
+    one interior run [600,800). Every third clip also ships FLAC-encoded
+    ('dropf_') so the codec path sits inside the oracled pipeline."""
+    import numpy as np
+    import pandas as pd
+
+    from seronet_data_validator_spark.operators.flac import flac_bytes
+    from seronet_data_validator_spark.sources.clips import wav_bytes
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for k in pdf["id"].to_numpy():
+                k = int(k)
+                n = 1600 + (k % 5) * 400
+                i = np.arange(n, dtype=np.int64)
+                s = ((k * 7919 + i * 104729 + 12345) % 65536) - 32768
+                kind = k % 4
+                if kind == 1:
+                    s[(i >= 400) & (i < 640)] = 0
+                elif kind == 2:
+                    s[
+                        ((i >= 300) & (i < 460))
+                        | ((i >= 900) & (i < 1400))
+                        | ((i >= 1500) & (i < 1580))
+                    ] = 0
+                elif kind == 3:
+                    s[(i < 300) | (i >= n - 200) | ((i >= 600) & (i < 800))] = 0
+                s16 = s.astype(np.int16)
+                rows.append({"clip_id": f"drop_{k:03d}", "bytes": wav_bytes(s16, 8000)})
+                if k % 3 == 0:
+                    rows.append(
+                        {"clip_id": f"dropf_{k:03d}", "bytes": flac_bytes(s16, 8000)}
+                    )
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n_clips, 1, 8).mapInPandas(
+        gen, schema="clip_id string, bytes binary"
+    )
+
+
+def q_audio_dropouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dropout (interior dead-air) detection under a FULL value oracle:
+    run statistics are int64 gaps-and-islands aggregates over the decoded
+    samples (operators/qc.audio_dropouts), so DuckDB replays every count,
+    the one ratio division, and the has_dropout verdict bit-for-bit from
+    the integer recipe — including the interior-only and min-run rules."""
+    from seronet_data_validator_spark.operators.qc import audio_dropouts
+
+    return audio_dropouts(_dropout_wav_clips(spark))
+
+
 def q_audio_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-clip QC verdicts (clipping / silence / DC bias) under a FULL
     value oracle: every rule is an integer comparison over int64 aggregates
@@ -3117,6 +3175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-5 session-4 additions: the audio QC verdict family
         # (operators/qc.py), all full value oracles, driver-unseen --
+        # -- round-5 session-5 additions: full value oracles, driver-unseen --
+        "audio_dropouts": q_audio_dropouts,
         "audio_qc": q_audio_qc,
         "loudness_gain": q_loudness_gain,
         "speaking_rate": q_speaking_rate,
@@ -3994,6 +4054,68 @@ GROUP BY clip_id
                         THEN lower(trim(codec)) IN ('flac')
                    END AS codec_matches
             FROM rows0
+        """,
+        # Regenerates the _dropout_wav_clips recipe (pseudo-random base with
+        # planted zero-runs by k%4) and replays the run statistics as plain
+        # gaps-and-islands SQL: quiet mask -> i - row_number() island key ->
+        # per-run [lo,hi]/len -> the interior-only (lo>0 AND hi<n-1) and
+        # min-run (len>=160) filters -> per-clip aggregates. One BIGINT /
+        # DOUBLE division for the ratio, identical IEEE op on both sides.
+        "audio_dropouts": """
+            WITH ks AS (
+                SELECT CAST(range AS BIGINT) AS k FROM range(0, 40)
+            ), params AS (
+                SELECT 'drop_' || lpad(CAST(k AS VARCHAR), 3, '0') AS clip_id,
+                       k, 1600 + (k % 5) * 400 AS n
+                FROM ks
+                UNION ALL
+                SELECT 'dropf_' || lpad(CAST(k AS VARCHAR), 3, '0') AS clip_id,
+                       k, 1600 + (k % 5) * 400 AS n
+                FROM ks WHERE k % 3 = 0
+            ), samp AS (
+                SELECT clip_id, k, n,
+                       CAST(UNNEST(range(0, n)) AS BIGINT) AS i
+                FROM params
+            ), vals AS (
+                SELECT clip_id, n, i,
+                       CASE
+                         WHEN k % 4 = 1 AND i >= 400 AND i < 640 THEN 0
+                         WHEN k % 4 = 2 AND ((i >= 300 AND i < 460)
+                                          OR (i >= 900 AND i < 1400)
+                                          OR (i >= 1500 AND i < 1580)) THEN 0
+                         WHEN k % 4 = 3 AND (i < 300 OR i >= n - 200
+                                          OR (i >= 600 AND i < 800)) THEN 0
+                         ELSE ((k * 7919 + i * 104729 + 12345) % 65536) - 32768
+                       END AS s
+                FROM samp
+            ), isl AS (
+                SELECT clip_id, n, i,
+                       i - ROW_NUMBER() OVER (
+                           PARTITION BY clip_id ORDER BY i) AS grp
+                FROM vals WHERE ABS(s) <= 2
+            ), runs AS (
+                SELECT clip_id, MIN(n) AS n, MIN(i) AS lo, MAX(i) AS hi,
+                       COUNT(*) AS len
+                FROM isl GROUP BY clip_id, grp
+            ), agg AS (
+                SELECT clip_id,
+                       COUNT(*)::BIGINT AS n_dropouts,
+                       MAX(len)::BIGINT AS longest_dropout,
+                       SUM(len)::BIGINT AS dropout_samples
+                FROM runs
+                WHERE lo > 0 AND hi < n - 1 AND len >= 160
+                GROUP BY clip_id
+            )
+            SELECT p.clip_id,
+                   p.n::BIGINT AS n_samples,
+                   8000 AS sr_hz,
+                   COALESCE(a.n_dropouts, 0)::BIGINT AS n_dropouts,
+                   COALESCE(a.longest_dropout, 0)::BIGINT AS longest_dropout,
+                   COALESCE(a.dropout_samples, 0)::BIGINT AS dropout_samples,
+                   COALESCE(a.dropout_samples, 0)::BIGINT
+                       / CAST(p.n AS DOUBLE) AS dropout_ratio,
+                   COALESCE(a.n_dropouts, 0) > 0 AS has_dropout
+            FROM params p LEFT JOIN agg a USING (clip_id)
         """,
         # Regenerates the five-kind _qc_wav_clips recipe and replays every
         # verdict as the SAME integer comparison (clip_count*1000 > n etc.);

@@ -471,3 +471,117 @@ def codec_container_check(
         container.alias("container"),
         matches.alias("codec_matches"),
     )
+
+
+DROPOUT_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sr_hz", T.IntegerType()),
+        T.StructField("n_dropouts", T.LongType()),
+        T.StructField("longest_dropout", T.LongType()),
+        T.StructField("dropout_samples", T.LongType()),
+    ]
+)
+
+#: A dropout is an INTERIOR run of near-zero samples at least this long
+#: (160 samples = 20 ms at 8 kHz). Leading/trailing silence is normal
+#: recording headroom and never counts.
+DROPOUT_MIN_RUN = 160
+DROPOUT_EPS = 2
+
+
+def audio_dropouts(
+    clips: DataFrame,
+    *,
+    id_col: str = "clip_id",
+    min_run: int = DROPOUT_MIN_RUN,
+    eps: int = DROPOUT_EPS,
+) -> DataFrame:
+    """Dropout (dead-air) detection per clip: maximal runs of samples with
+    ``|s| <= eps`` that are strictly INTERIOR (the run touches neither the
+    first nor the last sample — leading/trailing silence is headroom, not
+    a fault) and at least ``min_run`` samples long. A buffer underrun or a
+    splice error in an otherwise-active recording shows up exactly as such
+    a run, and a validator wants it flagged before the clip trains a
+    model. Reference analog: the per-cell value rules in
+    Validation_Rules.py flag in-band anomalies the same way — here the
+    "cell" is the decoded PCM stream.
+
+    Every output is an int64 run statistic (count of qualifying runs, the
+    longest one, total samples inside them) plus the derived
+    ``dropout_ratio`` (one IEEE division) and the integer-compare verdict
+    ``has_dropout`` — so an external engine that regenerates the samples
+    replays every value bit-for-bit via plain gaps-and-islands SQL.
+
+    Execution shape: one narrow mapInArrow decode pass (zero-copy binary
+    views), run detection is three vectorized numpy ops on the boolean
+    mask; no shuffle, fixed-width output row per clip.
+    """
+    from seronet_data_validator_spark.operators.audio import (
+        _binary_views,
+        _decode_view,
+    )
+
+    src = clips.select(id_col, "bytes")
+    names = [f.name for f in DROPOUT_SCHEMA.fields]
+    types = [pa.string(), pa.int64(), pa.int32(), pa.int64(), pa.int64(), pa.int64()]
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols: dict[str, list] = {n: [] for n in names}
+            ids = batch.column(0).to_pylist()
+            get, _ = _binary_views(batch.column(1))
+            for i in range(batch.num_rows):
+                try:
+                    s16, sr = _decode_view(get(i))
+                except ValueError:
+                    row = (ids[i], 0, 0, None, None, None)
+                else:
+                    n = len(s16)
+                    if n == 0:
+                        row = (ids[i], 0, sr, None, None, None)
+                    else:
+                        quiet = np.abs(s16.astype(np.int64)) <= eps
+                        # run boundaries of the quiet mask; pad with False
+                        # so edge-touching runs are CLOSED at the edges and
+                        # can then be excluded by position
+                        edged = np.concatenate(([False], quiet, [False]))
+                        flips = np.flatnonzero(np.diff(edged.astype(np.int8)))
+                        starts, ends = flips[0::2], flips[1::2]  # [start, end)
+                        keep = (
+                            (starts > 0) & (ends < n) & (ends - starts >= min_run)
+                        )
+                        lens = (ends - starts)[keep]
+                        row = (
+                            ids[i],
+                            n,
+                            sr,
+                            int(keep.sum()),
+                            int(lens.max()) if len(lens) else 0,
+                            int(lens.sum()),
+                        )
+                for name, v in zip(names, row):
+                    cols[name].append(v)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[n], type=t) for n, t in zip(names, types)],
+                names=names,
+            )
+
+    stats = src.mapInArrow(run, schema=DROPOUT_SCHEMA)
+    decoded = F.col("n_dropouts").isNotNull()
+    return stats.select(
+        id_col,
+        "n_samples",
+        "sr_hz",
+        "n_dropouts",
+        "longest_dropout",
+        "dropout_samples",
+        F.when(
+            decoded,
+            F.col("dropout_samples").cast("double") / F.col("n_samples"),
+        ).alias("dropout_ratio"),
+        F.coalesce(F.when(decoded, F.col("n_dropouts") > 0), F.lit(False)).alias(
+            "has_dropout"
+        ),
+    )

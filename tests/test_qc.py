@@ -280,3 +280,46 @@ def test_codec_container_check(spark):
     assert rows["junk"]["container"] is None
     assert rows["junk"]["codec_matches"] is None
     assert rows["tiny"]["codec_matches"] is None
+
+
+def test_audio_dropouts_planted(spark):
+    """Planted runs: interior-only rule (edge silence never counts), the
+    min-run cutoff, multiple runs per clip, and the undecodable lane."""
+    from seronet_data_validator_spark.operators.qc import audio_dropouts
+
+    rng_i = np.arange(3000, dtype=np.int64)
+    active = ((5 * 7919 + rng_i * 104729 + 12345) % 65536) - 32768
+
+    one = active.copy()
+    one[500:800] = 0  # one interior run of 300
+    multi = active.copy()
+    multi[200:400] = 0  # 200 ✓
+    multi[900:1060] = 0  # exactly 160 ✓ (boundary)
+    multi[1500:1659] = 0  # 159 ✗ (one short of min_run)
+    edges = active.copy()
+    edges[:400] = 0  # leading — never counts
+    edges[-250:] = 0  # trailing — never counts
+    clean = active.copy()
+
+    df = _clips_df(
+        spark, [("one", one), ("multi", multi), ("edges", edges), ("clean", clean)]
+    )
+    bad = spark.createDataFrame(
+        pd.DataFrame([{"clip_id": "junk", "bytes": b"\x00" * 50}])
+    )
+    out = {
+        r["clip_id"]: r.asDict()
+        for r in audio_dropouts(df.unionByName(bad)).collect()
+    }
+    assert out["one"]["n_dropouts"] == 1
+    assert out["one"]["longest_dropout"] == 300
+    assert out["one"]["has_dropout"] is True
+    assert out["multi"]["n_dropouts"] == 2
+    assert out["multi"]["dropout_samples"] == 360
+    assert out["multi"]["longest_dropout"] == 200
+    assert out["edges"]["n_dropouts"] == 0
+    assert out["edges"]["has_dropout"] is False
+    assert out["clean"]["n_dropouts"] == 0
+    assert out["clean"]["dropout_ratio"] == 0.0
+    assert out["junk"]["n_dropouts"] is None
+    assert out["junk"]["has_dropout"] is False
