@@ -1867,6 +1867,82 @@ def q_audio_dropouts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_dropouts(_dropout_wav_clips(spark))
 
 
+def _stereo_wav_clips(spark: SparkSession, n_clips: int = 40) -> DataFrame:
+    """Deterministic stereo fixture, INTEGER-recipe replayable. The base
+    lane sL(k,i) = ((k*7919 + i*104729 + 12345) % 32768) - 16384 stays in
+    [-16384, 16383] so negation and mid/side decorrelation never overflow.
+    Clip k has n = 1400 + (k%5)*300 samples; kinds by k%5 — 0: independent
+    right lane sR = ((k*104729 + i*7919 + 54321) % 32768) - 16384;
+    1: R = -L (phase flip, corr = -1); 2: R = floor(L/4) (quieter
+    correlated right); 3: R = 0 (dead channel); 4: MONO clip (the
+    n_channels=1 NULL-stats lane). Every third stereo clip also ships as
+    mid/side FLAC ('stf_') so the stereo codec path sits inside the
+    oracled pipeline."""
+    import numpy as np
+    import pandas as pd
+
+    from seronet_data_validator_spark.operators.flac import flac_bytes
+    from seronet_data_validator_spark.sources.clips import wav_bytes, wav_bytes_ex
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for k in pdf["id"].to_numpy():
+                k = int(k)
+                n = 1400 + (k % 5) * 300
+                i = np.arange(n, dtype=np.int64)
+                left = ((k * 7919 + i * 104729 + 12345) % 32768) - 16384
+                kind = k % 5
+                if kind == 4:
+                    rows.append(
+                        {
+                            "clip_id": f"st_{k:03d}",
+                            "bytes": wav_bytes(left.astype(np.int16), 8000),
+                        }
+                    )
+                    continue
+                if kind == 0:
+                    right = ((k * 104729 + i * 7919 + 54321) % 32768) - 16384
+                elif kind == 1:
+                    right = -left
+                elif kind == 2:
+                    right = left // 4
+                else:
+                    right = np.zeros(n, np.int64)
+                pair = np.stack([left, right], axis=1)
+                rows.append(
+                    {
+                        "clip_id": f"st_{k:03d}",
+                        "bytes": wav_bytes_ex(pair.astype(np.int16), 8000),
+                    }
+                )
+                if k % 3 == 0:
+                    rows.append(
+                        {
+                            "clip_id": f"stf_{k:03d}",
+                            "bytes": flac_bytes(
+                                pair, 8000, stereo_mode="mid_side", lpc_order=2
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n_clips, 1, 8).mapInPandas(
+        gen, schema="clip_id string, bytes binary"
+    )
+
+
+def q_stereo_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-channel QC (operators/qc.stereo_balance) under a FULL value
+    oracle: exact int64 energy/cross/peak sums over the full-channel
+    decode (stereo RIFF and mid/side FLAC lanes), then a fixed chain of
+    IEEE double ops — DuckDB regenerates both channel recipes and replays
+    every RMS, ratio, correlation, and verdict bit-for-bit."""
+    from seronet_data_validator_spark.operators.qc import stereo_balance
+
+    return stereo_balance(_stereo_wav_clips(spark))
+
+
 def q_audio_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-clip QC verdicts (clipping / silence / DC bias) under a FULL
     value oracle: every rule is an integer comparison over int64 aggregates
@@ -3177,6 +3253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (operators/qc.py), all full value oracles, driver-unseen --
         # -- round-5 session-5 additions: full value oracles, driver-unseen --
         "audio_dropouts": q_audio_dropouts,
+        "stereo_balance": q_stereo_balance,
         "audio_qc": q_audio_qc,
         "loudness_gain": q_loudness_gain,
         "speaking_rate": q_speaking_rate,
@@ -4116,6 +4193,87 @@ GROUP BY clip_id
                        / CAST(p.n AS DOUBLE) AS dropout_ratio,
                    COALESCE(a.n_dropouts, 0) > 0 AS has_dropout
             FROM params p LEFT JOIN agg a USING (clip_id)
+        """,
+        # Regenerates both channel recipes of _stereo_wav_clips and replays
+        # the exact int64 sums (SUM ::BIGINT — DuckDB SUM(int)=HUGEINT),
+        # then the identical IEEE double chain: sqrt(sum/n), sum_ll/sum_rr,
+        # sum_lr/sqrt(sum_ll*sum_rr), and the verdict comparisons. The
+        # mono lane (k%5=4) contributes the NULL-stats row shape.
+        "stereo_balance": """
+            WITH ks AS (
+                SELECT CAST(range AS BIGINT) AS k FROM range(0, 40)
+            ), params AS (
+                SELECT 'st_' || lpad(CAST(k AS VARCHAR), 3, '0') AS clip_id,
+                       k, 1400 + (k % 5) * 300 AS n
+                FROM ks WHERE k % 5 <> 4
+                UNION ALL
+                SELECT 'stf_' || lpad(CAST(k AS VARCHAR), 3, '0') AS clip_id,
+                       k, 1400 + (k % 5) * 300 AS n
+                FROM ks WHERE k % 3 = 0 AND k % 5 <> 4
+            ), samp AS (
+                SELECT clip_id, k, n,
+                       CAST(UNNEST(range(0, n)) AS BIGINT) AS i
+                FROM params
+            ), chans AS (
+                SELECT clip_id, n,
+                       ((k * 7919 + i * 104729 + 12345) % 32768) - 16384 AS l,
+                       CASE k % 5
+                         WHEN 0 THEN ((k * 104729 + i * 7919 + 54321) % 32768)
+                                     - 16384
+                         WHEN 1 THEN -(((k * 7919 + i * 104729 + 12345)
+                                        % 32768) - 16384)
+                         WHEN 2 THEN CAST(floor(
+                                  (((k * 7919 + i * 104729 + 12345) % 32768)
+                                   - 16384) / 4.0) AS BIGINT)
+                         ELSE 0
+                       END AS r
+                FROM samp
+            ), sums AS (
+                SELECT clip_id, MIN(n) AS n,
+                       SUM(l * l)::BIGINT AS sum_ll,
+                       SUM(r * r)::BIGINT AS sum_rr,
+                       SUM(l * r)::BIGINT AS sum_lr,
+                       MAX(ABS(l))::BIGINT AS peak_l,
+                       MAX(ABS(r))::BIGINT AS peak_r
+                FROM chans GROUP BY clip_id
+            ), derived AS (
+                SELECT *,
+                       CASE WHEN sum_ll > 0 AND sum_rr > 0
+                            THEN CAST(sum_lr AS DOUBLE)
+                                 / sqrt(CAST(sum_ll AS DOUBLE)
+                                        * CAST(sum_rr AS DOUBLE))
+                       END AS corr
+                FROM sums
+            ), stereo AS (
+                SELECT clip_id,
+                       CAST(n AS BIGINT) AS n_samples,
+                       8000 AS sr_hz,
+                       2 AS n_channels,
+                       peak_l, peak_r,
+                       sqrt(CAST(sum_ll AS DOUBLE) / n) AS rms_l,
+                       sqrt(CAST(sum_rr AS DOUBLE) / n) AS rms_r,
+                       CASE WHEN sum_rr > 0
+                            THEN CAST(sum_ll AS DOUBLE) / sum_rr
+                       END AS balance_ratio,
+                       corr AS lr_corr,
+                       COALESCE(corr < -0.5, false) AS phase_flipped,
+                       (sum_ll = 0 AND sum_rr > 0)
+                         OR (sum_rr = 0 AND sum_ll > 0) AS dead_channel,
+                       COALESCE(NOT (corr < -0.5), false) AS mono_compatible
+                FROM derived
+            ), mono AS (
+                SELECT 'st_' || lpad(CAST(k AS VARCHAR), 3, '0') AS clip_id,
+                       CAST(1400 + (k % 5) * 300 AS BIGINT) AS n_samples,
+                       8000 AS sr_hz,
+                       1 AS n_channels,
+                       NULL::BIGINT AS peak_l, NULL::BIGINT AS peak_r,
+                       NULL::DOUBLE AS rms_l, NULL::DOUBLE AS rms_r,
+                       NULL::DOUBLE AS balance_ratio, NULL::DOUBLE AS lr_corr,
+                       false AS phase_flipped, false AS dead_channel,
+                       false AS mono_compatible
+                FROM ks WHERE k % 5 = 4
+            )
+            SELECT * FROM stereo UNION ALL SELECT * FROM mono
         """,
         # Regenerates the five-kind _qc_wav_clips recipe and replays every
         # verdict as the SAME integer comparison (clip_count*1000 > n etc.);

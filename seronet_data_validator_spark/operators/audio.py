@@ -266,6 +266,42 @@ def _decode_view(seg: np.ndarray | None) -> tuple[np.ndarray, int]:
     return table[seg[44 : 44 + n_frames]], sr
 
 
+def _decode_view_channels(seg: np.ndarray | None) -> tuple[np.ndarray, int]:
+    """Full-channel variant of :func:`_decode_view` → (int64 samples shaped
+    (n, channels) on the 16-bit lane, sr). Where the mono contract
+    downmixes, this keeps every channel — the inter-channel QC operators
+    (qc.stereo_balance) need both sides of a stereo pair. Depth mapping
+    matches the mono contract: 24-bit PCM and deep FLAC rescale by the
+    same power of two onto the int16 lane BEFORE any statistics, so mono
+    and stereo passes agree on scale. Mono-by-nature codecs (G.711,
+    ADPCM) return shape (n, 1)."""
+    if seg is not None and len(seg) >= 4 and bytes(seg[:4]) == b"fLaC":
+        from seronet_data_validator_spark.operators.flac import _decode_all
+
+        full, sr, bps = _decode_all(seg.tobytes())
+        if bps > 16:
+            full = full >> (bps - 16)
+        elif bps < 16:
+            full = full << (16 - bps)
+        return full, sr
+    if (
+        seg is not None
+        and len(seg) >= 22
+        and bytes(seg[:4]) == b"RIFF"
+        and int.from_bytes(seg[20:22].tobytes(), "little") == _WAVE_PCM
+    ):
+        n_frames, sr, fmt, ch, bits = _parse_header(seg, len(seg))
+        if bits == 16:
+            pcm = seg[44 : 44 + n_frames * ch * 2].view("<i2")
+            return pcm.astype(np.int64).reshape(-1, ch), sr
+        raw = seg[44 : 44 + n_frames * ch * 3].reshape(-1, 3).astype(np.int64)
+        s = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+        s = np.where(s & 0x800000, s - (1 << 24), s)
+        return (s >> 8).reshape(-1, ch), sr
+    mono, sr = _decode_view(seg)
+    return mono.astype(np.int64).reshape(-1, 1), sr
+
+
 def audio_violations(
     clips: DataFrame,
     reference_clips: DataFrame | None = None,

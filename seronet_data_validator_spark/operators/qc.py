@@ -585,3 +585,140 @@ def audio_dropouts(
             "has_dropout"
         ),
     )
+
+
+STEREO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sr_hz", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sum_ll", T.LongType()),
+        T.StructField("sum_rr", T.LongType()),
+        T.StructField("sum_lr", T.LongType()),
+        T.StructField("peak_l", T.LongType()),
+        T.StructField("peak_r", T.LongType()),
+    ]
+)
+
+
+def stereo_balance(clips: DataFrame, *, id_col: str = "clip_id") -> DataFrame:
+    """Inter-channel QC for stereo pairs: channel balance and phase
+    correlation — a swapped-polarity cable shows up as strongly negative
+    L/R correlation (the pair cancels when downmixed to mono), and a dead
+    or attenuated channel as a lopsided energy ratio. Mono-compatibility
+    screening is a standard acceptance gate before a stereo recording
+    enters a (downmixing) training pipeline.
+
+    The decode pass (audio._decode_view_channels — full channels, no
+    downmix) emits EXACT int64 sums: per-channel energy, the cross
+    product, and peaks. Everything derived is a fixed chain of IEEE
+    double ops over those exact integers (all < 2^53, so the int→double
+    casts are exact and an external engine replays every value
+    bit-for-bit):
+
+    * ``rms_l`` / ``rms_r`` — sqrt(sum/n), one division + one sqrt each.
+    * ``balance_ratio`` — sum_ll / sum_rr (NULL when the right channel is
+      digital silence: a ratio against zero energy is undefined, and the
+      dead-channel verdict covers it).
+    * ``lr_corr`` — sum_lr / sqrt(sum_ll · sum_rr), NULL when either
+      channel is silent.
+    * verdicts: ``phase_flipped`` (corr < -0.5), ``dead_channel``
+      (either side is all-zero while the other is not, an integer
+      comparison), ``mono_compatible`` (not phase-flipped).
+
+    Non-2-channel clips report ``n_channels`` with NULL stats (mono has
+    no inter-channel anything; 3+ channels are out of this check's
+    scope). Undecodable clips get NULL n_channels and false verdicts.
+    One narrow mapInArrow pass, fixed-width output, no shuffle.
+    """
+    from seronet_data_validator_spark.operators.audio import (
+        _binary_views,
+        _decode_view_channels,
+    )
+
+    src = clips.select(id_col, "bytes")
+    names = [f.name for f in STEREO_STATS_SCHEMA.fields]
+    types = [
+        pa.string(),
+        pa.int64(),
+        pa.int32(),
+        pa.int32(),
+        pa.int64(),
+        pa.int64(),
+        pa.int64(),
+        pa.int64(),
+        pa.int64(),
+    ]
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols: dict[str, list] = {n: [] for n in names}
+            ids = batch.column(0).to_pylist()
+            get, _ = _binary_views(batch.column(1))
+            for i in range(batch.num_rows):
+                try:
+                    full, sr = _decode_view_channels(get(i))
+                except ValueError:
+                    row = (ids[i], 0, 0, None, None, None, None, None, None)
+                else:
+                    n, ch = full.shape
+                    if ch != 2 or n == 0:
+                        row = (ids[i], n, sr, ch, None, None, None, None, None)
+                    else:
+                        left, right = full[:, 0], full[:, 1]
+                        row = (
+                            ids[i],
+                            n,
+                            sr,
+                            2,
+                            int(np.dot(left, left)),
+                            int(np.dot(right, right)),
+                            int(np.dot(left, right)),
+                            int(np.abs(left).max()),
+                            int(np.abs(right).max()),
+                        )
+                for name, v in zip(names, row):
+                    cols[name].append(v)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[n], type=t) for n, t in zip(names, types)],
+                names=names,
+            )
+
+    stats = src.mapInArrow(run, schema=STEREO_STATS_SCHEMA)
+    is_pair = F.col("sum_ll").isNotNull()
+    both_live = (F.col("sum_ll") > 0) & (F.col("sum_rr") > 0)
+    corr = F.col("sum_lr").cast("double") / F.sqrt(
+        F.col("sum_ll").cast("double") * F.col("sum_rr").cast("double")
+    )
+    dead = ((F.col("sum_ll") == 0) & (F.col("sum_rr") > 0)) | (
+        (F.col("sum_rr") == 0) & (F.col("sum_ll") > 0)
+    )
+    flipped = F.when(is_pair & both_live, corr < F.lit(-0.5))
+    return stats.select(
+        id_col,
+        "n_samples",
+        "sr_hz",
+        "n_channels",
+        "peak_l",
+        "peak_r",
+        F.when(
+            is_pair,
+            F.sqrt(F.col("sum_ll").cast("double") / F.col("n_samples")),
+        ).alias("rms_l"),
+        F.when(
+            is_pair,
+            F.sqrt(F.col("sum_rr").cast("double") / F.col("n_samples")),
+        ).alias("rms_r"),
+        F.when(
+            is_pair & (F.col("sum_rr") > 0),
+            F.col("sum_ll").cast("double") / F.col("sum_rr"),
+        ).alias("balance_ratio"),
+        F.when(is_pair & both_live, corr).alias("lr_corr"),
+        F.coalesce(flipped, F.lit(False)).alias("phase_flipped"),
+        F.coalesce(F.when(is_pair, dead), F.lit(False)).alias("dead_channel"),
+        F.coalesce(
+            F.when(is_pair & both_live, ~(corr < F.lit(-0.5))),
+            F.lit(False),
+        ).alias("mono_compatible"),
+    )

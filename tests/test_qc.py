@@ -323,3 +323,53 @@ def test_audio_dropouts_planted(spark):
     assert out["clean"]["dropout_ratio"] == 0.0
     assert out["junk"]["n_dropouts"] is None
     assert out["junk"]["has_dropout"] is False
+
+
+def test_stereo_balance_verdicts(spark):
+    """Phase flip, dead channel, balance ratio, mono lane, codec agreement
+    (same pair through RIFF stereo and mid/side FLAC), and undecodable."""
+    from seronet_data_validator_spark.operators.flac import flac_bytes
+    from seronet_data_validator_spark.operators.qc import stereo_balance
+    from seronet_data_validator_spark.sources.clips import wav_bytes_ex
+
+    i = np.arange(2000, dtype=np.int64)
+    left = ((7 * 7919 + i * 104729 + 12345) % 32768) - 16384
+    pairs = {
+        "indep": np.stack([left, ((i * 7919 + 54321) % 32768) - 16384], axis=1),
+        "flip": np.stack([left, -left], axis=1),
+        "quiet_r": np.stack([left, left // 4], axis=1),
+        "dead_r": np.stack([left, np.zeros_like(left)], axis=1),
+    }
+    rows = [
+        {"clip_id": cid, "bytes": wav_bytes_ex(p.astype(np.int16), 8000)}
+        for cid, p in pairs.items()
+    ]
+    rows.append(
+        {
+            "clip_id": "flip_flac",
+            "bytes": flac_bytes(pairs["flip"], 8000, stereo_mode="mid_side"),
+        }
+    )
+    rows.append({"clip_id": "mono", "bytes": wav_bytes(left.astype(np.int16), 8000)})
+    rows.append({"clip_id": "junk", "bytes": b"nope" * 12})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = {r["clip_id"]: r.asDict() for r in stereo_balance(df).collect()}
+
+    assert out["indep"]["n_channels"] == 2
+    assert out["indep"]["mono_compatible"] is True
+    assert abs(out["indep"]["lr_corr"]) < 0.2
+    assert out["flip"]["phase_flipped"] is True
+    assert out["flip"]["lr_corr"] == -1.0
+    assert out["flip"]["mono_compatible"] is False
+    # FLAC lane carries the identical pair -> identical stats
+    for f in ("lr_corr", "rms_l", "rms_r", "balance_ratio", "phase_flipped"):
+        assert out["flip_flac"][f] == out["flip"][f], f
+    assert out["quiet_r"]["balance_ratio"] > 10
+    assert out["quiet_r"]["lr_corr"] > 0.99
+    assert out["dead_r"]["dead_channel"] is True
+    assert out["dead_r"]["balance_ratio"] is None
+    assert out["mono"]["n_channels"] == 1
+    assert out["mono"]["rms_l"] is None
+    assert out["mono"]["phase_flipped"] is False
+    assert out["junk"]["n_channels"] is None
+    assert out["junk"]["mono_compatible"] is False
