@@ -1745,6 +1745,31 @@ def _exact_wav_clips(spark: SparkSession, n_clips: int = 60) -> DataFrame:
                             "bytes": flac_bytes(quad, 8000, lpc_order=2),
                         }
                     )
+                # k%7==2: AIFF PCM16 mono (big-endian) with the same
+                # samples — the 'FORM' container decode lane
+                if k % 7 == 2:
+                    from seronet_data_validator_spark.operators.aiff import (
+                        aiff_bytes,
+                    )
+
+                    rows.append(
+                        {"clip_id": f"exactaif_{k:03d}", "bytes": aiff_bytes(s, 8000)}
+                    )
+                # k%7==3: Sun AU 24-bit stereo carrying s<<8 on both
+                # channels — downmix then >>8 restores s exactly
+                if k % 7 == 3:
+                    from seronet_data_validator_spark.operators.aiff import (
+                        AU_PCM24,
+                        au_bytes,
+                    )
+
+                    deep = np.stack([s, s], axis=1).astype(np.int64) << 8
+                    rows.append(
+                        {
+                            "clip_id": f"exactau24_{k:03d}",
+                            "bytes": au_bytes(deep, 8000, encoding=AU_PCM24),
+                        }
+                    )
             yield pd.DataFrame(rows)
 
     return spark.range(0, n_clips, 1, 8).mapInPandas(
@@ -2151,18 +2176,19 @@ def q_msadpcm_features_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_codec_container_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared-codec vs container-magic consistency
     (operators/qc.codec_container_check): the Spark side reads the REAL
-    first four bytes of genuinely encoded RIFF/FLAC payloads; the oracle
-    replays the verdict from the (k%3 container, k%5 codec) recipe plus the
-    public container-family table — mislabeled codec columns (including a
-    case-variant lane) flag, correct ones pass."""
+    first four bytes of genuinely encoded RIFF/FLAC/AIFF/AU payloads; the
+    oracle replays the verdict from the (k%4 container, k%6 codec) recipe
+    plus the public container-family table — mislabeled codec columns
+    (including a case-variant lane) flag, correct ones pass."""
     import numpy as np
     import pandas as pd
 
+    from seronet_data_validator_spark.operators.aiff import aiff_bytes, au_bytes
     from seronet_data_validator_spark.operators.flac import flac_bytes
     from seronet_data_validator_spark.operators.qc import codec_container_check
     from seronet_data_validator_spark.sources.clips import wav_bytes
 
-    codecs = ["pcm_s16le", "flac", "opus", "mp3", "PCM_S16LE"]
+    codecs = ["pcm_s16le", "flac", "opus", "mp3", "PCM_S16LE", "pcm_s16be"]
 
     def gen(batches):
         for pdf in batches:
@@ -2173,12 +2199,20 @@ def q_codec_container_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                 s = ((((k * 7919 + i * 104729 + 12345) % 65536) - 32768)).astype(
                     np.int16
                 )
-                b = flac_bytes(s, 8000) if k % 3 == 1 else wav_bytes(s, 8000)
+                kind = k % 4
+                if kind == 1:
+                    b = flac_bytes(s, 8000)
+                elif kind == 2:
+                    b = aiff_bytes(s, 8000)
+                elif kind == 3:
+                    b = au_bytes(s, 8000)
+                else:
+                    b = wav_bytes(s, 8000)
                 rows.append(
                     {
                         "clip_id": f"cc_{k:03d}",
                         "bytes": b,
-                        "codec": codecs[k % 5],
+                        "codec": codecs[k % 6],
                     }
                 )
             yield pd.DataFrame(rows)
@@ -3237,10 +3271,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is part of the external contract: the correctness driver
     # verifies the first 50 entries per round. Round 5 window: the new
     # full-oracle queries (clips_validation_exact, ivf_search_exact,
-    # semantic_dedup_exact, video_frames, simhash_neardup_portable, and the
-    # operators/web.py family url_canonical / url_dedup / domain_stats)
+    # semantic_dedup_exact, video_frames, simhash_neardup_portable, the
+    # operators/web.py family url_canonical / url_dedup / domain_stats,
+    # and the session-5 QC additions audio_dropouts / stereo_balance)
     # plus every query whose
-    # implementation or oracle changed this round (audio_neardup +
+    # implementation or oracle changed this round (audio_basic_features:
+    # deep/multichannel FLAC + AIFF + AU lanes; codec_container_check:
+    # FORM/.snd containers; audio_neardup +
     # simhash_neardup: hot-bucket guard armed; lang_id_confusion: quoted
     # identifiers; audio_basic_features: LPC/stereo FLAC rows;
     # minhash_neardup: new brute-force oracle; json_props: oracle BIGINT
@@ -4116,9 +4153,14 @@ GROUP BY clip_id
                 SELECT CAST(range AS BIGINT) AS k FROM range(0, 60)
             ), rows0 AS (
                 SELECT 'cc_' || lpad(CAST(k AS VARCHAR), 3, '0') AS clip_id,
-                       ['pcm_s16le','flac','opus','mp3','PCM_S16LE']
-                           [CAST(k % 5 AS INT) + 1] AS codec,
-                       CASE WHEN k % 3 = 1 THEN 'fLaC' ELSE 'RIFF'
+                       ['pcm_s16le','flac','opus','mp3','PCM_S16LE',
+                        'pcm_s16be']
+                           [CAST(k % 6 AS INT) + 1] AS codec,
+                       CASE CAST(k % 4 AS INT)
+                            WHEN 1 THEN 'fLaC'
+                            WHEN 2 THEN 'FORM'
+                            WHEN 3 THEN '.snd'
+                            ELSE 'RIFF'
                        END AS container
                 FROM ks
             )
@@ -4129,6 +4171,12 @@ GROUP BY clip_id
                               'pcm_alaw','adpcm_ima_wav')
                         WHEN container = 'fLaC'
                         THEN lower(trim(codec)) IN ('flac')
+                        WHEN container = 'FORM'
+                        THEN lower(trim(codec)) IN
+                             ('pcm_s16be','pcm_s24be','pcm_s8')
+                        WHEN container = '.snd'
+                        THEN lower(trim(codec)) IN
+                             ('pcm_s16be','pcm_s24be','pcm_s8','pcm_mulaw')
                    END AS codec_matches
             FROM rows0
         """,
@@ -4660,6 +4708,18 @@ GROUP BY clip_id
                 SELECT 'exactf4c_' || lpad(CAST(k AS VARCHAR), 3, '0') AS clip_id,
                        k, 1200 + (k % 7) * 300 AS n
                 FROM ks WHERE k % 7 = 1
+                UNION ALL
+                -- 'exactaif_': AIFF PCM16 mono, identical samples — the
+                -- big-endian 'FORM' container decode lane
+                SELECT 'exactaif_' || lpad(CAST(k AS VARCHAR), 3, '0') AS clip_id,
+                       k, 1200 + (k % 7) * 300 AS n
+                FROM ks WHERE k % 7 = 2
+                UNION ALL
+                -- 'exactau24_': Sun AU 24-bit stereo carrying s<<8 both
+                -- sides; downmix + >>8 == s — the '.snd' decode lane
+                SELECT 'exactau24_' || lpad(CAST(k AS VARCHAR), 3, '0') AS clip_id,
+                       k, 1200 + (k % 7) * 300 AS n
+                FROM ks WHERE k % 7 = 3
             ), samp AS (
                 SELECT clip_id, k,
                        CAST(UNNEST(range(0, n)) AS BIGINT) AS i

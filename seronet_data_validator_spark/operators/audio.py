@@ -219,12 +219,19 @@ def _decode_view(seg: np.ndarray | None) -> tuple[np.ndarray, int]:
     deterministically as (L+R)>>1 (the FLAC mono-contract convention);
     24-bit PCM decodes exactly and maps to the int16 contract by an
     arithmetic >>8; A-law/µ-law expand through the G.711 tables (one
-    vectorized gather); FLAC streams decode through operators/flac.py.
+    vectorized gather); FLAC streams decode through operators/flac.py;
+    AIFF ('FORM') and Sun AU ('.snd') files through operators/aiff.py
+    with the same floor-mean downmix + power-of-two depth mapping.
     Same layout contract as sources/clips.decode_wav."""
     if seg is not None and len(seg) >= 4 and bytes(seg[:4]) == b"fLaC":
         from seronet_data_validator_spark.operators.flac import decode_flac
 
         return decode_flac(seg.tobytes())
+    if seg is not None and len(seg) >= 12 and bytes(seg[:4]) in (b"FORM", b".snd"):
+        full, sr = _decode_aiff_au_channels(seg)
+        n_ch = full.shape[1]
+        mix = full[:, 0] if n_ch == 1 else full.sum(axis=1) // n_ch
+        return mix.astype(np.int16), sr
     if (
         seg is not None
         and len(seg) >= 22
@@ -266,6 +273,22 @@ def _decode_view(seg: np.ndarray | None) -> tuple[np.ndarray, int]:
     return table[seg[44 : 44 + n_frames]], sr
 
 
+def _decode_aiff_au_channels(seg: np.ndarray) -> tuple[np.ndarray, int]:
+    """AIFF ('FORM') / AU ('.snd') → (int64 (n, ch) on the 16-bit lane,
+    sr): native-depth decode (operators/aiff.py) then the engine's
+    power-of-two depth mapping, shared by the mono and full-channel
+    contract views."""
+    from seronet_data_validator_spark.operators.aiff import decode_aiff, decode_au
+
+    b = seg.tobytes()
+    full, sr, bits = decode_aiff(b) if b[:4] == b"FORM" else decode_au(b)
+    if bits > 16:
+        full = full >> (bits - 16)
+    elif bits < 16:
+        full = full << (16 - bits)
+    return full, sr
+
+
 def _decode_view_channels(seg: np.ndarray | None) -> tuple[np.ndarray, int]:
     """Full-channel variant of :func:`_decode_view` → (int64 samples shaped
     (n, channels) on the 16-bit lane, sr). Where the mono contract
@@ -284,6 +307,8 @@ def _decode_view_channels(seg: np.ndarray | None) -> tuple[np.ndarray, int]:
         elif bps < 16:
             full = full << (16 - bps)
         return full, sr
+    if seg is not None and len(seg) >= 12 and bytes(seg[:4]) in (b"FORM", b".snd"):
+        return _decode_aiff_au_channels(seg)
     if (
         seg is not None
         and len(seg) >= 22

@@ -421,10 +421,14 @@ def qc_violations(
 
 #: Container magic → the codec families that legitimately ship in it.
 #: RIFF carries every WAV-family codec the decoder dispatches (PCM,
-#: G.711, IMA ADPCM); fLaC is FLAC's stream marker (public specs).
+#: G.711, IMA ADPCM); fLaC is FLAC's stream marker; FORM is AIFF's IFF
+#: group header (big-endian PCM); .snd is Sun AU (big-endian PCM and
+#: µ-law). All public specs.
 CONTAINER_CODECS = {
     "RIFF": ("pcm_s16le", "pcm_s24le", "pcm_mulaw", "pcm_alaw", "adpcm_ima_wav"),
     "fLaC": ("flac",),
+    "FORM": ("pcm_s16be", "pcm_s24be", "pcm_s8"),
+    ".snd": ("pcm_s16be", "pcm_s24be", "pcm_s8", "pcm_mulaw"),
 }
 
 
@@ -440,7 +444,7 @@ def codec_container_check(
     mislabeled codec column routes a clip to the wrong decoder, so this is
     the cheap screen a validator runs before any decode. Pure Column code:
     ``substring(bytes, 1, 4)`` against the public container markers
-    (RIFF / fLaC), no decode, no shuffle.
+    (RIFF / fLaC / FORM / .snd), no decode, no shuffle.
 
     ``container``: the recognized magic (NULL = unknown/empty payload).
     ``codec_matches``: true when the declared codec belongs to the
@@ -458,6 +462,8 @@ def codec_container_check(
     container = (
         F.when(magic == "RIFF", F.lit("RIFF"))
         .when(magic == "fLaC", F.lit("fLaC"))
+        .when(magic == "FORM", F.lit("FORM"))
+        .when(magic == ".snd", F.lit(".snd"))
     )
     declared = F.lower(F.trim(F.col(codec_col)))
     matches = F.lit(None).cast("boolean")
