@@ -1968,6 +1968,54 @@ def q_stereo_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stereo_balance(_stereo_wav_clips(spark))
 
 
+def _hum_wav_clips(spark: SparkSession, n_clips: int = 20) -> DataFrame:
+    """Deterministic hum fixture, INTEGER-recipe replayable: clip k has
+    n = 640 + (k%2)*640 samples (whole periods of both probe tones, so
+    leakage is nil) of noise ((k*7919 + i*104729 + 12345) % 8192) - 4096,
+    plus by k%3 — 1: a ±6000 square wave at 50 Hz (period 160); 2: the
+    same at 62.5 Hz (period 128); 0: nothing planted. Square waves keep
+    the recipe integer-only (a sine would drag libm sin() into the
+    oracle); their fundamental lights the Goertzel bin just the same."""
+    import numpy as np
+    import pandas as pd
+
+    from seronet_data_validator_spark.sources.clips import wav_bytes
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for k in pdf["id"].to_numpy():
+                k = int(k)
+                n = 640 + (k % 2) * 640
+                i = np.arange(n, dtype=np.int64)
+                s = ((k * 7919 + i * 104729 + 12345) % 8192) - 4096
+                if k % 3 == 1:
+                    s = s + np.where((i // 80) % 2 == 0, 6000, -6000)
+                elif k % 3 == 2:
+                    s = s + np.where((i // 64) % 2 == 0, 6000, -6000)
+                rows.append(
+                    {"clip_id": f"hum_{k:03d}", "bytes": wav_bytes(s.astype(np.int16), 8000)}
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n_clips, 1, 4).mapInPandas(
+        gen, schema="clip_id string, bytes binary"
+    )
+
+
+def q_hum_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mains-hum screen (operators/dsp.hum_detection) under a FULL value
+    oracle: the Goertzel recurrence is a fixed IEEE double chain over the
+    integer samples, so DuckDB replays it as a recursive-CTE state machine
+    (the adpcm_features_exact pattern) with the two probe coefficients
+    embedded at repr precision — every power, fraction, and verdict
+    matches bit-for-bit. The one spectral estimator in the engine with an
+    exact oracle (the FFT passes are rows-only by nature)."""
+    from seronet_data_validator_spark.operators.dsp import hum_detection
+
+    return hum_detection(_hum_wav_clips(spark), freqs=(50.0, 62.5))
+
+
 def q_audio_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-clip QC verdicts (clipping / silence / DC bias) under a FULL
     value oracle: every rule is an integer comparison over int64 aggregates
@@ -3291,6 +3339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-5 session-5 additions: full value oracles, driver-unseen --
         "audio_dropouts": q_audio_dropouts,
         "stereo_balance": q_stereo_balance,
+        "hum_detection": q_hum_detection,
         "audio_qc": q_audio_qc,
         "loudness_gain": q_loudness_gain,
         "speaking_rate": q_speaking_rate,
@@ -3811,7 +3860,95 @@ FROM idx
 
 
 def oracle_sql() -> dict[str, str]:
+    import math
+
+    # Goertzel coefficients for the hum_detection oracle, embedded in
+    # SCIENTIFIC notation so DuckDB types them DOUBLE directly — a bare
+    # 1.998458... literal is DECIMAL(17,16) in DuckDB and the
+    # decimal->double cast lands 1 ulp off, which a 1280-step recurrence
+    # amplifies; ...e+00 parses straight to the IDENTICAL double the
+    # operator computes with math.cos at runtime (same process, same libm)
+    c50 = format(2.0 * math.cos(2.0 * math.pi * 50.0 / 8000.0), ".17e")
+    c625 = format(2.0 * math.cos(2.0 * math.pi * 62.5 / 8000.0), ".17e")
     return {
+        # Replays the Goertzel recurrence s0 = x + c*s1 - s2 as a
+        # recursive-CTE state machine (the adpcm_features_exact pattern):
+        # both probe frequencies ride one recursion as paired (s1,s2)
+        # states, the samples are regenerated inline from the integer
+        # recipe each step, and the final power / normalized fraction /
+        # verdict are the identical IEEE double expressions the operator
+        # evaluates — bit-for-bit, including the planted square-wave hum.
+        "hum_detection": f"""
+WITH RECURSIVE ks AS (
+  SELECT CAST(range AS BIGINT) AS k FROM range(0, 20)
+),
+params AS (
+  SELECT 'hum_' || lpad(CAST(k AS VARCHAR), 3, '0') AS clip_id, k,
+         640 + (k % 2) * 640 AS n
+  FROM ks
+),
+g AS (
+  SELECT clip_id, k, n, CAST(-1 AS BIGINT) AS i,
+         0.0::DOUBLE AS s1a, 0.0::DOUBLE AS s2a,
+         0.0::DOUBLE AS s1b, 0.0::DOUBLE AS s2b
+  FROM params
+  UNION ALL
+  SELECT clip_id, k, n, i,
+         x + {c50} * s1a - s2a AS s1a, s1a AS s2a,
+         x + {c625} * s1b - s2b AS s1b, s1b AS s2b
+  FROM (
+    SELECT clip_id, k, n, i + 1 AS i, s1a, s2a, s1b, s2b,
+           CAST(((k * 7919 + (i + 1) * 104729 + 12345) % 8192) - 4096
+                + CASE
+                    WHEN k % 3 = 1 THEN
+                      CASE WHEN ((i + 1) // 80) % 2 = 0 THEN 6000 ELSE -6000 END
+                    WHEN k % 3 = 2 THEN
+                      CASE WHEN ((i + 1) // 64) % 2 = 0 THEN 6000 ELSE -6000 END
+                    ELSE 0
+                  END AS DOUBLE) AS x
+    FROM g WHERE i + 1 < n
+  )
+),
+final AS (
+  SELECT clip_id, k, n, s1a, s2a, s1b, s2b
+  FROM g WHERE i = n - 1
+),
+energy AS (
+  SELECT clip_id, SUM(s * s)::BIGINT AS sum_sq
+  FROM (
+    SELECT clip_id,
+           ((k * 7919 + i * 104729 + 12345) % 8192) - 4096
+           + CASE
+               WHEN k % 3 = 1 THEN
+                 CASE WHEN (i // 80) % 2 = 0 THEN 6000 ELSE -6000 END
+               WHEN k % 3 = 2 THEN
+                 CASE WHEN (i // 64) % 2 = 0 THEN 6000 ELSE -6000 END
+               ELSE 0
+             END AS s
+    FROM (
+      SELECT clip_id, k, CAST(UNNEST(range(0, n)) AS BIGINT) AS i
+      FROM params
+    )
+  ) GROUP BY clip_id
+),
+both_freqs AS (
+  SELECT f.clip_id, CAST(50.0 AS DOUBLE) AS freq_hz, CAST(f.n AS BIGINT) AS n_samples,
+         8000 AS sr_hz, e.sum_sq,
+         s1a * s1a + s2a * s2a - {c50} * s1a * s2a AS hum_power
+  FROM final f JOIN energy e USING (clip_id)
+  UNION ALL
+  SELECT f.clip_id, CAST(62.5 AS DOUBLE) AS freq_hz, CAST(f.n AS BIGINT) AS n_samples,
+         8000 AS sr_hz, e.sum_sq,
+         s1b * s1b + s2b * s2b - {c625} * s1b * s2b AS hum_power
+  FROM final f JOIN energy e USING (clip_id)
+)
+SELECT clip_id, freq_hz, n_samples, sr_hz, sum_sq, hum_power,
+       2.0 * hum_power / (CAST(n_samples AS DOUBLE)
+                          * CAST(sum_sq AS DOUBLE)) AS hum_frac,
+       COALESCE(2.0 * hum_power / (CAST(n_samples AS DOUBLE)
+                          * CAST(sum_sq AS DOUBLE)) > 0.05, false) AS has_hum
+FROM both_freqs
+""",
         # Replays the USTAR cost model from the metadata recipe: member
         # footprint 512 + pad512(44 + 2n), start-offset shard rule, and
         # the final archive length incl. end marker + record padding. The

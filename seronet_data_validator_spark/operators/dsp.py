@@ -785,3 +785,115 @@ def pitch_lag_exact(
             )
 
     return src.mapInArrow(run, schema=PITCH_SCHEMA)
+
+
+HUM_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("freq_hz", T.DoubleType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sr_hz", T.IntegerType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("hum_power", T.DoubleType()),
+    ]
+)
+
+
+def hum_detection(
+    clips: DataFrame,
+    *,
+    freqs: tuple = (50.0, 60.0),
+    threshold: float = 0.05,
+    id_col: str = "clip_id",
+) -> DataFrame:
+    """Mains-hum screen: the Goertzel single-bin DTFT power at each probe
+    frequency (50/60 Hz by default — ground-loop hum is the classic field
+    recording fault), normalized against the clip's total energy. Unlike
+    the Welch/FFT passes this IS engine-portable: the Goertzel recurrence
+    ``s0 = x + c*s1 - s2`` is a fixed chain of IEEE double ops over the
+    integer samples, with the single transcendental (the coefficient
+    ``c = 2·cos(2πf/sr)``) computed once per (clip-rate, freq) — an
+    external engine replaying the identical recurrence reproduces every
+    power bit-for-bit, which is what gives this query a full value oracle
+    where ``spectral_profile`` is rows-only.
+
+    Outputs one row per (clip, probe frequency): the raw Goertzel power,
+    ``hum_frac = 2·power / (n · sum_sq)`` (≈1.0 for a full-scale pure
+    tone at the bin, ≈0 for noise), and ``has_hum`` (frac > threshold).
+    Clips that fail to decode or are digital silence report NULL powers
+    and ``has_hum = false``.
+
+    Execution shape: narrow mapInArrow decode pass; the recurrence is a
+    per-sample Python-float loop (sequential dependency, like the LPC
+    restore in operators/flac.py) — correct for fixtures and QC sampling;
+    a deployment screening every clip at 10^12 scale would swap a C
+    kernel behind the same dispatch. Everything after the pass is native
+    Column code.
+    """
+    import math
+
+    from seronet_data_validator_spark.operators.audio import (
+        _binary_views,
+        _decode_view,
+    )
+
+    probe = [float(f) for f in freqs]
+    src = clips.select(id_col, "bytes")
+    names = [f.name for f in HUM_SCHEMA.fields]
+    types = [pa.string(), pa.float64(), pa.int64(), pa.int32(), pa.int64(), pa.float64()]
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols: dict[str, list] = {n: [] for n in names}
+            ids = batch.column(0).to_pylist()
+            get, _ = _binary_views(batch.column(1))
+            for i in range(batch.num_rows):
+                try:
+                    s16, sr = _decode_view(get(i))
+                except ValueError:
+                    for f in probe:
+                        for name, v in zip(names, (ids[i], f, 0, 0, None, None)):
+                            cols[name].append(v)
+                    continue
+                s = s16.astype(np.int64)
+                n = len(s)
+                sum_sq = int(np.dot(s, s)) if n else 0
+                xs = s.astype(np.float64).tolist()
+                for f in probe:
+                    if n == 0 or sum_sq == 0:
+                        row = (ids[i], f, n, sr, sum_sq if n else None, None)
+                    else:
+                        c = 2.0 * math.cos(2.0 * math.pi * f / sr)
+                        s1 = s2 = 0.0
+                        for x in xs:
+                            s0 = x + c * s1 - s2
+                            s2 = s1
+                            s1 = s0
+                        p = s1 * s1 + s2 * s2 - c * s1 * s2
+                        row = (ids[i], f, n, sr, sum_sq, p)
+                    for name, v in zip(names, row):
+                        cols[name].append(v)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[n], type=t) for n, t in zip(names, types)],
+                names=names,
+            )
+
+    stats = src.mapInArrow(run, schema=HUM_SCHEMA)
+    frac = (
+        F.lit(2.0)
+        * F.col("hum_power")
+        / (F.col("n_samples").cast("double") * F.col("sum_sq").cast("double"))
+    )
+    ok = F.col("hum_power").isNotNull()
+    return stats.select(
+        id_col,
+        "freq_hz",
+        "n_samples",
+        "sr_hz",
+        "sum_sq",
+        "hum_power",
+        F.when(ok, frac).alias("hum_frac"),
+        F.coalesce(F.when(ok, frac > F.lit(threshold)), F.lit(False)).alias(
+            "has_hum"
+        ),
+    )

@@ -664,3 +664,40 @@ def test_energy_segments_islands(spark):
     assert [(r["seg_idx"], r["start_frame"], r["end_frame"], r["n_frames"])
             for r in segs] == [(1, 0, 1, 2), (2, 3, 5, 3)]
     assert segs[0]["energy"] == 2 * 160 * 1000 * 1000
+
+
+def test_hum_detection_goertzel(spark):
+    """Known-answer anchors for the mains-hum screen: a pure full-scale
+    50 Hz square wave lights the 50 Hz probe (fundamental carries 8/pi^2
+    ~ 0.81 of a square wave's energy -> hum_frac ~ 0.81, has_hum) and
+    leaves the 60 Hz probe dark; white-ish noise trips neither; a non-WAV
+    buffer reports NULL power and has_hum=False."""
+    from seronet_data_validator_spark.operators.dsp import hum_detection
+    from seronet_data_validator_spark.sources.clips import wav_bytes
+
+    n = 1600  # 0.2 s @ 8 kHz = 10 whole 50 Hz periods (60 Hz is not
+    # period-aligned; leakage only raises its floor slightly and the
+    # planted tone is at 50 Hz regardless)
+    i = np.arange(n)
+    sq50 = np.where((i // 80) % 2 == 0, 12000, -12000).astype(np.int16)
+    noise = (((i * 104729 + 12345) % 8192) - 4096).astype(np.int16)
+    rows = [
+        ("hum", bytearray(wav_bytes(sq50, 8000))),
+        ("clean", bytearray(wav_bytes(noise, 8000))),
+        ("bad", bytearray(b"never audio")),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    out = {(r["clip_id"], r["freq_hz"]): r
+           for r in hum_detection(df, freqs=(50.0, 60.0)).collect()}
+
+    assert len(out) == 6
+    h50 = out[("hum", 50.0)]
+    assert h50["has_hum"] and 0.75 < h50["hum_frac"] < 0.85
+    assert h50["n_samples"] == n and h50["sr_hz"] == 8000
+    assert h50["sum_sq"] == n * 12000 * 12000
+    assert not out[("hum", 60.0)]["has_hum"]
+    assert not out[("clean", 50.0)]["has_hum"]
+    assert not out[("clean", 60.0)]["has_hum"]
+    bd = out[("bad", 50.0)]
+    assert bd["hum_power"] is None and bd["hum_frac"] is None
+    assert bd["has_hum"] is False and bd["n_samples"] == 0
