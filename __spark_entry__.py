@@ -2442,8 +2442,9 @@ def q_speech_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_audio_resample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The resampler's FULL value oracle: integer-recipe clips through the
-    real decode paths (RIFF PCM16/stereo/24-bit + FLAC fixed/LPC/stereo —
-    the same 6 codec families as audio_basic_features) are resampled by the
+    real decode paths (RIFF PCM16/stereo/24-bit, FLAC fixed/LPC/stereo/
+    24-bit/4-channel, AIFF, 24-bit AU — the same 10 codec families as
+    audio_basic_features) are resampled by the
     REAL linear interpolator (multimodal.resample_linear) at two dyadic
     ratios, 8k->16k (half-position blends) and 8k->4k (sample picks). At
     dyadic ratios every interpolated value is m/65536 exactly, so
@@ -4143,6 +4144,26 @@ GROUP BY clip_id
                 SELECT 'exactw24_' || lpad(CAST(k AS VARCHAR), 3, '0'), k,
                        1200 + (k % 7) * 300
                 FROM ks WHERE k % 5 = 2
+                -- session-5 codec lanes: 24-bit FLAC (>>8), 4-channel FLAC
+                -- (floor-mean downmix), AIFF PCM16, and 24-bit stereo AU
+                -- (downmix then >>8) all restore the SAME s exactly, so
+                -- the resampled numerators reuse the one recipe unchanged
+                UNION ALL
+                SELECT 'exactf24_' || lpad(CAST(k AS VARCHAR), 3, '0'), k,
+                       1200 + (k % 7) * 300
+                FROM ks WHERE k % 7 = 0
+                UNION ALL
+                SELECT 'exactf4c_' || lpad(CAST(k AS VARCHAR), 3, '0'), k,
+                       1200 + (k % 7) * 300
+                FROM ks WHERE k % 7 = 1
+                UNION ALL
+                SELECT 'exactaif_' || lpad(CAST(k AS VARCHAR), 3, '0'), k,
+                       1200 + (k % 7) * 300
+                FROM ks WHERE k % 7 = 2
+                UNION ALL
+                SELECT 'exactau24_' || lpad(CAST(k AS VARCHAR), 3, '0'), k,
+                       1200 + (k % 7) * 300
+                FROM ks WHERE k % 7 = 3
             ), grid AS (
                 SELECT clip_id, k, n, target_sr,
                        CAST(UNNEST(range(0, CASE WHEN target_sr = 16000
