@@ -16,6 +16,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from seronet_data_validator_spark.sources.local import local_df
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -502,8 +504,8 @@ def q_dictionary_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seronet_data_validator_spark.plans.rules import RuleSet, dictionary_rule
 
     docs = _t(spark, sf_dir, "documents")
-    lang_dict = spark.createDataFrame(
-        [("en",), ("es",), ("de",), ("fr",)], "code string"
+    lang_dict = local_df(
+        spark, [("en",), ("es",), ("de",), ("fr",)], "code string"
     )
     rs = RuleSet(table_name="documents", row_ref_column="doc_id")
     rs.add(dictionary_rule("C11.lang_dict", "lang", lang_dict, "code",
@@ -1251,7 +1253,8 @@ def q_tdigest_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     q = tdigest_quantiles(ev, "value", [0.5, 0.95, 0.99])
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(round(q[0], 2), round(q[1], 2), round(q[2], 2))],
         "p50 double, p95 double, p99 double",
     )
@@ -2081,7 +2084,7 @@ def _mix_fixture(spark: SparkSession, n_clips: int = 24):
             for j in range(4)
         ]
     )
-    return sig, spark.createDataFrame(bank)
+    return sig, local_df(spark, bank)
 
 
 def q_mix_at_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2763,7 +2766,7 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows.append((f"img_png{i}", bytearray(png_bytes(rgb))))
     rows.append(("img_bad", bytearray(b"\x89PNG\r\n\x1a\n fake")))
-    images = spark.createDataFrame(rows, "item_id string, bytes binary")
+    images = local_df(spark, rows, "item_id string, bytes binary")
     return image_features(images)
 
 
@@ -2847,12 +2850,13 @@ def q_clips_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = 500
     clips = generate_clips(spark, n, seed=43, bad=True)
-    declared = spark.createDataFrame(
+    declared = local_df(
+        spark,
         [(s, "pcm_s16le") for s in SITES] + [("99", "pcm_s16le")],
         "site string, declared_codec string",
     )
-    prior = spark.createDataFrame(
-        [("codec", "codec_x9")], "column_name string, column_value string"
+    prior = local_df(
+        spark, [("codec", "codec_x9")], "column_name string, column_value string"
     )
     res = validate_clips(
         spark,
@@ -3176,7 +3180,7 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             blob = avi_mjpeg_bytes(frames) if k % 3 == 0 else avi_dib_bytes(frames)
         rows.append((f"v{k:02d}", bytearray(blob)))
-    df = spark.createDataFrame(rows, "item_id string, bytes binary")
+    df = local_df(spark, rows, "item_id string, bytes binary")
     return video_frames(df, max_frames=4)
 
 
@@ -3265,20 +3269,26 @@ def _exact_lifecycle_tables(spark: SparkSession):
     ref_rows.append(
         ("11_999999_999", bytearray(wav_bytes(np.zeros(1200, np.int16), 8000)), "extra")
     )
-    clips = spark.createDataFrame(
+    # Arrow-backed local frames (sources/local.py): the lifecycle union
+    # re-scans these fixtures from ~25 leaf stages, and the pickled-RDD
+    # form paid 32 Python-worker tasks per leaf (measured ~3 s of a 6 s
+    # query); the Arrow scan is JVM-side and one task per batch.
+    clips = local_df(
+        spark,
         clips_rows,
         "clip_id string, bytes binary, sr_hz int, dur_ms int, "
         "codec string, transcript string, site string",
     )
-    reference = spark.createDataFrame(
-        ref_rows, "clip_id string, ref_bytes binary, ref_transcript string"
+    reference = local_df(
+        spark, ref_rows, "clip_id string, ref_bytes binary, ref_transcript string"
     )
-    declared = spark.createDataFrame(
+    declared = local_df(
+        spark,
         [(x, "pcm_s16le") for x in SITES + ["99"]],
         "site string, declared_codec string",
     )
-    prior = spark.createDataFrame(
-        [("codec", "codec_x9")], "column_name string, column_value string"
+    prior = local_df(
+        spark, [("codec", "codec_x9")], "column_name string, column_value string"
     )
     return clips, reference, declared, prior
 

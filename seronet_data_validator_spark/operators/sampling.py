@@ -214,8 +214,10 @@ def global_sort_rank(
         offsets[row["_bucket"]] = acc
         acc += row["count"]
     spark = df.sparkSession
-    off_df = spark.createDataFrame(
-        [(b, o) for b, o in offsets.items()], "_bucket long, _offset long"
+    from seronet_data_validator_spark.sources.local import local_df
+
+    off_df = local_df(
+        spark, [(b, o) for b, o in offsets.items()], "_bucket long, _offset long"
     )
     w = Window.partitionBy("_bucket").orderBy(
         F.col("_hkey").asc(), F.col(id_col).asc()

@@ -167,7 +167,9 @@ def ks_two_sample(
         rows.append((r["_pid"], oa, ob))
         oa += r["ta"]
         ob += r["tb"]
-    off_df = spark.createDataFrame(rows, "_pid int, _oa long, _ob long")
+    from seronet_data_validator_spark.sources.local import local_df
+
+    off_df = local_df(spark, rows, "_pid int, _oa long, _ob long")
     w = Window.partitionBy("_pid").orderBy("_v")
     cum_a = F.col("_oa") + F.sum("_ca").over(w)
     cum_b = F.col("_ob") + F.sum("_cb").over(w)

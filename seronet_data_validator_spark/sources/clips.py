@@ -251,4 +251,8 @@ def codec_registry_df(spark: SparkSession) -> DataFrame:
         ("mp3", "mp3", "T"),
         ("aac", "m4a", "T"),
     ]
-    return spark.createDataFrame(rows, "codec string, container string, lossy string")
+    # Arrow-backed (sources/local.py): the registry is re-scanned by several
+    # lifecycle stages; the pickled-RDD form pays 32 Python tasks per scan.
+    from seronet_data_validator_spark.sources.local import local_df
+
+    return local_df(spark, rows, "codec string, container string, lossy string")

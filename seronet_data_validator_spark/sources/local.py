@@ -1,0 +1,48 @@
+"""Arrow-backed local DataFrames for small driver-built fixtures and dims.
+
+``spark.createDataFrame(list_of_rows)`` builds a pickled-row RDD sliced into
+``defaultParallelism`` partitions: every downstream stage that re-scans the
+relation launches that many tasks and round-trips each through a Python
+worker to unpickle its rows. A multi-consumer DAG pays that per leaf — the
+validation lifecycle's union re-scans its 80-row fixture from ~25 leaf
+stages, which measured as ~3 s of a 6 s query (32 Python-side tasks per
+leaf). Routing the same rows through pandas → Arrow instead yields a
+JVM-side Arrow-batch scan: no Python workers on re-scan and one task per
+batch. Values are unchanged — the explicit schema governs types exactly as
+the pickled path did (guide §4: keep the Python boundary out of re-executed
+plan leaves).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def local_df(spark: SparkSession, rows, schema: str | T.StructType | None = None) -> DataFrame:
+    """Small local fixture/dimension rows → Arrow-backed DataFrame.
+
+    ``rows`` is a list of tuples (with ``schema``) or dicts (schema
+    inferred, matching createDataFrame's inference for the plain types used
+    here: int → long, str, bytes → binary, float → double). Empty input
+    falls back to the classic path (nothing to scan either way).
+    """
+    import pandas as pd
+
+    if isinstance(schema, str):
+        schema = T._parse_datatype_string(schema)
+    if isinstance(rows, pd.DataFrame):
+        if schema is None:
+            return spark.createDataFrame(rows)
+        return spark.createDataFrame(rows, schema=schema)
+    rows = list(rows)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    if isinstance(rows[0], dict):
+        pdf = pd.DataFrame(rows)
+    else:
+        cols = [f.name for f in schema.fields] if schema is not None else None
+        pdf = pd.DataFrame.from_records([tuple(r) for r in rows], columns=cols)
+    if schema is None:
+        return spark.createDataFrame(pdf)
+    return spark.createDataFrame(pdf, schema=schema)

@@ -178,7 +178,9 @@ def xlsx_dim(
         seen[n] = k + 1
         safe.append(n if k == 0 else f"{n}_{k}")
     schema = ", ".join(f"`{c}` string" for c in safe)
-    return spark.createDataFrame([tuple(r) for r in data], schema)
+    from seronet_data_validator_spark.sources.local import local_df
+
+    return local_df(spark, [tuple(r) for r in data], schema)
 
 
 def write_xlsx(path: str, rows: list[list], *, sheet_name: str = "Sheet1") -> None:
