@@ -123,20 +123,24 @@ def minhash_signature(
 
     rnd = random.Random(seed)
     coeffs = [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
-    a_arr = F.array(*[F.lit(a).cast("long") for a, _ in coeffs])
-    b_arr = F.array(*[F.lit(b).cast("long") for _, b in coeffs])
-    init = F.array_repeat(F.lit(_MERSENNE).cast("long"), num_hashes)
+    a_arr = ", ".join(f"{a}L" for a, _ in coeffs)
+    b_arr = ", ".join(f"{b}L" for _, b in coeffs)
 
     # ONE traversal of the shingle array: the accumulator is the whole
     # signature vector, min-merged per element via zip_with. (The naive
     # num_hashes-separate-aggregates form re-walks — and re-hashes — the
-    # array once per coefficient: 64x the work in codegen.)
-    def step(acc, h):
-        hm = F.pmod(h, F.lit(_MERSENNE))
-        cand = F.zip_with(a_arr, b_arr, lambda a, b: F.pmod(a * hm + b, F.lit(_MERSENNE)))
-        return F.zip_with(acc, cand, lambda x, y: F.least(x, y))
-
-    return df.withColumn("minhash_sig", F.aggregate(F.col("shingle_hashes"), init, step))
+    # array once per coefficient: 64x the work in codegen.) Built as ONE
+    # SQL string: the 2×num_hashes literal arrays as Column calls are
+    # hundreds of py4j round trips of pure driver time.
+    sig = F.expr(
+        f"aggregate(shingle_hashes, "
+        f"array_repeat(CAST({_MERSENNE} AS BIGINT), {num_hashes}), "
+        f"(acc, h) -> zip_with(acc, "
+        f"zip_with(array({a_arr}), array({b_arr}), "
+        f"(a, b) -> pmod(a * pmod(h, {_MERSENNE}) + b, {_MERSENNE})), "
+        f"(x, y) -> least(x, y)))"
+    )
+    return df.withColumn("minhash_sig", sig)
 
 
 def minhash_lsh_candidates(
@@ -149,27 +153,21 @@ def minhash_lsh_candidates(
     """Band the signature (bands × rows_per_band = num_hashes), hash each
     band → bucket key, self-join within buckets → candidate pairs (a < b).
     The only shuffle is on (band, bucket_hash) — tiny keys."""
+    # band structs as one SQL parse (the bands × rows_per_band Column
+    # lattice is ~200 py4j round trips otherwise)
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'bucket', xxhash64(concat_ws(',', {cols})))".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(minhash_sig[{b * rows_per_band + r}] AS STRING)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
     banded = df.select(
         F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("minhash_sig")[b * rows_per_band + r].cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        F.expr(f"explode(array({band_structs}))").alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
     left = banded.alias("l")
     right = banded.alias("r")
@@ -405,19 +403,25 @@ def simhash(
     tok_df = _ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(toks).alias("_tok")
     )
-    h = F.xxhash64(F.col("_tok"))
+    # the per-lane expressions are built as SQL strings (one JVM parse each)
+    # rather than nested Column calls: the 64-lane lattice is ~1000 py4j
+    # round trips as Column ops — measured 0.8 s of pure driver time per
+    # execution, larger than the stage time of the whole query
+    h = "xxhash64(_tok)"
     aggs = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (shiftright({h}, {i}) & 1) = 1 THEN 1 ELSE -1 END)"
         ).alias(f"_v{i}")
         for i in range(bits)
     ]
     votes = tok_df.groupBy(id_col).agg(*aggs)
-    fp = F.lit(0).cast("long")
-    for i in range(bits):
-        fp = fp + F.when(
-            F.col(f"_v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(F.lit(0).cast("long"))
+    fp = F.expr(
+        "CAST(0 AS BIGINT) + " + " + ".join(
+            f"(CASE WHEN _v{i} > 0 THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+            for i in range(bits)
+        )
+    )
     sig = votes.select(F.col(id_col), fp.alias("simhash"))
     if signatures_only:
         return sig
@@ -451,37 +455,43 @@ def simhash_portable(
     tok_df = _ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(toks).alias("_tok")
     ).select(F.col(id_col), portable_token_hash(F.col("_tok")).alias("_h"))
-    h = F.col("_h")
+    # SQL-string lanes for the same reason as `simhash`: ~1000 py4j round
+    # trips of Column building collapse to 65 JVM-side parses
     aggs = [
-        F.sum(
-            F.when(F.pmod(a * h + b, F.lit(_MERSENNE)) % 2 == 1, 1).otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN pmod({a}L * _h + {b}L, {_MERSENNE}L) % 2 = 1 "
+            f"THEN 1 ELSE -1 END)"
         ).alias(f"_v{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
     votes = tok_df.groupBy(id_col).agg(*aggs)
-    fp = F.lit(0).cast("long")
-    for i in range(bits):
-        fp = fp + F.when(
-            F.col(f"_v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(F.lit(0).cast("long"))
+    fp = F.expr(
+        "CAST(0 AS BIGINT) + " + " + ".join(
+            f"(CASE WHEN _v{i} > 0 THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+            for i in range(bits)
+        )
+    )
     return votes.select(F.col(id_col), fp.alias("simhash"))
 
 
-def _extract_bits(word_cols: list[str], lo: int, n: int):
-    """Column expression for bits [lo, lo+n) of a multi-word fingerprint
-    (word 0 = bits 0..63 LSB-first). Handles word-straddling sub-chunks."""
-    out = F.lit(0).cast("long")
+def _extract_bits(word_cols: list[str], lo: int, n: int) -> str:
+    """SQL text for bits [lo, lo+n) of a multi-word fingerprint (word 0 =
+    bits 0..63 LSB-first). Handles word-straddling sub-chunks. SQL string,
+    not Column calls: the n_bands × per-band lattice is hundreds of py4j
+    round trips otherwise (pure driver time)."""
+    parts = ["CAST(0 AS BIGINT)"]
     got = 0
     while got < n:
         g = lo + got
         wi, ofs = g // 64, g % 64
         take = min(n - got, 64 - ofs)
-        part = F.shiftrightunsigned(F.col(word_cols[wi]), ofs).bitwiseAND(
-            F.lit((1 << take) - 1)
+        part = (
+            f"(shiftrightunsigned({word_cols[wi]}, {ofs}) & {(1 << take) - 1}L)"
         )
-        out = out.bitwiseOR(F.shiftleft(part, got))
+        parts.append(f"shiftleft({part}, {got})")
         got += take
-    return out
+    return "(" + " | ".join(parts) + ")"
 
 
 def _hamming_pair_select(
@@ -575,20 +585,15 @@ def banded_hamming_pairs(
     """
     width = total_bits // n_bands
     slim = sig.select(id_col, *word_cols)
+    band_structs = ", ".join(
+        f"named_struct('band', {b}, "
+        f"'chunk', {_extract_bits(word_cols, b * width, width)})"
+        for b in range(n_bands)
+    )
     chunks = slim.select(
         F.col(id_col),
         *word_cols,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        _extract_bits(word_cols, b * width, width).alias("chunk"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bc"),
+        F.expr(f"explode(array({band_structs}))").alias("bc"),
     ).select(id_col, *word_cols, "bc.band", "bc.chunk")
 
     hot = None
@@ -618,15 +623,15 @@ def banded_hamming_pairs(
         F.lit(-1).alias("sub"), F.lit(0).cast("long").alias("subchunk"),
         F.array().cast("array<long>").alias("_subs"),
     )
-    subs_arr = F.array(
-        *[
+    subs_arr = F.expr(
+        "array(" + ", ".join(
             _extract_bits(
                 word_cols,
                 j * subw,
                 subw if j < n_sub - 1 else total_bits - (n_sub - 1) * subw,
             )
             for j in range(n_sub)
-        ]
+        ) + ")"
     )
     hot_rows = flagged.where(F.col("_hb").isNotNull()).select(
         id_col, *word_cols, "band", "chunk", subs_arr.alias("_subs")
@@ -715,17 +720,20 @@ def embedding_near_duplicates(
         for _ in range(n_planes + (n_refine_planes if max_bucket_size else 0))
     ]
 
-    def proj_sign(plane: list[float]):
-        arr = F.array(*[F.lit(x) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), arr, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    def proj_sign(plane: list[float]) -> str:
+        # SQL text, not Column calls: the (n_planes+refine) × dim literal
+        # lattice is thousands of py4j round trips otherwise (driver
+        # plan-build time was exceeding the stage time; same fix as
+        # similarity._cell_struct_sql). repr(float) round-trips bit-exactly.
+        arr = ", ".join(f"{x!r}D" for x in plane)
+        return (
+            f"(CASE WHEN aggregate(zip_with({vec_col}, array({arr}), "
+            f"(a, b) -> CAST(a AS DOUBLE) * b), 0.0D, (acc, v) -> acc + v) >= 0 "
+            f"THEN '1' ELSE '0' END)"
         )
-        return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
 
     bucket = (
-        F.concat(*[proj_sign(p) for p in planes[:n_planes]])
+        F.expr("concat(" + ", ".join(proj_sign(p) for p in planes[:n_planes]) + ")")
         if n_planes
         else F.lit("")
     )
@@ -736,7 +744,9 @@ def embedding_near_duplicates(
         F.col(id_col), F.col(vec_col), bucket.alias("bucket"), norm.alias("nrm")
     )
     if max_bucket_size:
-        refine = F.concat(*[proj_sign(p) for p in planes[n_planes:]])
+        refine = F.expr(
+            "concat(" + ", ".join(proj_sign(p) for p in planes[n_planes:]) + ")"
+        )
         hot = (
             bucketed.groupBy("bucket")
             .count()

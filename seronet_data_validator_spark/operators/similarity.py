@@ -105,6 +105,22 @@ def train_centroids(
     return [[float(v) for v in c] for c in cents]
 
 
+def _cell_struct_sql(vec_col: str, ci: int, c: list[float]) -> str:
+    """SQL text for one centroid's (d2, cell) struct — the n_cells × dim
+    literal lattice as Column calls is thousands of py4j round trips
+    (measured: driver plan-build time exceeding the query's stage time);
+    one JVM-side parse per centroid instead. `repr(float)` round-trips
+    bit-exactly through the SQL double parser, so values are unchanged."""
+    arr = ", ".join(f"{float(x)!r}D" for x in c)
+    c2 = float(sum(float(x) * float(x) for x in c))
+    return (
+        f"named_struct('d2', {c2!r}D - 2.0D * aggregate("
+        f"zip_with({vec_col}, array({arr}), "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"0.0D, (acc, v) -> acc + v), 'cell', {ci})"
+    )
+
+
 def assign_cells(
     corpus: DataFrame, centroids: list[list[float]], *, vec_col: str = "embedding"
 ) -> DataFrame:
@@ -113,13 +129,10 @@ def assign_cells(
     from seronet_data_validator_spark.operators.dedup import _ensure_parallelism
 
     corpus = _ensure_parallelism(corpus)
-    scores = []
-    for ci, c in enumerate(centroids):
-        arr = F.array(*[F.lit(float(x)) for x in c])
-        c2 = float(sum(x * x for x in c))
-        d2 = F.lit(c2) - 2.0 * _dot(F.col(vec_col), arr)
-        scores.append(F.struct(d2.alias("d2"), F.lit(ci).alias("cell")))
-    best = F.array_min(F.array(*scores))
+    structs = ", ".join(
+        _cell_struct_sql(vec_col, ci, c) for ci, c in enumerate(centroids)
+    )
+    best = F.expr(f"array_min(array({structs}))")
     return corpus.withColumn("cell", best["cell"])
 
 
@@ -138,17 +151,14 @@ def ivf_topk(
     """IVF search: per query, rank cells by centroid distance, probe the
     nearest `nprobe` cells only. Join on cell → prunes the corpus scan to
     nprobe/n_cells; exact cosine within probed cells."""
-    q_assigned_scores = []
-    for ci, c in enumerate(centroids):
-        arr = F.array(*[F.lit(float(x)) for x in c])
-        c2 = float(sum(x * x for x in c))
-        d2 = F.lit(c2) - 2.0 * _dot(F.col(query_vec_col), arr)
-        q_assigned_scores.append(F.struct(d2.alias("d2"), F.lit(ci).alias("cell")))
-    ranked_cells = F.slice(F.array_sort(F.array(*q_assigned_scores)), 1, nprobe)
-    q = queries.select(
-        query_id_col, query_vec_col,
-        F.explode(F.transform(ranked_cells, lambda s: s["cell"])).alias("cell"),
+    structs = ", ".join(
+        _cell_struct_sql(query_vec_col, ci, c) for ci, c in enumerate(centroids)
     )
+    probed = F.expr(
+        f"explode(transform(slice(array_sort(array({structs})), 1, {nprobe}), "
+        f"s -> s.cell))"
+    )
+    q = queries.select(query_id_col, query_vec_col, probed.alias("cell"))
     joined = corpus_with_cells.join(F.broadcast(q), "cell")
     sim = _dot(F.col(vec_col), F.col(query_vec_col)) / (
         _norm(F.col(vec_col)) * _norm(F.col(query_vec_col))
