@@ -22,10 +22,9 @@ from pyspark.sql import types as T
 def local_df(spark: SparkSession, rows, schema: str | T.StructType | None = None) -> DataFrame:
     """Small local fixture/dimension rows → Arrow-backed DataFrame.
 
-    ``rows`` is a list of tuples (with ``schema``) or dicts (schema
-    inferred, matching createDataFrame's inference for the plain types used
-    here: int → long, str, bytes → binary, float → double). Empty input
-    falls back to the classic path (nothing to scan either way).
+    ``rows`` is a list of tuples with ``schema``, or a pandas DataFrame
+    (passed straight through to the Arrow conversion). Empty input falls
+    back to the classic path (nothing to scan either way).
     """
     import pandas as pd
 
@@ -38,11 +37,7 @@ def local_df(spark: SparkSession, rows, schema: str | T.StructType | None = None
     rows = list(rows)
     if not rows:
         return spark.createDataFrame([], schema)
-    if isinstance(rows[0], dict):
-        pdf = pd.DataFrame(rows)
-    else:
-        cols = [f.name for f in schema.fields] if schema is not None else None
-        pdf = pd.DataFrame.from_records([tuple(r) for r in rows], columns=cols)
-    if schema is None:
-        return spark.createDataFrame(pdf)
+    pdf = pd.DataFrame.from_records(
+        [tuple(r) for r in rows], columns=[f.name for f in schema.fields]
+    )
     return spark.createDataFrame(pdf, schema=schema)
