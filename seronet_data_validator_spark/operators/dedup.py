@@ -270,7 +270,9 @@ def line_dedup(
     in-memory sort of ONE document's lines, never a global one. Documents
     whose every line was dropped return '' (kept, auditable), via the
     left join back to the id set."""
-    lines = df.select(
+    # single-file inputs serialize the explode+count scan on one core; the
+    # repartition is a no-op once the input has >= cores files (scale)
+    lines = _ensure_parallelism(df).select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), delimiter)).alias("_pos", "_line"),
     )
@@ -808,6 +810,7 @@ def connected_components(
     *,
     max_iter: int = 20,
     cache_handles: list | None = None,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over near-dup pairs (id_a, id_b) by iterative
     min-label propagation WITH pointer jumping: each round every node adopts
@@ -848,6 +851,65 @@ def connected_components(
     # the width untouched.
     spark = pairs.sparkSession
     n_edges = edges.count()
+
+    # Small-graph fast path: near-dup graphs are SPARSE — at bench scale the
+    # edge list is hundreds of rows, and every distributed round still costs
+    # 2 shuffle joins + an agg + a count of almost-pure scheduling latency
+    # (measured ~1.3 s for a 47-node graph). Below ``driver_threshold``
+    # edges (a bounded ≤ ~16 MB collect — the train_centroids contract),
+    # run union-find on the driver instead: same fixed point, the minimum
+    # node id reachable, because integral ids compare identically in Python
+    # and Spark. Non-integral id types keep the distributed loop (string
+    # collation could diverge). At 100 TB the threshold keeps this path off
+    # and the pointer-jumping loop below is unchanged.
+    import pyspark.sql.types as _T
+
+    node_type = edges.schema["src"].dataType
+    if n_edges <= driver_threshold and isinstance(
+        node_type, (_T.LongType, _T.IntegerType, _T.ShortType, _T.ByteType)
+    ):
+        try:
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:
+                    parent[x], x = r, parent[x]
+                return r
+
+            for row in edges.collect():
+                a, b = row[0], row[1]
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by MIN root so the representative is the
+                    # component minimum, as in the distributed loop
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+            from seronet_data_validator_spark.sources.local import local_df
+
+            labels = local_df(
+                spark,
+                sorted((n, find(n)) for n in parent),
+                _T.StructType(
+                    [
+                        _T.StructField("node", node_type, True),
+                        _T.StructField("component", node_type, True),
+                    ]
+                ),
+            )
+            if cache_handles is not None:
+                cache_handles.append(labels)
+            return labels
+        finally:
+            edges.unpersist()
+
     prev_width = spark.conf.get("spark.sql.shuffle.partitions")
     loop_width = max(1, min(int(prev_width), n_edges // 100_000 + 1))
     try:

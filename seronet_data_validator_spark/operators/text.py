@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from seronet_data_validator_spark.operators.dedup import _ensure_parallelism
+
 # Tiny stopword profiles (public common-word lists, heavily truncated — this
 # is a deterministic n-gram/stopword heuristic, not a trained model).
 STOPWORD_PROFILES: dict[str, list[str]] = {
@@ -45,6 +47,9 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     length band, mean token length band, punctuation ratio, stopword ratio,
     repetition (distinct/total tokens). Mirrors common pretraining-data
     quality filters (C4/Gopher-style rules, public)."""
+    # single-file inputs serialize the scan stage on one core; the
+    # repartition is a no-op once the input has >= cores files (scale)
+    df = _ensure_parallelism(df)
     toks = _tokens(text_col)
     n_tok = F.size(toks)
     n_chars = F.length(F.col(text_col))
@@ -81,6 +86,9 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     and the argmax once per extracted field — both a per-row re-evaluation
     and a codegen-size blowup (first-execution latency is dominated by
     compiling the duplicated tree)."""
+    # single-file inputs serialize the scan stage on one core; the
+    # repartition is a no-op once the input has >= cores files (scale)
+    df = _ensure_parallelism(df)
     # Built as ONE SQL expression string: the per-language struct/filter
     # tree is ~500 Column-API calls, and each is a driver↔JVM roundtrip —
     # measured at >1s of pure plan-construction latency per invocation.
@@ -116,6 +124,9 @@ def fingerprint(df: DataFrame, text_col: str = "text", *, window: int = 8) -> Da
     Schleimer et al. '03): hash every `window`-gram of tokens, keep the
     minimum — a content-defined signature robust to local edits. Adds
     `fingerprint: long` plus the full md5 for exact identity."""
+    # single-file inputs serialize the scan stage on one core; the
+    # repartition is a no-op once the input has >= cores files (scale)
+    df = _ensure_parallelism(df)
     toks = _tokens(text_col)
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - window, F.lit(0)))
     grams = F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))))
@@ -156,6 +167,9 @@ def fingerprint_portable(
     the driver contract checks exactly that. Use `fingerprint` (xxhash64,
     whole-stage-codegen hash) on the hot path; use this variant when the
     signature must be recomputable outside Spark."""
+    # single-file inputs serialize the scan stage on one core; the
+    # repartition is a no-op once the input has >= cores files (scale)
+    df = _ensure_parallelism(df)
     # Hoist the per-token hash array to a projected column: inlined, the
     # token split + per-token fold would sit inside the per-gram lambda and
     # re-run for every gram — each token re-hashed `window` times (adjacent
@@ -200,6 +214,9 @@ def vocabulary(
     length skew; the only data-size-dependent shuffle carries one row per
     distinct (token) per partition. Ties order by token so the result is
     deterministic."""
+    # single-file inputs serialize the scan stage on one core; the
+    # repartition is a no-op once the input has >= cores files (scale)
+    df = _ensure_parallelism(df)
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     tok_rows = df.select(F.col(id_col), F.explode(toks).alias("token")).where(
         F.col("token") != ""
@@ -227,6 +244,9 @@ def tfidf(
     never broadcast it blindly). N arrives as a broadcast scalar. All
     aggregations partial map-side; determinism: pure function of the data.
     Returns (id, token, tf, doc_freq, tfidf rounded to 4)."""
+    # single-file inputs serialize the scan stage on one core; the
+    # repartition is a no-op once the input has >= cores files (scale)
+    df = _ensure_parallelism(df)
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     tok_rows = df.select(F.col(id_col), F.explode(toks).alias("token")).where(
         F.col("token") != ""
@@ -271,6 +291,9 @@ def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document PII hit counts (one column per pattern) plus the total.
     Pure JVM regexp_count expressions — narrow, zero shuffle; at corpus
     scale this is a single scan-side pass with nothing to re-partition."""
+    # single-file inputs serialize the scan stage on one core; the
+    # repartition is a no-op once the input has >= cores files (scale)
+    df = _ensure_parallelism(df)
     out = df
     for name, pat in PII_PATTERNS:
         out = out.withColumn(f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)))
@@ -299,6 +322,9 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
     High values mark boilerplate/spam documents that repetition filters
     drop before training (public Gopher/C4 rule family)."""
+    # single-file inputs serialize the scan stage on one core; the
+    # repartition is a no-op once the input has >= cores files (scale)
+    df = _ensure_parallelism(df)
     toks = _tokens(text_col)
     n = F.size(toks)
     grams = F.zip_with(
@@ -370,6 +396,9 @@ def document_filter(
     work that pipelines with the parquet read; thresholds fold to literals.
     Returns (id, lang_pred, n_tokens, keep, reasons) where `reasons` is the
     comma-joined, name-sorted failed-gate list ('' when kept)."""
+    # single-file inputs serialize the scan stage on one core; the
+    # repartition is a no-op once the input has >= cores files (scale)
+    df = _ensure_parallelism(df)
     cfg = {**FILTER_DEFAULTS, **overrides}
     # The token split feeds every signal below and codegen CSE does not
     # reach into HOF lambdas — stage it as a real column so the split runs
@@ -496,6 +525,9 @@ def unigram_logprob(
 
     Returns (id, n_tokens, avg_logprob, perplexity), floats rounded to 4.
     """
+    # single-file inputs serialize the scan stage on one core; the
+    # repartition is a no-op once the input has >= cores files (scale)
+    df = _ensure_parallelism(df)
     toks = _tokens(text_col)
     tok_rows = df.select(F.col(id_col), F.explode(toks).alias("token")).where(
         F.col("token") != ""
@@ -534,6 +566,9 @@ def char_entropy(
     -Σ p·log2(p) but needs no per-row share column. All JVM-side; docs with
     zero characters are omitted (no distribution to score).
     """
+    # single-file inputs serialize the scan stage on one core; the
+    # repartition is a no-op once the input has >= cores files (scale)
+    df = _ensure_parallelism(df)
     chars = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("_ch")
     ).where(F.col("_ch") != "")
@@ -577,6 +612,9 @@ def compression_ratio(
     Python-per-row overhead beyond the per-doc compress call, which is the
     operator's actual work). Empty docs are excluded (no ratio to
     compute). Output: (id, n_bytes, ratio)."""
+    # single-file inputs serialize the scan stage on one core; the
+    # repartition is a no-op once the input has >= cores files (scale)
+    df = _ensure_parallelism(df)
     import zlib
     from typing import Iterator
 
@@ -631,6 +669,9 @@ def normalize_transcript(
     Java∩RE2-portable subset so external engines replay the values
     exactly (driver contract ``transcript_normalize``).
     """
+    # single-file inputs serialize the scan stage on one core; the
+    # repartition is a no-op once the input has >= cores files (scale)
+    df = _ensure_parallelism(df)
     raw = F.trim(F.col(text_col))
     n_raw = (
         F.when(raw == "", F.lit(0))
