@@ -1564,8 +1564,11 @@ def q_simhash_neardup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    # input_rows_bound: the doc_id predicate bounds rows at 300 <= 4096, so
+    # the hot-bucket probe is provably a no-op and its job is skipped
     return simhash_near_duplicates(
-        simhash_portable(docs), max_hamming=3, max_bucket_size=4096
+        simhash_portable(docs), max_hamming=3, max_bucket_size=4096,
+        input_rows_bound=300,
     )
 
 
@@ -1604,8 +1607,11 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold is "largest bucket we accept joining quadratically" — at
     # this sf the 1-row probe finds none and the plan stays the plain
     # two-key join (guard cost: exactly one count job).
+    # input_rows_bound: doc_id < 1500 bounds rows at 1500 <= 4096 — probe
+    # provably a no-op, its count job skipped (guard still armed at scale)
     return simhash_near_duplicates(
-        simhash(docs, signatures_only=True), max_hamming=3, max_bucket_size=4096
+        simhash(docs, signatures_only=True), max_hamming=3, max_bucket_size=4096,
+        input_rows_bound=1500,
     )
 
 
@@ -2719,8 +2725,10 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("clip_id"), F.lit("_r16k")).alias("clip_id"),
         F.col("bytes"),
     )
+    # input_rows_bound: 150 originals + 150 resampled copies = 300 <= 4096,
+    # so the hot-bucket probe job is provably a no-op and is skipped
     return audio_near_duplicates(
-        clips.unionByName(copies), max_bucket_size=4096
+        clips.unionByName(copies), max_bucket_size=4096, input_rows_bound=300
     )
 
 

@@ -292,6 +292,7 @@ def audio_near_duplicates(
     max_bucket_size: int | None = None,
     star: bool = False,
     cache_handles: list | None = None,
+    input_rows_bound: int | None = None,
 ) -> DataFrame:
     """Content-based audio near-dup pairs: fingerprints within `max_hamming`
     bits over the 128-bit spectral hash. Catches re-encoded, re-scaled and
@@ -331,6 +332,7 @@ def audio_near_duplicates(
         n_bands=n_bands_lsh,
         max_bucket_size=max_bucket_size,
         star=star,
+        input_rows_bound=input_rows_bound,
     )
 
 

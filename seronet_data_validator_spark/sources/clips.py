@@ -213,7 +213,14 @@ def generate_clips(
     the corruption recipes tamper with real PCM buffers."""
     if not payload and bad:
         raise ValueError("payload=False supports only the clean fixture")
-    parts = num_partitions or max(4, spark.sparkContext.defaultParallelism)
+    # row-adaptive partitioning: a fixed defaultParallelism split puts ~5
+    # rows in each of 32 Python tasks for the small fixtures — the worker
+    # round-trip latency then dwarfs the synth (~0.2 ms/clip). ≥64 rows per
+    # task, capped at defaultParallelism so large generations still use
+    # every core.
+    parts = num_partitions or max(
+        4, min(spark.sparkContext.defaultParallelism, n_rows // 64)
+    )
     base = spark.range(0, n_rows, 1, parts)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -64,6 +64,31 @@ def test_validate_clips_plan_cache_skips_durable_runs(tmp_path, spark):
     res.violations.unpersist()
 
 
+def test_banded_hamming_input_rows_bound_is_exact(spark):
+    """input_rows_bound <= max_bucket_size skips the probe job but must
+    return the identical pair set; a larger bound keeps the guard armed."""
+    from seronet_data_validator_spark.operators.dedup import (
+        banded_hamming_pairs,
+        simhash,
+    )
+
+    docs = local_df(
+        spark,
+        [(i, f"tok{i % 7} tok{(i * 3) % 11} tok{(i * 5) % 13} common a b") for i in range(120)],
+        "doc_id long, text string",
+    )
+    sig = simhash(docs, signatures_only=True)
+    kw = dict(total_bits=64, max_hamming=3, n_bands=4)
+    probed = banded_hamming_pairs(sig, ["simhash"], "doc_id",
+                                  max_bucket_size=8, **kw)
+    skipped = banded_hamming_pairs(sig, ["simhash"], "doc_id",
+                                   max_bucket_size=200, input_rows_bound=120, **kw)
+    armed = banded_hamming_pairs(sig, ["simhash"], "doc_id",
+                                 max_bucket_size=8, input_rows_bound=121, **kw)
+    rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert rows(probed) == rows(skipped) == rows(armed)
+
+
 def test_local_df_matches_classic_createDataFrame(spark):
     """local_df (Arrow path) must be value- and schema-identical to the
     pickled-RDD createDataFrame for the row shapes the fixtures use."""
