@@ -214,9 +214,6 @@ def vocabulary(
     length skew; the only data-size-dependent shuffle carries one row per
     distinct (token) per partition. Ties order by token so the result is
     deterministic."""
-    # single-file inputs serialize the scan stage on one core; the
-    # repartition is a no-op once the input has >= cores files (scale)
-    df = _ensure_parallelism(df)
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     tok_rows = df.select(F.col(id_col), F.explode(toks).alias("token")).where(
         F.col("token") != ""
@@ -244,9 +241,6 @@ def tfidf(
     never broadcast it blindly). N arrives as a broadcast scalar. All
     aggregations partial map-side; determinism: pure function of the data.
     Returns (id, token, tf, doc_freq, tfidf rounded to 4)."""
-    # single-file inputs serialize the scan stage on one core; the
-    # repartition is a no-op once the input has >= cores files (scale)
-    df = _ensure_parallelism(df)
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     tok_rows = df.select(F.col(id_col), F.explode(toks).alias("token")).where(
         F.col("token") != ""
@@ -525,9 +519,6 @@ def unigram_logprob(
 
     Returns (id, n_tokens, avg_logprob, perplexity), floats rounded to 4.
     """
-    # single-file inputs serialize the scan stage on one core; the
-    # repartition is a no-op once the input has >= cores files (scale)
-    df = _ensure_parallelism(df)
     toks = _tokens(text_col)
     tok_rows = df.select(F.col(id_col), F.explode(toks).alias("token")).where(
         F.col("token") != ""
@@ -566,9 +557,6 @@ def char_entropy(
     -Σ p·log2(p) but needs no per-row share column. All JVM-side; docs with
     zero characters are omitted (no distribution to score).
     """
-    # single-file inputs serialize the scan stage on one core; the
-    # repartition is a no-op once the input has >= cores files (scale)
-    df = _ensure_parallelism(df)
     chars = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("_ch")
     ).where(F.col("_ch") != "")
