@@ -87,6 +87,27 @@ def _empty_violations(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], VIOLATION_SCHEMA)
 
 
+def _union_parts(parts: list[DataFrame]) -> DataFrame:
+    """Union the violation families tagged with their pass ordinal, as a
+    BALANCED tree rather than a left-deep chain. PySpark DataFrames analyze
+    eagerly at construction, so a 12-part chain re-analyzes the growing
+    left side at every step — O(parts²) driver-side analysis over deep
+    family subtrees (measured as part of the ~1.4 s per-call plan build of
+    the exact-lifecycle query). The balanced tree analyzes each subtree
+    O(log parts) times; `_ord` is a per-part literal, so first-writer-wins
+    dedup is byte-identical under any union associativity."""
+    tagged = [p.withColumn("_ord", F.lit(i)) for i, p in enumerate(parts)]
+    while len(tagged) > 1:
+        nxt = [
+            tagged[j].unionByName(tagged[j + 1])
+            for j in range(0, len(tagged) - 1, 2)
+        ]
+        if len(tagged) % 2:
+            nxt.append(tagged[-1])
+        tagged = nxt
+    return tagged[0]
+
+
 # Compiled-plan cache (PREPARED-STATEMENT reuse, not result caching): the
 # fused violations plan for a given (clips, registry, reference, options)
 # tuple is a pure function of those inputs, and building it costs ~0.5 s of
@@ -351,9 +372,7 @@ def validate_clips(
         )
         parts.append(counts_rows)
 
-    violations = parts[0].withColumn("_ord", F.lit(0))
-    for i, p in enumerate(parts[1:], start=1):
-        violations = violations.unionByName(p.withColumn("_ord", F.lit(i)))
+    violations = _union_parts(parts)
     violations = dedup_violations(violations, order_col="_ord")
 
     if plan_key is not None:

@@ -176,9 +176,9 @@ def stream_validate_clips(
         # same first-writer-wins C22 dedup as the batch runner (pass order =
         # rules, uniqueness, cross-batch, referential, audio, qc) so batch
         # backfill and stream emit identical violation sets for identical rows
-        v = parts[0].withColumn("_ord", F.lit(0))
-        for i, p in enumerate(parts[1:], start=1):
-            v = v.unionByName(p.withColumn("_ord", F.lit(i)))
+        from seronet_data_validator_spark.runner import _union_parts
+
+        v = _union_parts(parts)
         v = dedup_violations(v, order_col="_ord")
         # partitioned by batch_id + dynamic overwrite: a replayed batch
         # overwrites ITS OWN partition only — exactly-once output under
